@@ -1,0 +1,297 @@
+"""Bidirectional FM-index over DNA5 rank sequences.
+
+TPU-native re-design of the reference's fmindex-collection BiFMIndex
+(include/fmindex.hpp:7-10: alphabet size 6, suffix-array sampling rate 4,
+built in floxer.cpp:92-97, queried in src/lib/search.cpp:173/253).
+
+Index layout (everything is a flat numpy array so the whole index ships to
+device HBM unchanged; see device_index.py for the batched-gather query path):
+
+  - text: concatenation of all reference rank sequences, each followed by a
+    rank-0 sentinel separator
+  - sa / bwt and their reversed-text counterparts (bidirectional search needs
+    an index over text and over reversed text)
+  - occ checkpoints every OCC_BLOCK positions per symbol (int64 on host;
+    int32 + uint8 packed BWT on device), C array from symbol counts
+  - sampled suffix array by TEXT position (pos % sampling_rate == 0), so
+    locate() is a bounded LF walk of at most sampling_rate - 1 steps — a
+    fixed-trip-count gather loop on device
+
+Construction runs on host: suffix array via numpy prefix doubling (O(n log n)
+full-array argsorts — vectorized, no Python-per-char loops).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..alphabet import SIGMA
+
+OCC_BLOCK = 128
+DEFAULT_SAMPLING_RATE = 4
+
+
+def suffix_array(text: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (Manber-Myers, numpy-vectorized).
+
+    Ranks are compared as (rank[i], rank[i+k]) pairs, doubling k. Ties break
+    consistently because every sequence ends with a sentinel; equal suffixes
+    cannot occur except for the (distinct-position) separators themselves,
+    which compare by their continuation.
+    """
+    text = np.asarray(text, dtype=np.int64)
+    n = text.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = text.copy()
+    k = 1
+    idx = np.arange(n, dtype=np.int64)
+    while True:
+        rank2 = np.full(n, -1, dtype=np.int64)
+        rank2[: n - k] = rank[k:]
+        order = np.lexsort((rank2, rank))
+        # new ranks: increment where the (rank, rank2) pair differs
+        r_ord = rank[order]
+        r2_ord = rank2[order]
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 0
+        changed[1:] = (r_ord[1:] != r_ord[:-1]) | (r2_ord[1:] != r2_ord[:-1])
+        new_rank_ord = np.cumsum(changed)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = new_rank_ord
+        if new_rank_ord[-1] == n - 1:
+            return order
+        k *= 2
+        if k >= n:
+            return np.lexsort((idx, rank))
+
+
+def _bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    prev = sa - 1  # SA[i] == 0 wraps to the last text char
+    return text[prev].astype(np.uint8)
+
+
+def _occ_checkpoints(bwt: np.ndarray) -> np.ndarray:
+    """(num_blocks + 1, SIGMA) cumulative symbol counts at block boundaries."""
+    n = bwt.shape[0]
+    num_blocks = n // OCC_BLOCK + 1
+    per_block = np.zeros((num_blocks, SIGMA), dtype=np.int64)
+    block_idx = np.arange(n, dtype=np.int64) // OCC_BLOCK
+    np.add.at(per_block, (block_idx, bwt.astype(np.int64)), 1)
+    checkpoints = np.zeros((num_blocks + 1, SIGMA), dtype=np.int64)
+    np.cumsum(per_block, axis=0, out=checkpoints[1:])
+    return checkpoints
+
+
+@dataclass
+class _SingleIndex:
+    """One direction's BWT machinery (forward text or reversed text)."""
+
+    bwt: np.ndarray  # uint8 [n]
+    occ_checkpoints: np.ndarray  # int64 [n // OCC_BLOCK + 2, SIGMA]
+
+    def occ(self, symbol: int, position: int) -> int:
+        """# occurrences of symbol in bwt[:position]."""
+        block = position // OCC_BLOCK
+        base = int(self.occ_checkpoints[block, symbol])
+        start = block * OCC_BLOCK
+        if position > start:
+            base += int(np.count_nonzero(self.bwt[start:position] == symbol))
+        return base
+
+    def occ_all(self, position: int) -> np.ndarray:
+        """occ for all SIGMA symbols at once (drives bidirectional updates)."""
+        block = position // OCC_BLOCK
+        counts = self.occ_checkpoints[block].copy()
+        start = block * OCC_BLOCK
+        if position > start:
+            counts += np.bincount(self.bwt[start:position], minlength=SIGMA)
+        return counts
+
+
+@dataclass(frozen=True)
+class Cursor:
+    """Bidirectional cursor: fwd/rev interval starts + shared length.
+
+    Mirrors fmindex-collection's BiFMIndexCursor (fmindex.hpp:9). The fwd
+    interval [lb, lb+length) covers suffixes of text starting with the
+    current pattern; the rev interval covers suffixes of reversed text
+    starting with the reversed pattern.
+    """
+
+    lb: int
+    lb_rev: int
+    length: int
+
+    @property
+    def empty(self) -> bool:
+        return self.length <= 0
+
+
+class FmIndex:
+    """Host-queryable bidirectional FM-index over a reference collection."""
+
+    def __init__(
+        self,
+        sequences: list[np.ndarray],
+        sampling_rate: int = DEFAULT_SAMPLING_RATE,
+    ):
+        self.sampling_rate = sampling_rate
+        self.num_sequences = len(sequences)
+
+        pieces = []
+        starts = []
+        pos = 0
+        for seq in sequences:
+            starts.append(pos)
+            pieces.append(np.asarray(seq, dtype=np.uint8))
+            pieces.append(np.zeros(1, dtype=np.uint8))  # sentinel separator
+            pos += len(seq) + 1
+        self.text = np.concatenate(pieces) if pieces else np.zeros(0, dtype=np.uint8)
+        self.seq_starts = np.asarray(starts, dtype=np.int64)
+        self.seq_lengths = np.asarray([len(s) for s in sequences], dtype=np.int64)
+        n = self.text.shape[0]
+        self.n = n
+
+        sa = suffix_array(self.text)
+        bwt = _bwt_from_sa(self.text, sa)
+        self.fwd = _SingleIndex(bwt, _occ_checkpoints(bwt))
+
+        text_rev = self.text[::-1].copy()
+        sa_rev = suffix_array(text_rev)
+        bwt_rev = _bwt_from_sa(text_rev, sa_rev)
+        self.rev = _SingleIndex(bwt_rev, _occ_checkpoints(bwt_rev))
+
+        counts = np.bincount(self.text, minlength=SIGMA).astype(np.int64)
+        self.C = np.zeros(SIGMA + 1, dtype=np.int64)
+        self.C[1:] = np.cumsum(counts)
+
+        # sampled SA by text position: rows whose SA value % rate == 0
+        sampled_mask = sa % sampling_rate == 0
+        self.sampled_rows = np.flatnonzero(sampled_mask).astype(np.int64)
+        self.sampled_values = sa[sampled_mask].astype(np.int64)
+        # membership bitset lookup via searchsorted on sampled_rows
+
+    # ------------------------------------------------------------------
+    # cursor operations
+    # ------------------------------------------------------------------
+
+    def root_cursor(self) -> Cursor:
+        return Cursor(0, 0, self.n)
+
+    def _interval_symbol_counts(
+        self, index: _SingleIndex, lb: int, length: int
+    ) -> np.ndarray:
+        return index.occ_all(lb + length) - index.occ_all(lb)
+
+    def extend_left(self, cursor: Cursor, symbol: int) -> Cursor:
+        """Prepend symbol to the pattern (backward step on the fwd index)."""
+        counts = self._interval_symbol_counts(self.fwd, cursor.lb, cursor.length)
+        new_len = int(counts[symbol])
+        new_lb = int(self.C[symbol]) + self.fwd.occ(symbol, cursor.lb)
+        new_lb_rev = cursor.lb_rev + int(counts[:symbol].sum())
+        return Cursor(new_lb, new_lb_rev, new_len)
+
+    def extend_right(self, cursor: Cursor, symbol: int) -> Cursor:
+        """Append symbol to the pattern (backward step on the rev index)."""
+        counts = self._interval_symbol_counts(self.rev, cursor.lb_rev, cursor.length)
+        new_len = int(counts[symbol])
+        new_lb_rev = int(self.C[symbol]) + self.rev.occ(symbol, cursor.lb_rev)
+        new_lb = cursor.lb + int(counts[:symbol].sum())
+        return Cursor(new_lb, new_lb_rev, new_len)
+
+    def extend_left_all(self, cursor: Cursor) -> list["Cursor"]:
+        """All SIGMA left extensions at once (two occ_all calls total)."""
+        lo = self.fwd.occ_all(cursor.lb)
+        hi = self.fwd.occ_all(cursor.lb + cursor.length)
+        counts = hi - lo
+        prefix = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        return [
+            Cursor(
+                int(self.C[c] + lo[c]),
+                cursor.lb_rev + int(prefix[c]),
+                int(counts[c]),
+            )
+            for c in range(SIGMA)
+        ]
+
+    def extend_right_all(self, cursor: Cursor) -> list["Cursor"]:
+        lo = self.rev.occ_all(cursor.lb_rev)
+        hi = self.rev.occ_all(cursor.lb_rev + cursor.length)
+        counts = hi - lo
+        prefix = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        return [
+            Cursor(
+                cursor.lb + int(prefix[c]),
+                int(self.C[c] + lo[c]),
+                int(counts[c]),
+            )
+            for c in range(SIGMA)
+        ]
+
+    # ------------------------------------------------------------------
+    # locate
+    # ------------------------------------------------------------------
+
+    def _lf(self, row: int) -> int:
+        symbol = int(self.fwd.bwt[row])
+        return int(self.C[symbol]) + self.fwd.occ(symbol, row)
+
+    def text_position(self, row: int) -> int:
+        """SA[row] via the sampled-SA LF walk (<= sampling_rate - 1 steps)."""
+        steps = 0
+        while True:
+            i = np.searchsorted(self.sampled_rows, row)
+            if i < len(self.sampled_rows) and self.sampled_rows[i] == row:
+                pos = int(self.sampled_values[i]) + steps
+                return pos if pos < self.n else pos - self.n
+            row = self._lf(row)
+            steps += 1
+
+    def locate(self, row: int) -> tuple[int, int]:
+        """(reference_id, position_in_reference) for one cursor row
+        (parity: index.locate in search.cpp:253/284)."""
+        pos = self.text_position(row)
+        seq_id = int(np.searchsorted(self.seq_starts, pos, side="right")) - 1
+        return seq_id, pos - int(self.seq_starts[seq_id])
+
+    # ------------------------------------------------------------------
+    # persistence (replaces the reference's cereal archive,
+    # output.cpp:25-40 / input.cpp:150-157)
+    # ------------------------------------------------------------------
+
+    def save(self, path) -> None:
+        np.savez_compressed(
+            path,
+            format_version=np.int64(1),
+            sampling_rate=np.int64(self.sampling_rate),
+            text=self.text,
+            seq_starts=self.seq_starts,
+            seq_lengths=self.seq_lengths,
+            fwd_bwt=self.fwd.bwt,
+            fwd_occ=self.fwd.occ_checkpoints,
+            rev_bwt=self.rev.bwt,
+            rev_occ=self.rev.occ_checkpoints,
+            C=self.C,
+            sampled_rows=self.sampled_rows,
+            sampled_values=self.sampled_values,
+        )
+
+    @classmethod
+    def load(cls, path) -> "FmIndex":
+        data = np.load(path)
+        obj = cls.__new__(cls)
+        obj.sampling_rate = int(data["sampling_rate"])
+        obj.text = data["text"]
+        obj.seq_starts = data["seq_starts"]
+        obj.seq_lengths = data["seq_lengths"]
+        obj.num_sequences = len(obj.seq_starts)
+        obj.n = obj.text.shape[0]
+        obj.fwd = _SingleIndex(data["fwd_bwt"], data["fwd_occ"])
+        obj.rev = _SingleIndex(data["rev_bwt"], data["rev_occ"])
+        obj.C = data["C"]
+        obj.sampled_rows = data["sampled_rows"]
+        obj.sampled_values = data["sampled_values"]
+        return obj

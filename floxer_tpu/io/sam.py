@@ -1,0 +1,225 @@
+"""SAM and BAM alignment output.
+
+Parity target: src/lib/output.cpp:42-108 (record field semantics) and the
+seqan3 sam_file_output header layout (output.cpp:197-212): @SQ lines carry
+each reference's id and length in internal-id order. BAM files are written as
+spec-compliant BGZF blocks (pure Python + zlib — host-side IO, no third-party
+dependency).
+
+Record semantics (output.cpp:49-108):
+  - records iterate references in internal-id order
+  - primary = first record whose num_errors equals the best across all
+    references; it carries SEQ (forward characters) + QUAL
+  - all other records get the secondary_alignment flag and empty SEQ/QUAL
+  - reverse-complement hits get flag 16, but SEQ stays the forward sequence
+  - MAPQ is always 255 (unavailable), NM tag = edit distance
+  - ref_offset saturates to int32 max
+  - fully unmapped query -> one flag-4 record with SEQ + QUAL
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+FLAG_UNMAPPED = 4
+FLAG_REVERSE = 16
+FLAG_SECONDARY = 256
+
+MAPQ_NOT_AVAILABLE = 255
+
+
+@dataclass
+class SamRecord:
+    qname: str
+    flag: int
+    rname: str  # "" for unmapped
+    pos: int  # 0-based; -1 for unmapped
+    mapq: int
+    cigar: list[tuple[int, str]]
+    seq: str
+    qual: str
+    tags: list[tuple[str, str, int | str]] = field(default_factory=list)
+
+    def to_sam_line(self) -> str:
+        cigar = "".join(f"{n}{op}" for n, op in self.cigar) or "*"
+        fields = [
+            self.qname,
+            str(self.flag),
+            self.rname or "*",
+            str(self.pos + 1 if self.pos >= 0 else 0),
+            str(self.mapq),
+            cigar,
+            "*",  # RNEXT
+            "0",  # PNEXT
+            "0",  # TLEN
+            self.seq or "*",
+            self.qual or "*",
+        ]
+        for tag, tag_type, value in self.tags:
+            fields.append(f"{tag}:{tag_type}:{value}")
+        return "\t".join(fields)
+
+
+_BAM_CIGAR_OPS = "MIDNSHP=X"
+_BAM_SEQ_CODE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+
+
+class _BgzfWriter:
+    """Minimal BGZF (blocked gzip) writer for BAM output."""
+
+    MAX_BLOCK = 64 * 1024 - 1024
+
+    def __init__(self, handle):
+        self._handle = handle
+        self._buffer = bytearray()
+
+    def write(self, data: bytes) -> None:
+        self._buffer.extend(data)
+        while len(self._buffer) >= self.MAX_BLOCK:
+            self._flush_block(self._buffer[: self.MAX_BLOCK])
+            del self._buffer[: self.MAX_BLOCK]
+
+    def _flush_block(self, data: bytes) -> None:
+        compressor = zlib.compressobj(6, zlib.DEFLATED, -15)
+        compressed = compressor.compress(bytes(data)) + compressor.flush()
+        crc = zlib.crc32(bytes(data)) & 0xFFFFFFFF
+        bsize = len(compressed) + 25 + 1
+        header = struct.pack(
+            "<BBBBIBBHBBHH",
+            31, 139, 8, 4,  # gzip magic, deflate, FEXTRA
+            0, 0, 255,  # mtime, xfl, os
+            6,  # xlen
+            66, 67, 2,  # 'B', 'C', subfield length
+            bsize - 1,
+        )
+        footer = struct.pack("<II", crc, len(data) % (1 << 32))
+        self._handle.write(header + compressed + footer)
+
+    def close(self) -> None:
+        if self._buffer:
+            self._flush_block(bytes(self._buffer))
+            self._buffer.clear()
+        # BGZF EOF marker block
+        self._handle.write(
+            bytes.fromhex(
+                "1f8b08040000000000ff0600424302001b0003000000000000000000"
+            )
+        )
+        self._handle.close()
+
+
+class AlignmentOutput:
+    """SAM or BAM writer selected by output path extension."""
+
+    def __init__(self, output_path, references):
+        self.references = references
+        self._ref_index = {ref.id: i for i, ref in enumerate(references)}
+        path = str(output_path)
+        self._is_bam = path.endswith(".bam")
+        header_text = self._header_text()
+        if self._is_bam:
+            self._bgzf = _BgzfWriter(open(path, "wb"))
+            self._write_bam_header(header_text)
+        else:
+            self._handle = open(path, "wt")
+            self._handle.write(header_text)
+
+    def _header_text(self) -> str:
+        lines = ["@HD\tVN:1.6\tSO:unknown"]
+        for ref in self.references:
+            lines.append(f"@SQ\tSN:{ref.id}\tLN:{len(ref.rank_sequence)}")
+        return "\n".join(lines) + "\n"
+
+    def _write_bam_header(self, header_text: str) -> None:
+        out = bytearray(b"BAM\x01")
+        encoded = header_text.encode()
+        out += struct.pack("<i", len(encoded))
+        out += encoded
+        out += struct.pack("<i", len(self.references))
+        for ref in self.references:
+            name = ref.id.encode() + b"\x00"
+            out += struct.pack("<i", len(name))
+            out += name
+            out += struct.pack("<i", len(ref.rank_sequence))
+        self._bgzf.write(bytes(out))
+
+    def write_record(self, record: SamRecord) -> None:
+        if self._is_bam:
+            self._bgzf.write(self._encode_bam_record(record))
+        else:
+            self._handle.write(record.to_sam_line() + "\n")
+
+    def _encode_bam_record(self, record: SamRecord) -> bytes:
+        ref_id = self._ref_index.get(record.rname, -1)
+        pos = record.pos if record.pos >= 0 else -1
+        read_name = record.qname.encode() + b"\x00"
+        cigar_packed = b"".join(
+            struct.pack("<I", (n << 4) | _BAM_CIGAR_OPS.index(op))
+            for n, op in record.cigar
+        )
+        seq = record.seq
+        l_seq = len(seq)
+        seq_packed = bytearray((l_seq + 1) // 2)
+        for i, base in enumerate(seq):
+            code = _BAM_SEQ_CODE.get(base.upper(), 15)
+            if i % 2 == 0:
+                seq_packed[i // 2] = code << 4
+            else:
+                seq_packed[i // 2] |= code
+        qual_packed = (
+            bytes(min(ord(q) - 33, 93) for q in record.qual)
+            if record.qual
+            else b"\xff" * l_seq
+        )
+        tags_packed = bytearray()
+        for tag, tag_type, value in record.tags:
+            if tag_type == "i":
+                tags_packed += tag.encode() + b"i" + struct.pack("<i", int(value))
+            else:
+                tags_packed += tag.encode() + b"Z" + str(value).encode() + b"\x00"
+
+        # bin computation (SAM spec reg2bin) for the record's interval
+        end = pos + sum(n for n, op in record.cigar if op in "MDN=X")
+        bin_ = _reg2bin(pos if pos >= 0 else -1, end if end > pos else pos + 1)
+
+        body = bytearray()
+        body += struct.pack("<i", ref_id)
+        body += struct.pack("<i", pos)
+        body += struct.pack("<B", len(read_name))
+        body += struct.pack("<B", record.mapq)
+        body += struct.pack("<H", bin_)
+        body += struct.pack("<H", len(record.cigar))
+        body += struct.pack("<H", record.flag)
+        body += struct.pack("<i", l_seq)
+        body += struct.pack("<i", -1)  # next_ref_id
+        body += struct.pack("<i", -1)  # next_pos
+        body += struct.pack("<i", 0)  # tlen
+        body += read_name
+        body += cigar_packed
+        body += bytes(seq_packed)
+        body += qual_packed
+        body += bytes(tags_packed)
+        return struct.pack("<i", len(body)) + bytes(body)
+
+    def close(self) -> None:
+        if self._is_bam:
+            self._bgzf.close()
+        else:
+            self._handle.close()
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0

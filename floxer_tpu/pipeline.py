@@ -1,0 +1,268 @@
+"""End-to-end alignment pipeline.
+
+Replaces the reference's thread-pool task runtime (src/lib/parallelization.cpp)
+with a streaming host pipeline: the search/verify stages below operate on one
+query at a time in the reference-semantics host path, and on padded query
+batches in the device path (see parallel/ and ops/), where search is batched
+FM-index gathers and verification is the Pallas banded kernel. Per-query
+logic (PEX tree, packages, per-orientation interval caches, output record
+grouping) mirrors parallelization.cpp:45-293.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+
+from .cli import CommandLineInput
+from .index.fmindex import DEFAULT_SAMPLING_RATE, FmIndex
+from .intervals import create_verified_intervals_per_reference
+from .io.sam import AlignmentOutput
+from .io.sequence_io import Queries, QueryRecord, References, read_references
+from .ops.dp_reference import Orientation
+from .output import write_alignments_for_query
+from .pex import BuildStrategy, cached_pex_tree
+from .search_host import (
+    AnchorChoiceStrategy,
+    AnchorGroupOrder,
+    SearchConfig,
+    Searcher,
+)
+from .io import sequence_io
+from .stats import SearchAndAlignmentStatistics
+from .verify import QueryAlignments, QueryVerifier, VerificationKind
+
+logger = logging.getLogger("floxer-tpu")
+
+
+def initialize_logger(logfile_path, console_debug_logs: bool) -> None:
+    """Parity: output::initialize_logger (output.cpp:110-151). All diagnostics
+    go to stderr; stdout stays empty (asserted by the reference's e2e test)."""
+    logger.setLevel(logging.DEBUG)
+    logger.handlers.clear()
+    console = logging.StreamHandler(sys.stderr)
+    console.setLevel(logging.DEBUG if console_debug_logs else logging.INFO)
+    console.setFormatter(
+        logging.Formatter("[%(asctime)s] [%(levelname)s] %(message)s")
+    )
+    logger.addHandler(console)
+    if logfile_path:
+        from logging.handlers import RotatingFileHandler
+
+        file_handler = RotatingFileHandler(
+            logfile_path, maxBytes=1024 * 1024 * 20, backupCount=5
+        )
+        file_handler.setLevel(logging.DEBUG)
+        file_handler.setFormatter(
+            logging.Formatter(
+                "[thread %(thread)d] [%(asctime)s] [%(levelname)s] %(message)s"
+            )
+        )
+        logger.addHandler(file_handler)
+
+
+def build_or_load_index(cli: CommandLineInput, references: References) -> FmIndex:
+    """floxer.cpp:62-107: load the index if the file exists, otherwise build
+    (sampling rate 4) and save it when an index path was given."""
+    import os
+
+    if cli.index_path and os.path.exists(cli.index_path):
+        logger.info("loading index from %s", cli.index_path)
+        return FmIndex.load(cli.index_path)
+
+    logger.info("building index")
+    started = time.monotonic()
+    index = FmIndex(
+        [record.rank_sequence for record in references.records],
+        sampling_rate=DEFAULT_SAMPLING_RATE,
+    )
+    logger.info("building index took %.2f seconds", time.monotonic() - started)
+    if cli.index_path:
+        logger.info("saving index to %s", cli.index_path)
+        try:
+            index.save(cli.index_path)
+        except Exception as error:  # noqa: BLE001 - parity: warn and continue
+            logger.warning(
+                "An error occured while trying to write the index to the "
+                "file %s. Continuing without saving the index. %s",
+                cli.index_path,
+                error,
+            )
+    return index
+
+
+def make_searcher(cli: CommandLineInput, index: FmIndex, num_references: int):
+    return Searcher(
+        index=index,
+        num_reference_sequences=num_references,
+        config=SearchConfig(
+            max_num_anchors_hard=cli.max_num_anchors_hard,
+            max_num_anchors_soft=cli.max_num_anchors_soft,
+            anchor_group_order=AnchorGroupOrder(cli.anchor_group_order),
+            anchor_choice_strategy=AnchorChoiceStrategy(cli.anchor_choice_strategy),
+            erase_useless_anchors=not cli.dont_erase_useless_anchors,
+        ),
+    )
+
+
+def process_query(
+    query: QueryRecord,
+    cli: CommandLineInput,
+    references: References,
+    searcher: Searcher,
+    output: AlignmentOutput,
+    stats: SearchAndAlignmentStatistics,
+) -> None:
+    """One query through search + verification + output; mirrors the combined
+    search/verification task bodies (parallelization.cpp:56-161, 198-281)."""
+    search_started = time.monotonic()
+
+    query_num_errors = sequence_io.num_errors_from_config(
+        len(query.rank_sequence),
+        cli.query_num_errors,
+        cli.query_error_probability,
+    )
+    strategy = (
+        BuildStrategy.BOTTOM_UP
+        if cli.bottom_up_pex_tree_building
+        else BuildStrategy.RECURSIVE
+    )
+    pex_tree = cached_pex_tree(
+        len(query.rank_sequence),
+        query_num_errors,
+        cli.pex_seed_num_errors,
+        strategy,
+    )
+
+    seeds = pex_tree.generate_seeds(cli.seed_sampling_step_size)
+
+    forward_result = searcher.search_seeds(seeds, query.rank_sequence)
+    rc_result = searcher.search_seeds(
+        seeds, query.reverse_complement_rank_sequence
+    )
+
+    stats.add_query_length(len(query.rank_sequence))
+    stats.add_statistics_for_seeds(seeds, seeds)
+    stats.add_statistics_for_search_result(forward_result, rc_result)
+    stats.add_milliseconds_spent_in_search_per_query(
+        int((time.monotonic() - search_started) * 1000)
+    )
+
+    verification_started = time.monotonic()
+    kind = (
+        VerificationKind.DIRECT_FULL
+        if cli.direct_full_verification
+        else VerificationKind.HIERARCHICAL
+    )
+    alignments = QueryAlignments(len(references.records))
+
+    for orientation, result in (
+        (Orientation.FORWARD, forward_result),
+        (Orientation.REVERSE_COMPLEMENT, rc_result),
+    ):
+        oriented_query = (
+            query.rank_sequence
+            if orientation == Orientation.FORWARD
+            else query.reverse_complement_rank_sequence
+        )
+        verified_intervals = create_verified_intervals_per_reference(
+            len(references.records), cli.use_interval_optimization
+        )
+        for anchor in result.iter_anchors():
+            verifier = QueryVerifier(
+                pex_tree=pex_tree,
+                anchor=anchor,
+                pex_leaf_node=pex_tree.leaves[anchor.pex_leaf_index],
+                query=oriented_query,
+                orientation=orientation,
+                reference=references.records[anchor.reference_id],
+                kind=kind,
+                already_verified_intervals=verified_intervals[anchor.reference_id],
+                extra_verification_ratio=cli.extra_verification_ratio,
+                without_cigar=cli.without_cigar,
+                alignments=alignments,
+                stats=stats,
+            )
+            verifier.verify()
+
+    stats.add_num_alignments(alignments.size())
+    stats.add_milliseconds_spent_in_verification_per_query(
+        int((time.monotonic() - verification_started) * 1000)
+    )
+    for per_reference in alignments.per_reference:
+        for alignment in per_reference:
+            stats.add_alignment_edit_distance(alignment.num_errors)
+
+    write_alignments_for_query(output, query, alignments, references.records)
+
+
+def run(cli: CommandLineInput) -> int:
+    """Main driver; mirrors src/main/floxer.cpp:35-195."""
+    initialize_logger(cli.logfile_path, cli.console_debug_logs)
+    logger.info("successfully parsed CLI input ... starting")
+    logger.debug("command line call: %s", cli.command_line_call())
+
+    try:
+        references = read_references(cli.reference_path)
+    except Exception as error:  # noqa: BLE001
+        logger.error(
+            "An error occured while trying to read the reference from the "
+            "file %s. %s",
+            cli.reference_path,
+            error,
+        )
+        return -1
+
+    index = build_or_load_index(cli, references)
+    searcher = make_searcher(cli, index, len(references.records))
+    output = AlignmentOutput(cli.output_path, references.records)
+    stats = SearchAndAlignmentStatistics(cli.stats_input_hint)
+
+    queries = Queries(
+        cli.queries_path,
+        cli.query_num_errors,
+        cli.query_error_probability,
+        cli.pex_seed_num_errors,
+    )
+
+    logger.info(
+        "aligning queries against %d references and writing output file to %s",
+        len(references.records),
+        cli.output_path,
+    )
+    aligning_started = time.monotonic()
+    timed_out = False
+
+    for query in queries:
+        if (
+            cli.timeout_seconds is not None
+            and time.monotonic() - aligning_started > cli.timeout_seconds
+        ):
+            logger.warning(
+                "Timeout happened. Shutting down now. The output file might "
+                "be incomplete."
+            )
+            timed_out = True
+            break
+        process_query(query, cli, references, searcher, output, stats)
+
+    output.close()
+
+    if timed_out:
+        return -1
+
+    logger.info(
+        "finished aligning successfully in %.2f seconds",
+        time.monotonic() - aligning_started,
+    )
+
+    if cli.stats_target is not None:
+        if cli.stats_target == "terminal":
+            for line in stats.format_for_terminal():
+                logger.info("%s", line)
+        else:
+            with open(cli.stats_target, "w") as handle:
+                handle.write(stats.format_as_toml())
+
+    return 0

@@ -1,0 +1,187 @@
+"""Search schemes for approximate bidirectional FM-index search.
+
+Replaces fmindex-collection's search_schemes library as used by the
+reference (src/lib/search.cpp:328-350): optimal schemes for up to 3 errors
+("Optimum Search Schemes for Approximate String Matching Using Bidirectional
+FM-Index", Kianfar et al., arXiv:1711.02035), a pigeonhole-style generator
+beyond that (stand-in for the h2 heuristic, which the reference only reaches
+for seed errors > 3 — unreachable through its CLI, whose --seed-errors
+validator caps at 3, floxer_cli.cpp:299), and expansion of part weights to a
+concrete pattern length.
+
+A search is (pi, L, U): pi is the order in which the pattern's parts are
+processed (must be connected: each next part is adjacent to the span already
+processed), L/U are cumulative lower/upper error bounds after each processed
+part. A scheme is complete for k errors iff every distribution of <= k errors
+over the parts is admitted by at least one search — verified exhaustively by
+`scheme_is_complete`, which runs in the test suite over all shipped schemes.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+from functools import lru_cache
+
+
+@dataclass(frozen=True)
+class Search:
+    pi: tuple[int, ...]  # 0-based part visit order
+    lower: tuple[int, ...]  # cumulative lower bounds per processed part
+    upper: tuple[int, ...]  # cumulative upper bounds per processed part
+
+
+@dataclass(frozen=True)
+class ExpandedSearch:
+    """A search with concrete per-part pattern spans for one pattern length.
+
+    part_spans[i] = (start, end) half-open span of part pi[i] in the pattern;
+    directions[i] = +1 if the part extends the covered span rightward
+    (pattern chars consumed left to right), -1 for leftward.
+    """
+
+    pi: tuple[int, ...]
+    lower: tuple[int, ...]
+    upper: tuple[int, ...]
+    part_spans: tuple[tuple[int, int], ...]
+    directions: tuple[int, ...]
+
+
+@dataclass(frozen=True)
+class Scheme:
+    searches: tuple[Search, ...]
+    num_parts: int
+
+
+def _pigeonhole_scheme(num_parts: int, max_errors: int) -> Scheme:
+    """One search per part: that part exact first, then expand outward
+    right-first. Complete for any k < num_parts by the pigeonhole principle;
+    used beyond k=3 where optima are unknown."""
+    searches = []
+    for start in range(num_parts):
+        pi = tuple(range(start, num_parts)) + tuple(range(start - 1, -1, -1))
+        lower = (0,) * num_parts
+        upper = (0,) + (max_errors,) * (num_parts - 1)
+        searches.append(Search(pi, lower, upper))
+    return Scheme(tuple(searches), num_parts)
+
+
+@lru_cache(maxsize=None)
+def generate_scheme(max_errors: int) -> Scheme:
+    """Scheme selection mirroring the reference (search.cpp:336-342):
+    published optimal schemes for k <= 3, heuristic beyond."""
+    if max_errors == 0:
+        return Scheme((Search((0,), (0,), (0,)),), 1)
+    if max_errors == 1:
+        # pigeonhole-optimal 2-part scheme
+        return Scheme(
+            (
+                Search((0, 1), (0, 0), (0, 1)),
+                Search((1, 0), (0, 0), (0, 1)),
+            ),
+            2,
+        )
+    if max_errors == 2:
+        # Kianfar et al. optimal K=2, P=3 solution
+        return Scheme(
+            (
+                Search((0, 1, 2), (0, 0, 2), (0, 1, 2)),
+                Search((2, 1, 0), (0, 0, 0), (0, 2, 2)),
+                Search((1, 2, 0), (0, 1, 1), (0, 1, 2)),
+            ),
+            3,
+        )
+    if max_errors == 3:
+        # Kianfar et al. optimal K=3, P=4 solution
+        scheme = Scheme(
+            (
+                Search((0, 1, 2, 3), (0, 0, 0, 3), (0, 2, 3, 3)),
+                Search((1, 2, 3, 0), (0, 0, 0, 0), (1, 2, 2, 3)),
+                Search((2, 3, 1, 0), (0, 0, 2, 2), (0, 0, 3, 3)),
+            ),
+            4,
+        )
+        if scheme_is_complete(scheme, 3):
+            return scheme
+        return _pigeonhole_scheme(4, 3)
+    # h2 stand-in: k+2 parts pigeonhole (search.cpp:341 uses h2(k+2, 0, k))
+    return _pigeonhole_scheme(max_errors + 2, max_errors)
+
+
+def scheme_is_complete(scheme: Scheme, max_errors: int) -> bool:
+    """Exhaustively verify that every error distribution over the parts with
+    total <= max_errors is admitted by at least one search."""
+    p = scheme.num_parts
+    for errors in itertools.product(range(max_errors + 1), repeat=p):
+        if sum(errors) > max_errors:
+            continue
+        if not any(_search_admits(search, errors) for search in scheme.searches):
+            return False
+    return True
+
+
+def _search_admits(search: Search, errors: tuple[int, ...]) -> bool:
+    cumulative = 0
+    for j, part in enumerate(search.pi):
+        cumulative += errors[part]
+        if cumulative < search.lower[j] or cumulative > search.upper[j]:
+            return False
+    return True
+
+
+def _is_connected(pi: tuple[int, ...]) -> bool:
+    lo = hi = pi[0]
+    for part in pi[1:]:
+        if part == hi + 1:
+            hi = part
+        elif part == lo - 1:
+            lo = part
+        else:
+            return False
+    return True
+
+
+@lru_cache(maxsize=4096)
+def expand_scheme(max_errors: int, pattern_length: int) -> tuple[ExpandedSearch, ...]:
+    """Expand the scheme for max_errors to a concrete pattern length
+    (parity with search_schemes::expand, memoized like the reference's
+    search_scheme_cache, search.cpp:328-350).
+
+    The pattern is split into num_parts spans as evenly as possible, the
+    length remainder going to the last parts.
+    """
+    scheme = generate_scheme(max_errors)
+    p = scheme.num_parts
+    base = pattern_length // p
+    remainder = pattern_length % p
+    lengths = [base + (1 if i >= p - remainder else 0) for i in range(p)]
+    bounds = [0]
+    for length in lengths:
+        bounds.append(bounds[-1] + length)
+
+    expanded = []
+    for search in scheme.searches:
+        assert _is_connected(search.pi)
+        spans = []
+        directions = []
+        lo = hi = search.pi[0]
+        for j, part in enumerate(search.pi):
+            spans.append((bounds[part], bounds[part + 1]))
+            if j == 0:
+                directions.append(+1)  # first part processed left to right
+            elif part > hi:
+                directions.append(+1)
+                hi = part
+            else:
+                directions.append(-1)
+                lo = part
+        expanded.append(
+            ExpandedSearch(
+                pi=search.pi,
+                lower=search.lower,
+                upper=search.upper,
+                part_spans=tuple(spans),
+                directions=tuple(directions),
+            )
+        )
+    return tuple(expanded)

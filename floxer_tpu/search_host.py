@@ -1,0 +1,346 @@
+"""Approximate seed search + anchor selection (host reference path).
+
+Parity target: src/lib/search.cpp. Per seed, the FM-index is searched with an
+expanded search scheme, collecting ANCHOR GROUPS (cursor interval + error
+count, search.hpp:127-130). Group post-processing mirrors the reference
+exactly:
+
+  - hard cap: if the raw anchor total exceeds max_num_anchors_hard, the seed
+    is fully excluded (search.cpp:190-202) unless strategy first_reported
+  - group ordering count_first / errors_first / none (search.cpp:204-229)
+  - choice strategies round_robin / full_groups / first_reported with the
+    soft cap (search.cpp:239-302); every chosen cursor row is located
+  - erase_useless_anchors dominance sweep (search.cpp:352-389)
+
+The edit-distance scheme traversal is a DFS with the usual canonicalization
+(substitutions only with a differing symbol, no insertion<->deletion
+adjacency) and final dedup of identical (interval, errors) groups. The device
+path (search_device.py) re-implements this traversal as a masked frontier
+over cursor batches; this module is its oracle.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .index.fmindex import Cursor, FmIndex
+from .pex import Seed
+from .schemes import ExpandedSearch, expand_scheme
+
+# matches the reference's SIZE_MAX marker (search.hpp:132): a marked anchor
+# can never dominate anything
+ERASE_MARKER = 2**62
+
+# symbols usable for substitutions/insertions: real residues only (1..5);
+# rank 0 is the sequence separator and can never be part of a match
+_EDIT_SYMBOLS = (1, 2, 3, 4, 5)
+
+
+class AnchorGroupOrder(enum.Enum):
+    COUNT_FIRST = "count_first"
+    ERRORS_FIRST = "errors_first"
+    NONE = "none"
+
+
+class AnchorChoiceStrategy(enum.Enum):
+    ROUND_ROBIN = "round_robin"
+    FULL_GROUPS = "full_groups"
+    FIRST_REPORTED = "first_reported"
+
+
+@dataclass
+class SearchConfig:
+    max_num_anchors_hard: int = 500
+    max_num_anchors_soft: int = 50
+    anchor_group_order: AnchorGroupOrder = AnchorGroupOrder.COUNT_FIRST
+    anchor_choice_strategy: AnchorChoiceStrategy = AnchorChoiceStrategy.ROUND_ROBIN
+    erase_useless_anchors: bool = True
+
+
+@dataclass
+class Anchor:
+    """A located candidate position (search.hpp:27-38)."""
+
+    pex_leaf_index: int
+    reference_id: int
+    reference_position: int
+    num_errors: int
+
+    def is_better_than(self, other: "Anchor") -> bool:
+        position_difference = abs(self.reference_position - other.reference_position)
+        return (
+            self.num_errors <= other.num_errors
+            and position_difference <= other.num_errors - self.num_errors
+        )
+
+
+@dataclass
+class AnchorGroup:
+    cursor: Cursor
+    num_errors: int
+
+
+@dataclass
+class AnchorsOfSeed:
+    num_kept_useful_anchors: int = 0
+    num_kept_raw_anchors: int = 0
+    num_excluded_raw_anchors_by_soft_cap: int = 0
+    anchors_by_reference: list[list[Anchor]] = field(default_factory=list)
+
+
+@dataclass
+class SearchResult:
+    anchors_by_seed: list[AnchorsOfSeed] = field(default_factory=list)
+    num_fully_excluded_seeds: int = 0
+
+    def iter_anchors(self):
+        """Flattened (seed, reference, anchor) order (search.cpp:78-109)."""
+        for anchors_of_seed in self.anchors_by_seed:
+            for anchors in anchors_of_seed.anchors_by_reference:
+                yield from anchors
+
+
+class _SearchAborted(Exception):
+    pass
+
+
+def _run_scheme_search(
+    index: FmIndex,
+    pattern: np.ndarray,
+    search: ExpandedSearch,
+    report,
+) -> None:
+    """DFS one expanded search over the bidirectional index.
+
+    report(cursor, errors) is called for every completed leaf; raising
+    _SearchAborted stops the whole traversal (search_n's cap semantics).
+    """
+
+    def process_part(cursor: Cursor, part_idx: int, errors: int, last_op: str) -> None:
+        if part_idx == len(search.pi):
+            report(cursor, errors)
+            return
+        start, end = search.part_spans[part_idx]
+        direction = search.directions[part_idx]
+        if direction > 0:
+            first_char = start
+        else:
+            first_char = end - 1
+        step(cursor, part_idx, first_char, errors, last_op)
+
+    def step(
+        cursor: Cursor, part_idx: int, char_pos: int, errors: int, last_op: str
+    ) -> None:
+        start, end = search.part_spans[part_idx]
+        direction = search.directions[part_idx]
+        done = char_pos >= end if direction > 0 else char_pos < start
+
+        if done:
+            # part boundary: enforce the cumulative lower bound
+            if errors < search.lower[part_idx]:
+                return
+            process_part(cursor, part_idx + 1, errors, last_op)
+            return
+
+        upper = search.upper[part_idx]
+        pattern_symbol = int(pattern[char_pos])
+        extend = index.extend_right_all if direction > 0 else index.extend_left_all
+        next_pos = char_pos + direction
+
+        children = extend(cursor)
+
+        # match
+        child = children[pattern_symbol]
+        if not child.empty:
+            step(child, part_idx, next_pos, errors, "M")
+
+        if errors < upper:
+            for symbol in _EDIT_SYMBOLS:
+                if symbol == pattern_symbol:
+                    continue
+                child = children[symbol]
+                if not child.empty:
+                    # substitution
+                    step(child, part_idx, next_pos, errors + 1, "M")
+            # insertion (text symbol consumed, pattern position unchanged)
+            if last_op != "D":
+                for symbol in _EDIT_SYMBOLS:
+                    child = children[symbol]
+                    if not child.empty:
+                        step(child, part_idx, char_pos, errors + 1, "I")
+            # deletion (pattern symbol skipped, no extension)
+            if last_op != "I":
+                step(cursor, part_idx, next_pos, errors + 1, "D")
+
+    process_part(index.root_cursor(), 0, 0, "M")
+
+
+def search_seed_groups(
+    index: FmIndex,
+    pattern: np.ndarray,
+    max_errors: int,
+    max_total_count: int,
+) -> tuple[list[AnchorGroup], int, bool]:
+    """All anchor groups for one seed, deduplicated by (interval, errors)
+    keeping the first-reported order. Returns (groups, total_raw_anchors,
+    aborted) where aborted means the count cap stopped the search early
+    (parity: search_ng21::search_n, search.cpp:173-188)."""
+    groups: list[AnchorGroup] = []
+    seen: dict[tuple[int, int, int], int] = {}
+    total = 0
+    aborted = False
+
+    def report(cursor: Cursor, errors: int) -> None:
+        nonlocal total
+        key = (cursor.lb, cursor.length, errors)
+        if key in seen:
+            return
+        seen[key] = len(groups)
+        groups.append(AnchorGroup(cursor, errors))
+        total += cursor.length
+        if total >= max_total_count:
+            raise _SearchAborted()
+
+    try:
+        for search in expand_scheme(max_errors, len(pattern)):
+            _run_scheme_search(index, pattern, search, report)
+    except _SearchAborted:
+        aborted = True
+    return groups, total, aborted
+
+
+@dataclass
+class Searcher:
+    """Parity: search::searcher (search.hpp:104-112, search.cpp:143-324)."""
+
+    index: FmIndex
+    num_reference_sequences: int
+    config: SearchConfig
+
+    def search_seeds(self, seeds: list[Seed], query: np.ndarray) -> SearchResult:
+        result = SearchResult()
+        config = self.config
+
+        for seed in seeds:
+            pattern = query[seed.query_position : seed.query_position + seed.length]
+
+            if config.anchor_choice_strategy == AnchorChoiceStrategy.FIRST_REPORTED:
+                cap = config.max_num_anchors_soft
+            else:
+                cap = config.max_num_anchors_hard + 1
+
+            groups, total_raw, _ = search_seed_groups(
+                self.index, pattern, seed.num_errors, cap
+            )
+
+            if (
+                total_raw > config.max_num_anchors_hard
+                and config.anchor_choice_strategy != AnchorChoiceStrategy.FIRST_REPORTED
+            ):
+                # seed fully excluded (search.cpp:190-202)
+                result.anchors_by_seed.append(
+                    AnchorsOfSeed(
+                        anchors_by_reference=[
+                            [] for _ in range(self.num_reference_sequences)
+                        ]
+                    )
+                )
+                continue
+
+            if config.anchor_group_order == AnchorGroupOrder.COUNT_FIRST:
+                groups.sort(key=lambda g: (g.cursor.length, g.num_errors))
+            elif config.anchor_group_order == AnchorGroupOrder.ERRORS_FIRST:
+                # the reference's comparator (search.cpp:215-223) compares
+                # counts whenever the error counts differ; reproduced as a
+                # stable sort by count restricted to that predicate's effect
+                groups.sort(key=lambda g: g.cursor.length)
+
+            anchors_by_reference: list[list[Anchor]] = [
+                [] for _ in range(self.num_reference_sequences)
+            ]
+            num_kept_raw = 0
+
+            def emit(group: AnchorGroup, row_offset: int, leaf_index: int) -> None:
+                reference_id, position = self.index.locate(
+                    group.cursor.lb + row_offset
+                )
+                anchors_by_reference[reference_id].append(
+                    Anchor(
+                        pex_leaf_index=leaf_index,
+                        reference_id=reference_id,
+                        reference_position=position,
+                        num_errors=group.num_errors,
+                    )
+                )
+
+            if config.anchor_choice_strategy == AnchorChoiceStrategy.ROUND_ROBIN:
+                # rotate over the remaining groups, one anchor per group per
+                # round (search.cpp:239-272)
+                remaining = list(range(len(groups)))
+                round_no = 0
+                idx = 0
+                while remaining and num_kept_raw != config.max_num_anchors_soft:
+                    group = groups[remaining[idx]]
+                    emit(group, round_no, seed.pex_leaf_index)
+                    num_kept_raw += 1
+                    if group.cursor.length == round_no + 1:
+                        remaining.pop(idx)
+                    else:
+                        idx += 1
+                    if idx >= len(remaining):
+                        idx = 0
+                        round_no += 1
+            else:  # FULL_GROUPS and FIRST_REPORTED (search.cpp:273-299)
+                for group in groups:
+                    if num_kept_raw == config.max_num_anchors_soft:
+                        break
+                    for row in range(group.cursor.length):
+                        emit(group, row, seed.pex_leaf_index)
+                        num_kept_raw += 1
+                        if num_kept_raw == config.max_num_anchors_soft:
+                            break
+
+            num_excluded_soft = total_raw - num_kept_raw
+            num_kept_useful = num_kept_raw
+            if config.erase_useless_anchors:
+                num_kept_useful = erase_useless_anchors(anchors_by_reference)
+
+            result.anchors_by_seed.append(
+                AnchorsOfSeed(
+                    num_kept_useful_anchors=num_kept_useful,
+                    num_kept_raw_anchors=num_kept_raw,
+                    num_excluded_raw_anchors_by_soft_cap=num_excluded_soft,
+                    anchors_by_reference=anchors_by_reference,
+                )
+            )
+
+        return result
+
+
+def erase_useless_anchors(anchors_by_reference: list[list[Anchor]]) -> int:
+    """Dominance sweep over position-sorted anchors (search.cpp:352-389):
+    anchor a dominates b iff a.errors <= b.errors and |a.pos - b.pos| <=
+    b.errors - a.errors. Returns the number of kept anchors; sorts and
+    filters in place."""
+    num_kept_useful = 0
+    for anchors in anchors_by_reference:
+        if not anchors:
+            continue
+        anchors.sort(key=lambda a: a.reference_position)
+        current = 0
+        while current < len(anchors) - 1:
+            other = current + 1
+            while other < len(anchors) and anchors[current].is_better_than(
+                anchors[other]
+            ):
+                anchors[other].num_errors = ERASE_MARKER
+                other += 1
+            if other < len(anchors) and anchors[other].is_better_than(anchors[current]):
+                anchors[current].num_errors = ERASE_MARKER
+            current = other
+        anchors[:] = [a for a in anchors if a.num_errors != ERASE_MARKER]
+        num_kept_useful += len(anchors)
+    return num_kept_useful

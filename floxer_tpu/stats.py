@@ -1,0 +1,279 @@
+"""Search and alignment statistics (histograms + counters).
+
+Parity target: include/statistics.hpp + src/lib/statistics.cpp: one counter
+(completely excluded queries) and 18 named threshold histograms with
+min/mean/max, two hardcoded binning profiles selected by --stats-input-hint
+(real_nanopore default / simulated, statistics.cpp:9-61), TOML or terminal
+output. In the TPU pipeline the per-batch histogram updates are plain numpy
+reductions on host; across hosts the arrays merge with a psum.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+def linear_range(num_steps: int, maximum: int) -> list[int]:
+    """statistics.cpp:461-468."""
+    return [i * maximum // num_steps for i in range(num_steps)]
+
+
+def _configs(input_hint: str) -> dict[str, list[int]]:
+    if input_hint in ("", "real_nanopore"):
+        practical_query_length = linear_range(30, 150_000)
+        practical_anchor = linear_range(30, 30_000)
+        edit_distance = linear_range(30, 3_000)
+        practical_time = linear_range(30, 20_000)
+    elif input_hint == "simulated":
+        practical_query_length = linear_range(30, 10_000)
+        practical_anchor = linear_range(30, 1_000)
+        edit_distance = linear_range(30, 1_000)
+        practical_time = linear_range(30, 3_000)
+    else:
+        raise ValueError("unknown stats input hint")
+    return {
+        "small": linear_range(30, 100),
+        "medium": linear_range(30, 1000),
+        "tiny": [0, 1, 2, 3, 4],
+        "query_length": practical_query_length,
+        "anchor": practical_anchor,
+        "kept_anchor_per_seed": linear_range(30, 200),
+        "edit_distance": edit_distance,
+        "time": practical_time,
+    }
+
+
+@dataclass
+class Histogram:
+    name: str
+    thresholds: list[int]
+    data: list[int] = field(default_factory=list)
+    num_values: int = 0
+    min_value: int = 2**62
+    max_value: int = 0
+    total: int = 0
+
+    def __post_init__(self):
+        if not self.data:
+            self.data = [0] * (len(self.thresholds) + 1)
+
+    def add_value(self, value: int) -> None:
+        self.num_values += 1
+        self.min_value = min(self.min_value, value)
+        self.max_value = max(self.max_value, value)
+        self.total += value
+        for i, threshold in enumerate(self.thresholds):
+            if value <= threshold:
+                self.data[i] += 1
+                return
+        self.data[-1] += 1
+
+    def merge_with(self, other: "Histogram") -> None:
+        assert self.thresholds == other.thresholds
+        self.num_values += other.num_values
+        self.min_value = min(self.min_value, other.min_value)
+        self.max_value = max(self.max_value, other.max_value)
+        self.total += other.total
+        for i in range(len(self.data)):
+            self.data[i] += other.data[i]
+
+    def format_for_terminal(self) -> str:
+        basic = (
+            f"\nmin = {self.min_value}, mean = {self.total / self.num_values:.2f},"
+            f" max = {self.max_value}"
+            if self.num_values > 0
+            else ""
+        )
+        thresholds = "\t".join(str(t) for t in self.thresholds)
+        occurrences = "\t".join(str(d) for d in self.data)
+        return (
+            f"histogram for {self.name} (total: {self.num_values})\n"
+            f"threshold:\t{thresholds}\tinf\n"
+            f"occurrences:\t{occurrences}"
+            f"{basic}"
+        )
+
+    def format_as_toml(self) -> str:
+        name = self.name.replace(" ", "_")
+        out = (
+            f"[{name}]\n"
+            f"num_values = {self.num_values}\n"
+            f"thresholds = [{', '.join(str(t) for t in self.thresholds)}]\n"
+            f"occurrences = [{', '.join(str(d) for d in self.data)}]\n"
+        )
+        if self.num_values > 0:
+            out += (
+                f"min_value = {self.min_value}\n"
+                f"mean = {self.total / self.num_values:.2f}\n"
+                f"max_value = {self.max_value}\n"
+            )
+        return out
+
+
+_HISTOGRAM_LAYOUT = [
+    # (name, config key) in the reference's declaration order
+    # (statistics.cpp:220-245)
+    ("query lengths", "query_length"),
+    ("seed lengths", "small"),
+    ("errors per seed", "tiny"),
+    ("seeds per query", "medium"),
+    ("fully excluded seeds per query", "medium"),
+    ("kept anchors per query", "anchor"),
+    ("excluded raw anchors by soft cap per query", "anchor"),
+    ("excluded raw anchors by erase useless per query", "anchor"),
+    ("kept anchors per kept seed", "kept_anchor_per_seed"),
+    ("excluded raw anchors by soft cap per kept seed", "kept_anchor_per_seed"),
+    ("excluded raw anchors by erase useless per kept seed", "kept_anchor_per_seed"),
+    ("reference span sizes aligned inner nodes", "query_length"),
+    ("reference span sizes aligned root", "query_length"),
+    ("reference span sizes avoided root", "query_length"),
+    ("alignments per query", "small"),
+    ("alignments edit distance", "edit_distance"),
+    ("milliseconds spent in search per query", "time"),
+    ("milliseconds spent in verification per query", "time"),
+]
+
+_NUM_COMPLETELY_EXCLUDED_QUERIES = "completely excluded queries"
+
+
+class SearchAndAlignmentStatistics:
+    def __init__(self, input_hint: str = ""):
+        configs = _configs(input_hint)
+        self.counts: dict[str, int] = {_NUM_COMPLETELY_EXCLUDED_QUERIES: 0}
+        self.histograms: dict[str, Histogram] = {
+            name: Histogram(name, configs[key]) for name, key in _HISTOGRAM_LAYOUT
+        }
+
+    # -- counters / single-value adders ---------------------------------
+    def increment_num_completely_excluded_queries(self):
+        self.counts[_NUM_COMPLETELY_EXCLUDED_QUERIES] += 1
+
+    def _add(self, name, value):
+        self.histograms[name].add_value(value)
+
+    def add_query_length(self, v):
+        self._add("query lengths", v)
+
+    def add_seed_length(self, v):
+        self._add("seed lengths", v)
+
+    def add_num_errors_per_seed(self, v):
+        self._add("errors per seed", v)
+
+    def add_num_seeds_per_query(self, v):
+        self._add("seeds per query", v)
+
+    def add_num_fully_excluded_seeds_per_query(self, v):
+        self._add("fully excluded seeds per query", v)
+
+    def add_num_kept_anchors_per_query(self, v):
+        self._add("kept anchors per query", v)
+
+    def add_num_excluded_raw_anchors_by_soft_cap_per_query(self, v):
+        self._add("excluded raw anchors by soft cap per query", v)
+
+    def add_num_excluded_raw_anchors_by_erase_useless_per_query(self, v):
+        self._add("excluded raw anchors by erase useless per query", v)
+
+    def add_num_kept_anchors_per_kept_seed(self, v):
+        self._add("kept anchors per kept seed", v)
+
+    def add_num_excluded_raw_anchors_by_soft_cap_per_kept_seed(self, v):
+        self._add("excluded raw anchors by soft cap per kept seed", v)
+
+    def add_num_excluded_raw_anchors_by_erase_useless_per_kept_seed(self, v):
+        self._add("excluded raw anchors by erase useless per kept seed", v)
+
+    def add_reference_span_size_aligned_inner_node(self, v):
+        self._add("reference span sizes aligned inner nodes", v)
+
+    def add_reference_span_size_aligned_root(self, v):
+        self._add("reference span sizes aligned root", v)
+
+    def add_reference_span_size_avoided_root(self, v):
+        self._add("reference span sizes avoided root", v)
+
+    def add_num_alignments(self, v):
+        self._add("alignments per query", v)
+
+    def add_alignment_edit_distance(self, v):
+        self._add("alignments edit distance", v)
+
+    def add_milliseconds_spent_in_search_per_query(self, v):
+        self._add("milliseconds spent in search per query", v)
+
+    def add_milliseconds_spent_in_verification_per_query(self, v):
+        self._add("milliseconds spent in verification per query", v)
+
+    # -- aggregate adders (statistics.cpp:279-294, 353-413) --------------
+    def add_statistics_for_seeds(self, forward_seeds, reverse_complement_seeds):
+        self.add_num_seeds_per_query(
+            len(forward_seeds) + len(reverse_complement_seeds)
+        )
+        for seed in list(forward_seeds) + list(reverse_complement_seeds):
+            self.add_num_errors_per_seed(seed.num_errors)
+            self.add_seed_length(seed.length)
+
+    def add_statistics_for_search_result(self, forward_result, rc_result):
+        num_fully_excluded = 0
+        num_kept = 0
+        num_excluded_soft = 0
+        num_excluded_useless = 0
+        all_excluded = True
+        for result in (forward_result, rc_result):
+            for anchors_of_seed in result.anchors_by_seed:
+                if anchors_of_seed.num_kept_useful_anchors == 0:
+                    num_fully_excluded += 1
+                else:
+                    all_excluded = False
+                    num_kept += anchors_of_seed.num_kept_useful_anchors
+                    self.add_num_kept_anchors_per_kept_seed(
+                        anchors_of_seed.num_kept_useful_anchors
+                    )
+                    num_excluded_soft += (
+                        anchors_of_seed.num_excluded_raw_anchors_by_soft_cap
+                    )
+                    self.add_num_excluded_raw_anchors_by_soft_cap_per_kept_seed(
+                        anchors_of_seed.num_excluded_raw_anchors_by_soft_cap
+                    )
+                    excluded_useless = (
+                        anchors_of_seed.num_kept_raw_anchors
+                        - anchors_of_seed.num_kept_useful_anchors
+                    )
+                    num_excluded_useless += excluded_useless
+                    self.add_num_excluded_raw_anchors_by_erase_useless_per_kept_seed(
+                        excluded_useless
+                    )
+        self.add_num_fully_excluded_seeds_per_query(num_fully_excluded)
+        self.add_num_kept_anchors_per_query(num_kept)
+        self.add_num_excluded_raw_anchors_by_soft_cap_per_query(num_excluded_soft)
+        self.add_num_excluded_raw_anchors_by_erase_useless_per_query(
+            num_excluded_useless
+        )
+        if all_excluded:
+            self.increment_num_completely_excluded_queries()
+
+    # -- output ----------------------------------------------------------
+    def num_queries(self) -> int:
+        return self.histograms["query lengths"].num_values
+
+    def format_for_terminal(self) -> list[str]:
+        lines = [
+            f"number of {name}: {value}" for name, value in self.counts.items()
+        ]
+        lines.extend(h.format_for_terminal() for h in self.histograms.values())
+        return lines
+
+    def format_as_toml(self) -> str:
+        out = "".join(
+            f"{name.replace(' ', '_')} = {value}\n"
+            for name, value in self.counts.items()
+        )
+        out += "".join(h.format_as_toml() for h in self.histograms.values())
+        return out
+
+    def merge_other_into_this(self, other: "SearchAndAlignmentStatistics") -> None:
+        for name in self.counts:
+            self.counts[name] += other.counts[name]
+        for name in self.histograms:
+            self.histograms[name].merge_with(other.histograms[name])

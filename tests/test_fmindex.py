@@ -1,0 +1,173 @@
+"""FM-index construction, cursors and locate against naive oracles."""
+
+import numpy as np
+import pytest
+
+from floxer_tpu.index.fmindex import FmIndex, suffix_array
+from floxer_tpu.search_host import search_seed_groups
+
+
+def naive_suffix_array(text):
+    n = len(text)
+    suffixes = sorted(range(n), key=lambda i: tuple(text[i:]))
+    return np.array(suffixes, dtype=np.int64)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_suffix_array_matches_naive(seed):
+    rng = np.random.default_rng(seed)
+    text = rng.integers(0, 6, size=200).astype(np.uint8)
+    # make all suffixes distinct like the real concatenated text
+    text[-1] = 0
+    assert suffix_array(text).tolist() == naive_suffix_array(text).tolist()
+
+
+def _count_occurrences(haystacks, needle):
+    count = 0
+    positions = []
+    for seq_id, hay in enumerate(haystacks):
+        hay = list(hay)
+        for i in range(len(hay) - len(needle) + 1):
+            if hay[i : i + len(needle)] == list(needle):
+                count += 1
+                positions.append((seq_id, i))
+    return count, positions
+
+
+def test_exact_search_and_locate():
+    rng = np.random.default_rng(7)
+    sequences = [
+        rng.integers(1, 5, size=300).astype(np.uint8),
+        rng.integers(1, 5, size=150).astype(np.uint8),
+    ]
+    index = FmIndex(sequences)
+
+    for length in (4, 6, 9):
+        for trial in range(20):
+            seq = sequences[trial % 2]
+            start = int(rng.integers(0, len(seq) - length))
+            pattern = seq[start : start + length]
+            _, expected_positions = _count_occurrences(sequences, pattern)
+
+            cursor = index.root_cursor()
+            for symbol in reversed(pattern):
+                cursor = index.extend_left(cursor, int(symbol))
+            assert cursor.length == len(expected_positions)
+
+            located = sorted(
+                index.locate(cursor.lb + i) for i in range(cursor.length)
+            )
+            assert located == sorted(expected_positions)
+
+
+def test_extend_right_matches_extend_left():
+    rng = np.random.default_rng(3)
+    sequences = [rng.integers(1, 5, size=400).astype(np.uint8)]
+    index = FmIndex(sequences)
+
+    pattern = sequences[0][37:45]
+    left = index.root_cursor()
+    for symbol in reversed(pattern):
+        left = index.extend_left(left, int(symbol))
+    right = index.root_cursor()
+    for symbol in pattern:
+        right = index.extend_right(right, int(symbol))
+    # both directions must find the same interval of the forward index
+    assert (left.lb, left.length) == (right.lb, right.length)
+
+
+def test_bidirectional_mixed_extension():
+    rng = np.random.default_rng(11)
+    sequences = [rng.integers(1, 5, size=500).astype(np.uint8)]
+    index = FmIndex(sequences)
+    seq = sequences[0]
+
+    # grow a pattern outward from the middle, alternating directions
+    mid = 200
+    cursor = index.root_cursor()
+    cursor = index.extend_right(cursor, int(seq[mid]))
+    left_pos, right_pos = mid, mid + 1
+    for step in range(8):
+        if step % 2 == 0:
+            cursor = index.extend_right(cursor, int(seq[right_pos]))
+            right_pos += 1
+        else:
+            left_pos -= 1
+            cursor = index.extend_left(cursor, int(seq[left_pos]))
+    pattern = seq[left_pos:right_pos]
+    _, expected = _count_occurrences(sequences, pattern)
+    assert cursor.length == len(expected)
+    located = sorted(index.locate(cursor.lb + i) for i in range(cursor.length))
+    assert located == sorted(expected)
+
+
+def _edit_distance(a, b):
+    m, n = len(a), len(b)
+    dp = np.zeros((m + 1, n + 1), dtype=np.int32)
+    dp[:, 0] = np.arange(m + 1)
+    dp[0, :] = np.arange(n + 1)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            dp[i, j] = min(
+                dp[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                dp[i - 1, j] + 1,
+                dp[i, j - 1] + 1,
+            )
+    return int(dp[m, n])
+
+
+def _approximate_match_starts(haystack, needle, k):
+    """All positions p such that some substring starting at p is within
+    edit distance k of the needle."""
+    hay = list(haystack)
+    starts = set()
+    for p in range(len(hay)):
+        for length in range(
+            max(0, len(needle) - k), min(len(needle) + k, len(hay) - p) + 1
+        ):
+            if _edit_distance(list(needle), hay[p : p + length]) <= k:
+                starts.add(p)
+                break
+    return starts
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_scheme_search_exactness(k):
+    """Every location matching within k errors must be discoverable from the
+    reported anchor groups — the reference's central exactness property
+    (README.md:10)."""
+    rng = np.random.default_rng(23 + k)
+    sequences = [rng.integers(1, 5, size=400).astype(np.uint8)]
+    index = FmIndex(sequences)
+    seq = sequences[0]
+
+    for trial in range(10):
+        start = int(rng.integers(0, 380))
+        pattern = seq[start : start + 12].copy()
+        # plant k edits
+        for _ in range(k):
+            pos = int(rng.integers(0, len(pattern)))
+            pattern[pos] = 1 + (pattern[pos] - 1 + 1) % 4
+
+        groups, _, aborted = search_seed_groups(index, pattern, k, 10_000)
+        assert not aborted
+
+        located_starts = set()
+        for group in groups:
+            for i in range(group.cursor.length):
+                _, pos = index.locate(group.cursor.lb + i)
+                located_starts.add(pos)
+
+        expected = _approximate_match_starts(seq, pattern, k)
+        # completeness modulo the edit budget: every true match location has a
+        # reported anchor within k positions (boundary indels shift the
+        # canonical start; PEX verification windows absorb the shift, and
+        # erase_useless_anchors removes exactly such near-duplicates)
+        for e in expected:
+            assert any(abs(p - e) <= k for p in located_starts), (
+                f"no anchor near expected match start {e}"
+            )
+        for p in located_starts:
+            assert any(abs(p - e) <= k for e in expected), (
+                f"spurious anchor at {p}"
+            )
