@@ -3,18 +3,25 @@
 Multi-chip sharding tests use XLA's forced host platform device count, as the
 reference never needed (SURVEY.md section 4) — real TPUs are not required for
 the test suite.
+
+Note: this environment pre-imports jax at interpreter startup with
+JAX_PLATFORMS=axon (the TPU tunnel), so env vars are too late — the backend
+must be forced through jax.config before any device is touched. XLA_FLAGS is
+still read at backend-initialization time, so setting it here works.
 """
 
 import os
+import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import pathlib
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
