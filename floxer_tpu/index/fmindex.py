@@ -34,6 +34,17 @@ DEFAULT_SAMPLING_RATE = 4
 
 
 def suffix_array(text: np.ndarray) -> np.ndarray:
+    """Suffix array: native SA-IS (O(n), floxer_tpu/native/sais.cpp) with a
+    numpy prefix-doubling fallback."""
+    from ..native import native_suffix_array
+
+    native = native_suffix_array(np.asarray(text, dtype=np.uint8))
+    if native is not None:
+        return native
+    return _suffix_array_doubling(text)
+
+
+def _suffix_array_doubling(text: np.ndarray) -> np.ndarray:
     """Suffix array by prefix doubling (Manber-Myers, numpy-vectorized).
 
     Ranks are compared as (rank[i], rank[i+k]) pairs, doubling k. Ties break
