@@ -63,6 +63,10 @@ class CommandLineInput:
     stats_target: Optional[str] = None
     stats_input_hint: str = ""
 
+    # TPU-native extensions (no reference counterpart)
+    engine: str = "reference"  # reference | batched | device
+    batch_size: int = 128
+
     def command_line_call(self) -> str:
         """Sanitized canonical echo for logs (floxer_cli.cpp:134-171)."""
 
@@ -343,6 +347,21 @@ def build_parser(advanced: bool = False) -> argparse.ArgumentParser:
         "-H", "--stats-input-hint", dest="stats_input_hint", default="",
         choices=("",) + STATS_INPUT_HINTS,
         **adv(help="Hint for the stats histogram binning."),
+    )
+    parser.add_argument(
+        "--engine", dest="engine", default="reference",
+        choices=("reference", "batched", "device"),
+        **adv(help="Verification execution engine: 'reference' runs the "
+              "sequential host path, 'batched' the level-synchronous batch "
+              "engine on host, 'device' the batch engine with the Myers "
+              "kernels on the JAX backend (TPU). All three produce "
+              "identical output."),
+    )
+    parser.add_argument(
+        "--batch-size", dest="batch_size", default=128,
+        type=_ranged_int(1, 1 << 20),
+        **adv(help="Queries per verification batch for the batched/device "
+              "engines."),
     )
     return parser
 

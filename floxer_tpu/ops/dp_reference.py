@@ -129,6 +129,84 @@ def _traceback(
     return j, cigar
 
 
+def banded_cigar_traceback(
+    reference: np.ndarray,
+    query: np.ndarray,
+    end_col: int,
+    distance: int,
+) -> tuple[int, list[tuple[int, str]]]:
+    """Reconstruct (begin, cigar) from a device-reported (end_col, distance).
+
+    Recomputes only the band |j - i - (end_col - m)| <= distance around the
+    optimal path's diagonal — every optimal path into (m, end_col) stays
+    inside it, and band-edge inflation cannot flip the tie-preference (an
+    inflated neighbor can never satisfy the traceback equality, since
+    adjacent true DP values differ by at most 1). Produces byte-identical
+    CIGARs to the full-matrix _traceback.
+    """
+    reference = np.asarray(reference, dtype=np.uint8)
+    query = np.asarray(query, dtype=np.uint8)
+    m = query.shape[0]
+    center = end_col - m  # the path's anchor diagonal
+    half = max(distance, 0)
+    width = 2 * half + 1
+    big = np.int32(1 << 20)
+
+    # dp_band[i, d] = dp[i, i + center - half + d]
+    dp_band = np.full((m + 1, width), big, dtype=np.int32)
+    cols0 = center - half + np.arange(width)
+    valid0 = (cols0 >= 0) & (cols0 <= reference.shape[0])
+    dp_band[0, valid0] = 0  # free leading reference gaps
+    for i in range(1, m + 1):
+        cols = i + center - half + np.arange(width)
+        valid = (cols >= 0) & (cols <= reference.shape[0])
+        # diagonal predecessor: dp[i-1][j-1] = band[i-1, d]
+        ref_chars = reference[np.clip(cols - 1, 0, reference.shape[0] - 1)]
+        sub = (ref_chars != query[i - 1]).astype(np.int32)
+        diag = np.where(cols >= 1, dp_band[i - 1] + sub, big)
+        # vertical predecessor: dp[i-1][j] = band[i-1, d+1]
+        up = np.concatenate([dp_band[i - 1, 1:], [big]]) + 1
+        best = np.minimum(diag, up)
+        # horizontal: dp[i][j-1] = band[i, d-1] (prefix scan within the row)
+        row = np.minimum.accumulate(
+            np.where(valid, best, big) - np.arange(width)
+        ) + np.arange(width)
+        dp_band[i] = np.where(valid, np.minimum(best, row), big)
+
+    def cell(i, j):
+        d = j - (i + center - half)
+        if 0 <= d < width:
+            return int(dp_band[i, d])
+        return int(big)
+
+    i, j = m, end_col
+    assert cell(i, j) == distance, (cell(i, j), distance)
+    ops: list[str] = []
+    while i > 0:
+        here = cell(i, j)
+        if here == cell(i - 1, j) + 1:
+            ops.append("I")
+            i -= 1
+        elif j > 0 and here == cell(i - 1, j - 1) + (
+            1 if reference[j - 1] != query[i - 1] else 0
+        ):
+            ops.append("=" if reference[j - 1] == query[i - 1] else "X")
+            i -= 1
+            j -= 1
+        else:
+            assert j > 0 and here == cell(i, j - 1) + 1
+            ops.append("D")
+            j -= 1
+    ops.reverse()
+    cigar: list[tuple[int, str]] = []
+    for op in ops:
+        if cigar and cigar[-1][1] == op:
+            cigar[-1] = (cigar[-1][0] + 1, op)
+        else:
+            cigar.append((1, op))
+    return j, cigar
+
+
 def align_semi_global(
     reference: np.ndarray,
     query: np.ndarray,

@@ -106,16 +106,14 @@ def make_searcher(cli: CommandLineInput, index: FmIndex, num_references: int):
     )
 
 
-def process_query(
+def search_query(
     query: QueryRecord,
     cli: CommandLineInput,
-    references: References,
     searcher: Searcher,
-    output: AlignmentOutput,
     stats: SearchAndAlignmentStatistics,
-) -> None:
-    """One query through search + verification + output; mirrors the combined
-    search/verification task bodies (parallelization.cpp:56-161, 198-281)."""
+):
+    """Search stage for one query: PEX tree, seeds, fwd+rc FM search, stats
+    (parallelization.cpp:91-116)."""
     search_started = time.monotonic()
 
     query_num_errors = sequence_io.num_errors_from_config(
@@ -147,6 +145,22 @@ def process_query(
     stats.add_statistics_for_search_result(forward_result, rc_result)
     stats.add_milliseconds_spent_in_search_per_query(
         int((time.monotonic() - search_started) * 1000)
+    )
+    return pex_tree, forward_result, rc_result
+
+
+def process_query(
+    query: QueryRecord,
+    cli: CommandLineInput,
+    references: References,
+    searcher: Searcher,
+    output: AlignmentOutput,
+    stats: SearchAndAlignmentStatistics,
+) -> None:
+    """One query through search + verification + output; mirrors the combined
+    search/verification task bodies (parallelization.cpp:56-161, 198-281)."""
+    pex_tree, forward_result, rc_result = search_query(
+        query, cli, searcher, stats
     )
 
     verification_started = time.monotonic()
@@ -197,8 +211,80 @@ def process_query(
     write_alignments_for_query(output, query, alignments, references.records)
 
 
+def process_query_chunk(
+    chunk: list[QueryRecord],
+    cli: CommandLineInput,
+    references: References,
+    searcher: Searcher,
+    output: AlignmentOutput,
+    stats: SearchAndAlignmentStatistics,
+) -> None:
+    """Batched pipeline stage: host search per query, then ONE
+    level-synchronous device verification pass over the whole chunk
+    (verify_batch.BatchVerifier), then in-order output."""
+    from .verify_batch import BatchVerifier, _QueryItem
+
+    items = []
+    for query in chunk:
+        pex_tree, forward_result, rc_result = search_query(
+            query, cli, searcher, stats
+        )
+        items.append(_QueryItem(query, pex_tree, forward_result, rc_result))
+
+    verification_started = time.monotonic()
+    verifier = BatchVerifier(
+        references.records,
+        kind=(
+            VerificationKind.DIRECT_FULL
+            if cli.direct_full_verification
+            else VerificationKind.HIERARCHICAL
+        ),
+        extra_verification_ratio=cli.extra_verification_ratio,
+        without_cigar=cli.without_cigar,
+        use_interval_optimization=cli.use_interval_optimization,
+        use_device=cli.engine == "device",
+    )
+    all_alignments = verifier.process(items)
+    verification_ms = int((time.monotonic() - verification_started) * 1000)
+
+    for kind, value in verifier.last_stats_events:
+        if kind == "aligned_root":
+            stats.add_reference_span_size_aligned_root(value)
+        elif kind == "aligned_inner":
+            stats.add_reference_span_size_aligned_inner_node(value)
+        elif kind == "avoided_root":
+            stats.add_reference_span_size_avoided_root(value)
+
+    per_query_ms = verification_ms // max(len(chunk), 1)
+    for query, alignments in zip(chunk, all_alignments):
+        stats.add_num_alignments(alignments.size())
+        stats.add_milliseconds_spent_in_verification_per_query(per_query_ms)
+        for per_reference in alignments.per_reference:
+            for alignment in per_reference:
+                stats.add_alignment_edit_distance(alignment.num_errors)
+        write_alignments_for_query(output, query, alignments, references.records)
+
+
+def _apply_platform_override() -> None:
+    """Honor FLOXER_TPU_PLATFORM=cpu|tpu|axon before any JAX backend use.
+
+    This environment pre-imports jax at interpreter startup pinned to the
+    TPU tunnel, so the env var JAX_PLATFORMS alone is too late; the config
+    update below still works as long as no device has been touched.
+    """
+    import os
+
+    platform = os.environ.get("FLOXER_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def run(cli: CommandLineInput) -> int:
     """Main driver; mirrors src/main/floxer.cpp:35-195."""
+    if cli.engine == "device":
+        _apply_platform_override()
     initialize_logger(cli.logfile_path, cli.console_debug_logs)
     logger.info("successfully parsed CLI input ... starting")
     logger.debug("command line call: %s", cli.command_line_call())
@@ -234,18 +320,37 @@ def run(cli: CommandLineInput) -> int:
     aligning_started = time.monotonic()
     timed_out = False
 
-    for query in queries:
-        if (
+    def hit_timeout() -> bool:
+        return (
             cli.timeout_seconds is not None
             and time.monotonic() - aligning_started > cli.timeout_seconds
-        ):
-            logger.warning(
-                "Timeout happened. Shutting down now. The output file might "
-                "be incomplete."
-            )
-            timed_out = True
-            break
-        process_query(query, cli, references, searcher, output, stats)
+        )
+
+    if cli.engine == "reference":
+        for query in queries:
+            if hit_timeout():
+                timed_out = True
+                break
+            process_query(query, cli, references, searcher, output, stats)
+    else:
+        while not timed_out:
+            chunk = []
+            for query in queries:
+                chunk.append(query)
+                if len(chunk) >= cli.batch_size:
+                    break
+            if not chunk:
+                break
+            if hit_timeout():
+                timed_out = True
+                break
+            process_query_chunk(chunk, cli, references, searcher, output, stats)
+
+    if timed_out:
+        logger.warning(
+            "Timeout happened. Shutting down now. The output file might "
+            "be incomplete."
+        )
 
     output.close()
 

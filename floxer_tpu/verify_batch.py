@@ -1,0 +1,389 @@
+"""Batched PEX verification: level-synchronous device execution with
+sequential bookkeeping.
+
+Replaces the per-anchor thread-pool verification (parallelization.cpp:193-293)
+with the TPU-native two-phase scheme:
+
+  PHASE A (batched compute): every anchor's hierarchical walk is unrolled
+  level-synchronously — all inner-node (node query, reference window) pairs
+  of one level across the whole read batch run as ONE padded Myers-kernel
+  call (ops/myers); survivors advance to their parent level; root tasks get
+  score + end column (forward for CIGAR mode, reversed for the
+  begin-from-reversed-end trick, alignment.cpp:115-145) and accepted roots
+  get a host banded traceback. Duplicate (window, node) tasks — shifted
+  anchors verifying the same span — are deduplicated before kernel launch,
+  the batch-level counterpart of the reference's verified_intervals.
+
+  PHASE B (sequential bookkeeping): anchors replay IN ORDER against the
+  per-(reference, orientation) interval caches, reproducing the reference's
+  single-thread semantics byte-for-byte: cache-skip before the walk
+  (verification.cpp:119-136), span-size statistics only for levels actually
+  walked, root interval insertion after every root alignment attempt
+  (verification.cpp:106-109), alignment recording for accepted roots.
+
+Output equality with verify.QueryVerifier is asserted by the test suite on
+randomized workloads.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .intervals import VerifiedIntervals
+from .ops import dp_reference
+from .ops.dp_reference import Orientation, QueryAlignment
+from .ops.myers import myers_distance
+from .pex import PexNode, PexTree
+from .search_host import Anchor, SearchResult
+from .verify import (
+    QueryAlignments,
+    SpanConfig,
+    VerificationKind,
+    compute_reference_span,
+)
+
+# verification work items below this batch size skip the device and use the
+# numpy oracle directly (jit dispatch isn't worth it)
+MIN_DEVICE_BATCH = 8
+
+
+@dataclass
+class _WalkLevel:
+    span: SpanConfig
+    node: PexNode
+    exists: bool = False
+    # root-only results
+    distance: int = -1
+    begin: int = -1
+    cigar: list = field(default_factory=list)
+
+
+@dataclass
+class _AnchorWalk:
+    query_index: int
+    orientation: Orientation
+    anchor: Anchor
+    chain: list[PexNode]
+    root_span: SpanConfig
+    levels: list[_WalkLevel] = field(default_factory=list)
+
+
+@dataclass
+class _QueryItem:
+    query_record: object  # io.sequence_io.QueryRecord
+    pex_tree: PexTree
+    forward_result: SearchResult
+    rc_result: SearchResult
+
+
+class _TaskBatcher:
+    """Collects unique (pattern, window) pairs and runs them in one padded
+    batched Myers call; duplicates share one slot."""
+
+    def __init__(self, use_device: bool):
+        self.use_device = use_device
+        self.keys: dict = {}
+        self.patterns: list[np.ndarray] = []
+        self.windows: list[np.ndarray] = []
+        self.owners: list[list[int]] = []
+
+    def add(self, key, pattern: np.ndarray, window: np.ndarray, owner: int):
+        slot = self.keys.get(key)
+        if slot is None:
+            slot = len(self.patterns)
+            self.keys[key] = slot
+            self.patterns.append(pattern)
+            self.windows.append(window)
+            self.owners.append([])
+        self.owners[slot].append(owner)
+        return slot
+
+    def run(self) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (distances, end_cols) per unique slot."""
+        count = len(self.patterns)
+        if count == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        if not self.use_device or count < MIN_DEVICE_BATCH:
+            distances = np.zeros(count, dtype=np.int64)
+            ends = np.zeros(count, dtype=np.int64)
+            for i, (pattern, window) in enumerate(
+                zip(self.patterns, self.windows)
+            ):
+                dp = dp_reference.semi_global_dp_matrix(window, pattern)
+                last = dp[-1]
+                end = dp_reference._rightmost_argmin(last)
+                distances[i] = last[end]
+                ends[i] = end
+            return distances, ends
+
+        from .ops.device_dp import pad_batch
+
+        pat, plen = pad_batch(self.patterns)
+        txt, tlen = pad_batch(self.windows)
+        distances, ends = myers_distance(pat, plen, txt, tlen)
+        return np.asarray(distances), np.asarray(ends)
+
+
+class BatchVerifier:
+    def __init__(
+        self,
+        references,
+        kind: VerificationKind,
+        extra_verification_ratio: float,
+        without_cigar: bool,
+        use_interval_optimization: bool,
+        use_device: bool = True,
+    ):
+        self.references = references
+        self.kind = kind
+        self.extra_verification_ratio = extra_verification_ratio
+        self.without_cigar = without_cigar
+        self.use_interval_optimization = use_interval_optimization
+        self.use_device = use_device
+
+    # ------------------------------------------------------------------
+
+    def _chain_for(self, tree: PexTree, leaf: PexNode) -> list[PexNode]:
+        """Nodes visited by the hierarchical walk (leaf's parent ... root),
+        or [leaf] when the tree is a single root, or [root] for direct_full."""
+        if self.kind == VerificationKind.DIRECT_FULL:
+            return [tree.root]
+        if leaf.is_root:
+            return [leaf]
+        chain = []
+        node = tree.parent_of(leaf)
+        while True:
+            chain.append(node)
+            if node.is_root:
+                return chain
+            node = tree.parent_of(node)
+
+    def process(self, items: list[_QueryItem]) -> list[QueryAlignments]:
+        walks = self._build_walks(items)
+        self._compute_walks(walks, items)
+        return self._bookkeeping(walks, items)
+
+    # ---------------- phase A ----------------
+
+    def _build_walks(self, items: list[_QueryItem]) -> list[_AnchorWalk]:
+        walks = []
+        for query_index, item in enumerate(items):
+            for orientation, result in (
+                (Orientation.FORWARD, item.forward_result),
+                (Orientation.REVERSE_COMPLEMENT, item.rc_result),
+            ):
+                for anchor in result.iter_anchors():
+                    leaf = item.pex_tree.leaves[anchor.pex_leaf_index]
+                    chain = self._chain_for(item.pex_tree, leaf)
+                    reference = self.references[anchor.reference_id]
+                    root_span = compute_reference_span(
+                        anchor,
+                        item.pex_tree.root,
+                        leaf.query_index_from,
+                        len(reference.rank_sequence),
+                        self.extra_verification_ratio,
+                    )
+                    walk = _AnchorWalk(
+                        query_index, orientation, anchor, chain, root_span
+                    )
+                    for node in chain:
+                        span = (
+                            root_span
+                            if node.is_root
+                            else compute_reference_span(
+                                anchor,
+                                node,
+                                leaf.query_index_from,
+                                len(reference.rank_sequence),
+                                0.0,
+                            )
+                        )
+                        walk.levels.append(_WalkLevel(span, node))
+                    walks.append(walk)
+        return walks
+
+    def _oriented_query(self, item: _QueryItem, orientation: Orientation):
+        return (
+            item.query_record.rank_sequence
+            if orientation == Orientation.FORWARD
+            else item.query_record.reverse_complement_rank_sequence
+        )
+
+    def _compute_walks(self, walks: list[_AnchorWalk], items: list[_QueryItem]):
+        max_depth = max((len(w.levels) for w in walks), default=0)
+        active = list(range(len(walks)))
+
+        for depth in range(max_depth):
+            batcher = _TaskBatcher(self.use_device)
+            slot_of_walk = {}
+            for walk_id in active:
+                walk = walks[walk_id]
+                if depth >= len(walk.levels):
+                    continue
+                level = walk.levels[depth]
+                item = items[walk.query_index]
+                query = self._oriented_query(item, walk.orientation)
+                reference = self.references[walk.anchor.reference_id]
+                pattern = query[
+                    level.node.query_index_from : level.node.query_index_to + 1
+                ]
+                window = reference.rank_sequence[
+                    level.span.offset : level.span.offset + level.span.length
+                ]
+                key = (
+                    walk.query_index,
+                    walk.orientation,
+                    walk.anchor.reference_id,
+                    level.node.query_index_from,
+                    level.node.query_index_to,
+                    level.span.offset,
+                    level.span.length,
+                )
+                slot_of_walk[walk_id] = batcher.add(key, pattern, window, walk_id)
+
+            distances, ends = batcher.run()
+
+            next_active = []
+            root_tasks = []  # (walk_id, level, distance, end)
+            for walk_id, slot in slot_of_walk.items():
+                walk = walks[walk_id]
+                level = walk.levels[depth]
+                distance = int(distances[slot])
+                level.exists = distance <= level.node.num_errors
+                if level.node.is_root:
+                    if level.exists:
+                        root_tasks.append(
+                            (walk_id, level, distance, int(ends[slot]))
+                        )
+                elif level.exists and depth + 1 < len(walk.levels):
+                    next_active.append(walk_id)
+
+            self._finalize_roots(root_tasks, walks, items)
+            active = next_active
+
+    def _finalize_roots(self, root_tasks, walks, items):
+        """Begin/CIGAR for accepted roots; memoized per unique task."""
+        if not root_tasks:
+            return
+
+        if self.without_cigar:
+            # reversed-sequence trick: batch the reversed alignments
+            batcher = _TaskBatcher(self.use_device)
+            per_task_slot = []
+            for walk_id, level, distance, _ in root_tasks:
+                walk = walks[walk_id]
+                item = items[walk.query_index]
+                query = self._oriented_query(item, walk.orientation)
+                reference = self.references[walk.anchor.reference_id]
+                pattern = query[
+                    level.node.query_index_from : level.node.query_index_to + 1
+                ][::-1]
+                window = reference.rank_sequence[
+                    level.span.offset : level.span.offset + level.span.length
+                ][::-1]
+                key = (
+                    "rev",
+                    walk.query_index,
+                    walk.orientation,
+                    walk.anchor.reference_id,
+                    level.node.query_index_from,
+                    level.span.offset,
+                    level.span.length,
+                )
+                per_task_slot.append(batcher.add(key, pattern, window, walk_id))
+            distances, ends = batcher.run()
+            for (walk_id, level, distance, _), slot in zip(
+                root_tasks, per_task_slot
+            ):
+                level.distance = int(distances[slot])
+                level.begin = level.span.offset + (
+                    level.span.length - int(ends[slot])
+                )
+                level.cigar = []
+            return
+
+        memo = {}
+        for walk_id, level, distance, end in root_tasks:
+            walk = walks[walk_id]
+            item = items[walk.query_index]
+            query = self._oriented_query(item, walk.orientation)
+            reference = self.references[walk.anchor.reference_id]
+            key = (
+                walk.query_index,
+                walk.orientation,
+                walk.anchor.reference_id,
+                level.node.query_index_from,
+                level.span.offset,
+                level.span.length,
+            )
+            if key not in memo:
+                pattern = query[
+                    level.node.query_index_from : level.node.query_index_to + 1
+                ]
+                window = reference.rank_sequence[
+                    level.span.offset : level.span.offset + level.span.length
+                ]
+                begin, cigar = dp_reference.banded_cigar_traceback(
+                    window, pattern, end, distance
+                )
+                memo[key] = (begin, cigar)
+            begin, cigar = memo[key]
+            level.distance = distance
+            level.begin = level.span.offset + begin
+            level.cigar = cigar
+
+    # ---------------- phase B ----------------
+
+    def _bookkeeping(
+        self, walks: list[_AnchorWalk], items: list[_QueryItem]
+    ) -> list[QueryAlignments]:
+        alignments = [
+            QueryAlignments(len(self.references)) for _ in items
+        ]
+        caches = {
+            (query_index, orientation): [
+                VerifiedIntervals(self.use_interval_optimization)
+                for _ in self.references
+            ]
+            for query_index in range(len(items))
+            for orientation in (
+                Orientation.FORWARD,
+                Orientation.REVERSE_COMPLEMENT,
+            )
+        }
+        stats_events = []  # optional hook for stats parity
+
+        for walk in walks:
+            cache = caches[(walk.query_index, walk.orientation)][
+                walk.anchor.reference_id
+            ]
+            trimmed = walk.root_span.as_half_open_interval().trim_from_both_sides(
+                walk.root_span.applied_extra_verification_length_per_side
+            )
+            if cache.contains(trimmed):
+                stats_events.append(("avoided_root", walk.root_span.length))
+                continue
+
+            for level in walk.levels:
+                if level.node.is_root:
+                    stats_events.append(("aligned_root", level.span.length))
+                    cache.insert(level.span.as_half_open_interval())
+                    if level.exists:
+                        alignments[walk.query_index].insert(
+                            QueryAlignment(
+                                start_in_reference=level.begin,
+                                num_errors=level.distance,
+                                orientation=walk.orientation,
+                                cigar=list(level.cigar),
+                            ),
+                            walk.anchor.reference_id,
+                        )
+                    break
+                stats_events.append(("aligned_inner", level.span.length))
+                if not level.exists:
+                    break
+
+        self.last_stats_events = stats_events
+        return alignments

@@ -14,6 +14,8 @@ import pytest
 
 
 def run_aligner(tmp_path, data_dir, extra_args, out_name="out.sam"):
+    import os
+
     output = tmp_path / out_name
     command = [
         sys.executable,
@@ -29,7 +31,10 @@ def run_aligner(tmp_path, data_dir, extra_args, out_name="out.sam"):
         "--console-debug-logs",
         *extra_args,
     ]
-    proc = subprocess.run(command, capture_output=True, text=True)
+    env = dict(os.environ)
+    # keep subprocess JAX work off the TPU tunnel in tests
+    env["FLOXER_TPU_PLATFORM"] = "cpu"
+    proc = subprocess.run(command, capture_output=True, text=True, env=env)
     return proc, output
 
 
@@ -189,6 +194,22 @@ def test_whole_program_bam_output(tmp_path, data_dir):
             }
         )
     check_output_records(records)
+
+
+@pytest.mark.parametrize("engine", ["batched", "device"])
+def test_engines_produce_identical_sam(tmp_path, data_dir, engine):
+    """The batched/device engines must emit byte-identical records to the
+    sequential reference engine."""
+    base_args = [
+        "--query-errors", "2", "--seed-errors", "1",
+        "--extra-verification-ratio", "2",
+    ]
+    _, ref_out = run_aligner(tmp_path, data_dir, base_args, "ref.sam")
+    proc, engine_out = run_aligner(
+        tmp_path, data_dir, base_args + ["--engine", engine], f"{engine}.sam"
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert parse_sam(ref_out) == parse_sam(engine_out)
 
 
 def test_without_cigar_mode(tmp_path, data_dir):

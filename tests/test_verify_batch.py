@@ -1,0 +1,157 @@
+"""Batched verification engine vs the sequential reference-semantics verifier
+on randomized workloads — byte-identical alignments required."""
+
+import numpy as np
+import pytest
+
+from floxer_tpu.index.fmindex import FmIndex
+from floxer_tpu.intervals import create_verified_intervals_per_reference
+from floxer_tpu.io.sequence_io import QueryRecord
+from floxer_tpu.alphabet import reverse_complement
+from floxer_tpu.ops.dp_reference import Orientation
+from floxer_tpu.pex import BuildStrategy, build_pex_tree
+from floxer_tpu.search_host import (
+    AnchorChoiceStrategy,
+    AnchorGroupOrder,
+    SearchConfig,
+    Searcher,
+)
+from floxer_tpu.verify import (
+    QueryAlignments,
+    QueryVerifier,
+    ReferenceRecord,
+    VerificationKind,
+)
+from floxer_tpu.verify_batch import BatchVerifier, _QueryItem
+
+
+def _make_workload(seed, num_queries=6, read_len=60, k=4, seed_errors=1):
+    rng = np.random.default_rng(seed)
+    references = [
+        ReferenceRecord("ref0", rng.integers(1, 5, size=800).astype(np.uint8), 0),
+        ReferenceRecord("ref1", rng.integers(1, 5, size=400).astype(np.uint8), 1),
+    ]
+    index = FmIndex([r.rank_sequence for r in references])
+    searcher = Searcher(
+        index,
+        len(references),
+        SearchConfig(
+            max_num_anchors_hard=500,
+            max_num_anchors_soft=50,
+            anchor_group_order=AnchorGroupOrder.COUNT_FIRST,
+            anchor_choice_strategy=AnchorChoiceStrategy.ROUND_ROBIN,
+            erase_useless_anchors=True,
+        ),
+    )
+
+    items = []
+    for qi in range(num_queries):
+        ref = references[qi % 2]
+        start = int(rng.integers(0, len(ref.rank_sequence) - read_len))
+        read = ref.rank_sequence[start : start + read_len].copy()
+        for _ in range(int(rng.integers(0, k))):
+            pos = int(rng.integers(0, read_len))
+            read[pos] = 1 + (read[pos] % 4)
+        record = QueryRecord(
+            id=f"q{qi}",
+            rank_sequence=read,
+            reverse_complement_rank_sequence=reverse_complement(read),
+            quality="I" * read_len,
+            internal_id=qi,
+        )
+        tree = build_pex_tree(read_len, k, seed_errors, BuildStrategy.RECURSIVE)
+        seeds = tree.generate_seeds(1)
+        fwd = searcher.search_seeds(seeds, record.rank_sequence)
+        rc = searcher.search_seeds(
+            seeds, record.reverse_complement_rank_sequence
+        )
+        items.append(_QueryItem(record, tree, fwd, rc))
+    return references, items
+
+
+def _run_sequential(references, items, kind, ratio, without_cigar, interval_opt):
+    out = []
+    for item in items:
+        alignments = QueryAlignments(len(references))
+        for orientation, result in (
+            (Orientation.FORWARD, item.forward_result),
+            (Orientation.REVERSE_COMPLEMENT, item.rc_result),
+        ):
+            query = (
+                item.query_record.rank_sequence
+                if orientation == Orientation.FORWARD
+                else item.query_record.reverse_complement_rank_sequence
+            )
+            caches = create_verified_intervals_per_reference(
+                len(references), interval_opt
+            )
+            for anchor in result.iter_anchors():
+                QueryVerifier(
+                    pex_tree=item.pex_tree,
+                    anchor=anchor,
+                    pex_leaf_node=item.pex_tree.leaves[anchor.pex_leaf_index],
+                    query=query,
+                    orientation=orientation,
+                    reference=references[anchor.reference_id],
+                    kind=kind,
+                    already_verified_intervals=caches[anchor.reference_id],
+                    extra_verification_ratio=ratio,
+                    without_cigar=without_cigar,
+                    alignments=alignments,
+                ).verify()
+        out.append(alignments)
+    return out
+
+
+def _as_tuples(alignments: QueryAlignments):
+    return [
+        [
+            (a.start_in_reference, a.num_errors, a.orientation, tuple(a.cigar))
+            for a in per_ref
+        ]
+        for per_ref in alignments.per_reference
+    ]
+
+
+@pytest.mark.parametrize("interval_opt", [False, True])
+@pytest.mark.parametrize("without_cigar", [False, True])
+@pytest.mark.parametrize(
+    "kind", [VerificationKind.HIERARCHICAL, VerificationKind.DIRECT_FULL]
+)
+@pytest.mark.parametrize("use_device", [False, True])
+def test_batch_matches_sequential(interval_opt, without_cigar, kind, use_device):
+    references, items = _make_workload(seed=42)
+    ratio = 0.3
+    want = _run_sequential(
+        references, items, kind, ratio, without_cigar, interval_opt
+    )
+    verifier = BatchVerifier(
+        references,
+        kind=kind,
+        extra_verification_ratio=ratio,
+        without_cigar=without_cigar,
+        use_interval_optimization=interval_opt,
+        use_device=use_device,
+    )
+    got = verifier.process(items)
+    for qi, (w, g) in enumerate(zip(want, got)):
+        assert _as_tuples(w) == _as_tuples(g), f"query {qi}"
+        assert w.best_num_errors == g.best_num_errors
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_batch_matches_sequential_more_seeds(seed):
+    references, items = _make_workload(seed=seed, num_queries=4, k=6)
+    want = _run_sequential(
+        references, items, VerificationKind.HIERARCHICAL, 0.05, False, True
+    )
+    got = BatchVerifier(
+        references,
+        kind=VerificationKind.HIERARCHICAL,
+        extra_verification_ratio=0.05,
+        without_cigar=False,
+        use_interval_optimization=True,
+        use_device=True,
+    ).process(items)
+    for w, g in zip(want, got):
+        assert _as_tuples(w) == _as_tuples(g)
