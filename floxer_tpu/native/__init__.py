@@ -19,7 +19,7 @@ logger = logging.getLogger("floxer-tpu")
 
 _NATIVE_DIR = Path(__file__).parent
 _LIB_PATH = _NATIVE_DIR / "libfloxer_native.so"
-_SOURCES = [_NATIVE_DIR / "sais.cpp"]
+_SOURCES = [_NATIVE_DIR / "sais.cpp", _NATIVE_DIR / "search.cpp"]
 
 _lib = None
 _load_attempted = False
@@ -63,11 +63,96 @@ def get_library():
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.floxer_build_suffix_array.restype = ctypes.c_int
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.floxer_search_seed.argtypes = [
+            u8p, i64p, u8p, i64p, i64p, ctypes.c_int64,  # index
+            u8p,  # pattern
+            i64p, ctypes.c_int64, ctypes.c_int64,  # scheme
+            ctypes.c_int64, ctypes.c_int64,  # caps
+            i64p, i64p,  # outputs
+        ]
+        lib.floxer_search_seed.restype = ctypes.c_int
         _lib = lib
     except OSError as error:
         logger.debug("native library load failed: %s", error)
         _lib = None
     return _lib
+
+
+def _as_i64p(array: np.ndarray):
+    return array.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _as_u8p(array: np.ndarray):
+    return array.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def native_search_seed(
+    index,  # floxer_tpu.index.fmindex.FmIndex
+    pattern: np.ndarray,
+    expanded_searches,  # tuple[schemes.ExpandedSearch]
+    max_total: int,
+):
+    """Native scheme-DFS seed search; returns (groups, total, aborted) with
+    byte-identical group order to search_host's Python DFS, or None when the
+    native library is unavailable or the pattern length exceeds the scheme."""
+    lib = get_library()
+    if lib is None:
+        return None
+
+    num_searches = len(expanded_searches)
+    num_parts = len(expanded_searches[0].pi)
+    parts_flat = np.empty(num_searches * num_parts * 5, dtype=np.int64)
+    pos = 0
+    for search in expanded_searches:
+        for j in range(num_parts):
+            start, end = search.part_spans[j]
+            parts_flat[pos : pos + 5] = (
+                start,
+                end,
+                search.directions[j],
+                search.lower[j],
+                search.upper[j],
+            )
+            pos += 5
+
+    # every reported group adds >= 1 to the total, so max_total bounds the
+    # group count; clamp for unbounded probes (overflow falls back to Python)
+    max_groups = int(min(max_total, 1_000_000)) + 8
+    out_groups = np.empty(max_groups * 4, dtype=np.int64)
+    out_meta = np.zeros(2, dtype=np.int64)
+
+    pattern = np.ascontiguousarray(pattern, dtype=np.uint8)
+    bwt_fwd = np.ascontiguousarray(index.fwd.bwt)
+    occ_fwd = np.ascontiguousarray(index.fwd.occ_checkpoints)
+    bwt_rev = np.ascontiguousarray(index.rev.bwt)
+    occ_rev = np.ascontiguousarray(index.rev.occ_checkpoints)
+    C = np.ascontiguousarray(index.C, dtype=np.int64)
+
+    status = lib.floxer_search_seed(
+        _as_u8p(bwt_fwd),
+        _as_i64p(occ_fwd),
+        _as_u8p(bwt_rev),
+        _as_i64p(occ_rev),
+        _as_i64p(C),
+        ctypes.c_int64(index.n),
+        _as_u8p(pattern),
+        _as_i64p(parts_flat),
+        ctypes.c_int64(num_searches),
+        ctypes.c_int64(num_parts),
+        ctypes.c_int64(max_total),
+        ctypes.c_int64(max_groups),
+        _as_i64p(out_groups),
+        _as_i64p(out_meta),
+    )
+    if status & 2:  # group buffer overflow: let the Python DFS handle it
+        return None
+    num_groups = int(out_meta[0])
+    total = int(out_meta[1])
+    aborted = bool(status & 1)
+    groups = out_groups[: num_groups * 4].reshape(num_groups, 4)
+    return groups, total, aborted
 
 
 def native_suffix_array(text: np.ndarray) -> np.ndarray | None:

@@ -1,0 +1,218 @@
+// Native approximate seed search: bidirectional FM-index DFS over expanded
+// search schemes.
+//
+// Exact port of floxer_tpu.search_host._run_scheme_search /
+// search_seed_groups (which is itself the behavioral equivalent of
+// fmindex-collection's search_ng21 as used in the reference's
+// src/lib/search.cpp:173-188): identical branch order (match, substitutions
+// over symbols 1..5, insertions 1..5, deletion), identical canonicalization
+// (no insertion<->deletion adjacency), identical first-report dedup by
+// (lb, len, errors) and identical early abort on the raw-anchor cap — so the
+// reported groups are byte-identical to the Python oracle, in the same
+// order.
+//
+// Build: compiled into libfloxer_native.so together with sais.cpp.
+
+#include <cstdint>
+#include <cstring>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+constexpr int SIGMA = 6;
+constexpr int64_t OCC_BLOCK = 128;
+
+struct SingleIndex {
+    const uint8_t* bwt;
+    const int64_t* occ;  // [nb][SIGMA] cumulative at block boundaries
+};
+
+struct BiIndex {
+    SingleIndex fwd;
+    SingleIndex rev;
+    const int64_t* C;  // [SIGMA + 1]
+    int64_t n;
+};
+
+inline void occ_all(const SingleIndex& idx, int64_t pos, int64_t* out) {
+    int64_t const block = pos / OCC_BLOCK;
+    const int64_t* base = idx.occ + block * SIGMA;
+    for (int s = 0; s < SIGMA; s++) out[s] = base[s];
+    for (int64_t i = block * OCC_BLOCK; i < pos; i++) out[idx.bwt[i]]++;
+}
+
+struct Cursor {
+    int64_t lb;
+    int64_t lb_rev;
+    int64_t len;
+};
+
+// all-SIGMA extension; children[s] is the cursor after adding symbol s
+inline void extend_all(const BiIndex& index, const Cursor& cur, bool left,
+                       Cursor* children) {
+    int64_t lo[SIGMA], hi[SIGMA];
+    const SingleIndex& idx = left ? index.fwd : index.rev;
+    int64_t const base = left ? cur.lb : cur.lb_rev;
+    occ_all(idx, base, lo);
+    occ_all(idx, base + cur.len, hi);
+    int64_t prefix = 0;
+    for (int s = 0; s < SIGMA; s++) {
+        int64_t const count = hi[s] - lo[s];
+        if (left) {
+            children[s].lb = index.C[s] + lo[s];
+            children[s].lb_rev = cur.lb_rev + prefix;
+        } else {
+            children[s].lb_rev = index.C[s] + lo[s];
+            children[s].lb = cur.lb + prefix;
+        }
+        children[s].len = count;
+        prefix += count;
+    }
+}
+
+struct PartSpec {
+    int64_t start, end, direction, lower, upper;
+};
+
+struct GroupKey {
+    int64_t lb, len, errors;
+    bool operator==(const GroupKey& o) const {
+        return lb == o.lb && len == o.len && errors == o.errors;
+    }
+};
+struct GroupKeyHash {
+    size_t operator()(const GroupKey& k) const {
+        size_t h = std::hash<int64_t>()(k.lb);
+        h ^= std::hash<int64_t>()(k.len) + 0x9e3779b97f4a7c15ull + (h << 6) +
+             (h >> 2);
+        h ^= std::hash<int64_t>()(k.errors) + 0x9e3779b97f4a7c15ull + (h << 6) +
+             (h >> 2);
+        return h;
+    }
+};
+
+struct SearchState {
+    const BiIndex* index;
+    const uint8_t* pattern;
+    const PartSpec* parts;
+    int64_t num_parts;
+    int64_t max_total;
+    int64_t max_groups;
+
+    int64_t* out_groups;  // [max_groups][4]: lb, lb_rev, len, errors
+    int64_t num_groups = 0;
+    int64_t total = 0;
+    bool aborted = false;
+    bool overflow = false;
+    std::unordered_set<GroupKey, GroupKeyHash> seen;
+
+    void report(const Cursor& cur, int64_t errors) {
+        GroupKey const key{cur.lb, cur.len, errors};
+        if (!seen.insert(key).second) return;
+        if (num_groups >= max_groups) {
+            overflow = true;
+            aborted = true;
+            return;
+        }
+        int64_t* row = out_groups + num_groups * 4;
+        row[0] = cur.lb;
+        row[1] = cur.lb_rev;
+        row[2] = cur.len;
+        row[3] = errors;
+        num_groups++;
+        total += cur.len;
+        if (total >= max_total) aborted = true;
+    }
+
+    // last_op: 0 = match/sub, 1 = insertion, 2 = deletion
+    void step(const Cursor& cur, int64_t part_idx, int64_t char_pos,
+              int64_t errors, int last_op) {
+        if (aborted) return;
+        const PartSpec& part = parts[part_idx];
+        bool const done = part.direction > 0 ? char_pos >= part.end
+                                             : char_pos < part.start;
+        if (done) {
+            if (errors < part.lower) return;
+            process_part(cur, part_idx + 1, errors, last_op);
+            return;
+        }
+
+        int const pattern_symbol = pattern[char_pos];
+        bool const left = part.direction < 0;
+        int64_t const next_pos = char_pos + part.direction;
+
+        Cursor children[SIGMA];
+        extend_all(*index, cur, left, children);
+
+        if (children[pattern_symbol].len > 0)
+            step(children[pattern_symbol], part_idx, next_pos, errors, 0);
+        if (aborted) return;
+
+        if (errors < part.upper) {
+            for (int s = 1; s < SIGMA; s++) {
+                if (s == pattern_symbol) continue;
+                if (children[s].len > 0)
+                    step(children[s], part_idx, next_pos, errors + 1, 0);
+                if (aborted) return;
+            }
+            if (last_op != 2) {
+                for (int s = 1; s < SIGMA; s++) {
+                    if (children[s].len > 0)
+                        step(children[s], part_idx, char_pos, errors + 1, 1);
+                    if (aborted) return;
+                }
+            }
+            if (last_op != 1) {
+                step(cur, part_idx, next_pos, errors + 1, 2);
+            }
+        }
+    }
+
+    void process_part(const Cursor& cur, int64_t part_idx, int64_t errors,
+                      int last_op) {
+        if (part_idx == num_parts) {
+            report(cur, errors);
+            return;
+        }
+        const PartSpec& part = parts[part_idx];
+        int64_t const first = part.direction > 0 ? part.start : part.end - 1;
+        step(cur, part_idx, first, errors, last_op);
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns: bit 0 = aborted (cap hit), bit 1 = group-buffer overflow.
+int floxer_search_seed(
+    const uint8_t* bwt_fwd, const int64_t* occ_fwd, const uint8_t* bwt_rev,
+    const int64_t* occ_rev, const int64_t* C, int64_t n,
+    const uint8_t* pattern, const int64_t* parts_flat, int64_t num_searches,
+    int64_t num_parts, int64_t max_total, int64_t max_groups,
+    int64_t* out_groups, int64_t* out_meta /* [2]: num_groups, total */) {
+    BiIndex const index{{bwt_fwd, occ_fwd}, {bwt_rev, occ_rev}, C, n};
+
+    SearchState state;
+    state.index = &index;
+    state.pattern = pattern;
+    state.num_parts = num_parts;
+    state.max_total = max_total;
+    state.max_groups = max_groups;
+    state.out_groups = out_groups;
+
+    Cursor const root{0, 0, n};
+
+    for (int64_t s = 0; s < num_searches && !state.aborted; s++) {
+        state.parts = reinterpret_cast<const PartSpec*>(
+            parts_flat + s * num_parts * 5);
+        state.process_part(root, 0, 0, 0);
+    }
+
+    out_meta[0] = state.num_groups;
+    out_meta[1] = state.total;
+    return (state.aborted ? 1 : 0) | (state.overflow ? 2 : 0);
+}
+
+}  // extern "C"

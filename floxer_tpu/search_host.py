@@ -183,11 +183,32 @@ def search_seed_groups(
     pattern: np.ndarray,
     max_errors: int,
     max_total_count: int,
+    allow_native: bool = True,
 ) -> tuple[list[AnchorGroup], int, bool]:
     """All anchor groups for one seed, deduplicated by (interval, errors)
     keeping the first-reported order. Returns (groups, total_raw_anchors,
     aborted) where aborted means the count cap stopped the search early
-    (parity: search_ng21::search_n, search.cpp:173-188)."""
+    (parity: search_ng21::search_n, search.cpp:173-188).
+
+    Runs the native C++ DFS (floxer_tpu/native/search.cpp) when available —
+    byte-identical group order to the Python DFS below, which remains the
+    oracle (tests/test_native_search.py asserts equality)."""
+    expanded = expand_scheme(max_errors, len(pattern))
+
+    if allow_native:
+        from .native import native_search_seed
+
+        native = native_search_seed(index, pattern, expanded, max_total_count)
+        if native is not None:
+            rows, total, aborted = native
+            groups = [
+                AnchorGroup(
+                    Cursor(int(lb), int(lb_rev), int(length)), int(errors)
+                )
+                for lb, lb_rev, length, errors in rows
+            ]
+            return groups, total, aborted
+
     groups: list[AnchorGroup] = []
     seen: dict[tuple[int, int, int], int] = {}
     total = 0
@@ -205,7 +226,7 @@ def search_seed_groups(
             raise _SearchAborted()
 
     try:
-        for search in expand_scheme(max_errors, len(pattern)):
+        for search in expanded:
             _run_scheme_search(index, pattern, search, report)
     except _SearchAborted:
         aborted = True
