@@ -19,7 +19,11 @@ logger = logging.getLogger("floxer-tpu")
 
 _NATIVE_DIR = Path(__file__).parent
 _LIB_PATH = _NATIVE_DIR / "libfloxer_native.so"
-_SOURCES = [_NATIVE_DIR / "sais.cpp", _NATIVE_DIR / "search.cpp"]
+_SOURCES = [
+    _NATIVE_DIR / "sais.cpp",
+    _NATIVE_DIR / "search.cpp",
+    _NATIVE_DIR / "traceback.cpp",
+]
 
 _lib = None
 _load_attempted = False
@@ -73,6 +77,12 @@ def get_library():
             i64p, i64p,  # outputs
         ]
         lib.floxer_search_seed.restype = ctypes.c_int
+        lib.floxer_banded_traceback.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            i64p, u8p, ctypes.c_int64, i64p,
+        ]
+        lib.floxer_banded_traceback.restype = ctypes.c_int
         _lib = lib
     except OSError as error:
         logger.debug("native library load failed: %s", error)
@@ -153,6 +163,48 @@ def native_search_seed(
     aborted = bool(status & 1)
     groups = out_groups[: num_groups * 4].reshape(num_groups, 4)
     return groups, total, aborted
+
+
+_OP_CHARS = "=XID"
+
+
+def native_banded_traceback(
+    reference: np.ndarray, query: np.ndarray, end_col: int, distance: int
+):
+    """Native banded CIGAR traceback; (begin, cigar) or None if unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+    reference = np.ascontiguousarray(reference, dtype=np.uint8)
+    query = np.ascontiguousarray(query, dtype=np.uint8)
+    m = query.shape[0]
+    max_ops = m + max(distance, 0) + 8
+    out_ops = np.empty(max_ops, dtype=np.uint8)
+    out_begin = np.zeros(1, dtype=np.int64)
+    out_num_ops = np.zeros(1, dtype=np.int64)
+    status = lib.floxer_banded_traceback(
+        _as_u8p(reference),
+        ctypes.c_int64(reference.shape[0]),
+        _as_u8p(query),
+        ctypes.c_int64(m),
+        ctypes.c_int64(end_col),
+        ctypes.c_int64(distance),
+        _as_i64p(out_begin),
+        _as_u8p(out_ops),
+        ctypes.c_int64(max_ops),
+        _as_i64p(out_num_ops),
+    )
+    if status != 0:
+        return None
+    ops = out_ops[: int(out_num_ops[0])]
+    cigar: list[tuple[int, str]] = []
+    for op_code in ops:
+        op = _OP_CHARS[op_code]
+        if cigar and cigar[-1][1] == op:
+            cigar[-1] = (cigar[-1][0] + 1, op)
+        else:
+            cigar.append((1, op))
+    return int(out_begin[0]), cigar
 
 
 def native_suffix_array(text: np.ndarray) -> np.ndarray | None:

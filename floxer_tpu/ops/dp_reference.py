@@ -142,8 +142,15 @@ def banded_cigar_traceback(
     inside it, and band-edge inflation cannot flip the tie-preference (an
     inflated neighbor can never satisfy the traceback equality, since
     adjacent true DP values differ by at most 1). Produces byte-identical
-    CIGARs to the full-matrix _traceback.
+    CIGARs to the full-matrix _traceback. Dispatches to the native C++
+    implementation (floxer_tpu/native/traceback.cpp) when available.
     """
+    from ..native import native_banded_traceback
+
+    native = native_banded_traceback(reference, query, end_col, distance)
+    if native is not None:
+        return native
+
     reference = np.asarray(reference, dtype=np.uint8)
     query = np.asarray(query, dtype=np.uint8)
     m = query.shape[0]

@@ -176,18 +176,135 @@ def myers_batched(
     return best, best_end
 
 
+# patterns up to this many words use the unrolled-word kernel; beyond it the
+# carry-scan kernel avoids a W-times-unrolled trace
+MAX_UNROLLED_WORDS = 8
+
+
+@partial(jax.jit, static_argnames=("num_words",))
+def myers_batched_large(
+    peq: jax.Array,  # uint32 [B, SIGMA, W]
+    pattern_lengths: jax.Array,  # int32 [B]
+    texts: jax.Array,  # int32/uint8 [B, N]
+    text_lengths: jax.Array,  # int32 [B]
+    num_words: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Large-pattern variant: the word dimension is a vector axis instead of
+    an unrolled loop. The only true cross-word dependency — the carry chain
+    of the (Eq & VP) + VP addition — is resolved with a Kogge-Stone
+    generate/propagate prefix scan (log W depth); the bit-shift carries are
+    a plain word roll. Handles 100k-base root verifications (W ~ 3200) in
+    one compiled kernel."""
+    B = peq.shape[0]
+    W = num_words
+    texts = texts.astype(jnp.int32)
+    pattern_lengths = pattern_lengths.astype(jnp.int32)
+    text_lengths = text_lengths.astype(jnp.int32)
+
+    peq_w_first = jnp.transpose(peq, (2, 0, 1))  # [W, B, SIGMA]
+
+    msb_word = (pattern_lengths - 1) // WORD  # [B]
+    msb_bit = ((pattern_lengths - 1) % WORD).astype(jnp.uint32)
+    msb_mask = (jnp.uint32(1) << msb_bit).astype(jnp.uint32)  # [B]
+
+    word_ids = jnp.arange(W, dtype=jnp.int32)[:, None]  # [W, 1]
+    active = word_ids <= msb_word[None, :]  # [W, B]
+    ones = jnp.uint32(0xFFFFFFFF)
+
+    vp0 = jnp.where(active, ones, jnp.uint32(0))
+    vn0 = jnp.zeros((W, B), dtype=jnp.uint32)
+
+    def carry_combine(left, right):
+        # (g, p) monoid for carry lookahead: right after left
+        gl, pl = left
+        gr, pr = right
+        return gr | (pr & gl), pr & pl
+
+    def step(carry, j):
+        vp, vn, score, best, best_end = carry
+        chars = texts[:, j]  # [B]
+        eq = jnp.take_along_axis(
+            peq_w_first, chars[None, :, None], axis=2
+        ).squeeze(-1)  # [W, B]
+
+        a = eq & vp
+        t = a + vp  # wrapping add, carries resolved below
+        g = (t < a).astype(jnp.uint32)  # carry generate
+        p = (t == ones).astype(jnp.uint32)  # carry propagate
+        G, _ = jax.lax.associative_scan(carry_combine, (g, p), axis=0)
+        # exclusive carries: word w receives the inclusive scan up to w-1
+        carry_in = jnp.concatenate(
+            [jnp.zeros((1, B), dtype=jnp.uint32), G[:-1]], axis=0
+        )
+        s = t + carry_in
+
+        xh = (s ^ vp) | eq
+        xv = eq | vn
+        ph = vn | ~(xh | vp)
+        mh = vp & xh
+
+        # MSB-row deltas, gathered at each lane's top word
+        ph_msb = (
+            jnp.take_along_axis(ph, msb_word[None, :].astype(jnp.int32), 0)[0]
+            & msb_mask
+        )
+        mh_msb = (
+            jnp.take_along_axis(mh, msb_word[None, :].astype(jnp.int32), 0)[0]
+            & msb_mask
+        )
+
+        # cross-word left shift: word w takes word w-1's MSB
+        def shift1(x):
+            carry = jnp.concatenate(
+                [jnp.zeros((1, B), dtype=jnp.uint32), x[:-1] >> jnp.uint32(31)],
+                axis=0,
+            )
+            return (x << jnp.uint32(1)) | carry
+
+        ph_shifted = shift1(ph)
+        mh_shifted = shift1(mh)
+
+        vp = jnp.where(active, mh_shifted | ~(xv | ph_shifted), jnp.uint32(0))
+        vn = jnp.where(active, ph_shifted & xv, jnp.uint32(0))
+
+        score = score + (ph_msb != 0).astype(jnp.int32)
+        score = score - (mh_msb != 0).astype(jnp.int32)
+
+        eligible = (j + 1) < text_lengths
+        improves = eligible & (score <= best)
+        best = jnp.where(improves, score, best)
+        best_end = jnp.where(improves, j + 1, best_end)
+        return (vp, vn, score, best, best_end), None
+
+    N = texts.shape[1]
+    init = (
+        vp0,
+        vn0,
+        pattern_lengths,
+        pattern_lengths,
+        jnp.zeros((B,), dtype=jnp.int32),
+    )
+    (_, _, _, best, best_end), _ = jax.lax.scan(
+        step, init, jnp.arange(N, dtype=jnp.int32)
+    )
+    return best, best_end
+
+
 def myers_distance(
     patterns: np.ndarray,
     pattern_lengths: np.ndarray,
     texts: np.ndarray,
     text_lengths: np.ndarray,
 ):
-    """Convenience wrapper: builds Peq on host and runs the batched kernel."""
+    """Convenience wrapper: builds Peq on host and runs the batched kernel
+    (unrolled words for small patterns, carry-scan beyond)."""
     peq = build_peq_vectorized(np.asarray(patterns), np.asarray(pattern_lengths))
-    return myers_batched(
+    W = peq.shape[2]
+    kernel = myers_batched if W <= MAX_UNROLLED_WORDS else myers_batched_large
+    return kernel(
         jnp.asarray(peq),
         jnp.asarray(pattern_lengths, dtype=jnp.int32),
         jnp.asarray(texts),
         jnp.asarray(text_lengths, dtype=jnp.int32),
-        num_words=peq.shape[2],
+        num_words=W,
     )

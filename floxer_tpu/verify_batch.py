@@ -101,29 +101,59 @@ class _TaskBatcher:
         return slot
 
     def run(self) -> tuple[np.ndarray, np.ndarray]:
-        """Returns (distances, end_cols) per unique slot."""
+        """Returns (distances, end_cols) per unique slot.
+
+        Slots are grouped into power-of-two (pattern, window) shape buckets
+        so the jitted kernels see a bounded set of shapes; tiny buckets
+        where jit dispatch would dominate use the numpy DP instead."""
         count = len(self.patterns)
+        distances = np.zeros(count, dtype=np.int64)
+        ends = np.zeros(count, dtype=np.int64)
         if count == 0:
-            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-        if not self.use_device or count < MIN_DEVICE_BATCH:
-            distances = np.zeros(count, dtype=np.int64)
-            ends = np.zeros(count, dtype=np.int64)
-            for i, (pattern, window) in enumerate(
-                zip(self.patterns, self.windows)
-            ):
-                dp = dp_reference.semi_global_dp_matrix(window, pattern)
-                last = dp[-1]
-                end = dp_reference._rightmost_argmin(last)
-                distances[i] = last[end]
-                ends[i] = end
             return distances, ends
+
+        def pow2_at_least(x, floor):
+            size = floor
+            while size < x:
+                size *= 2
+            return size
+
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, (pattern, window) in enumerate(zip(self.patterns, self.windows)):
+            key = (
+                pow2_at_least(len(pattern), 128),
+                pow2_at_least(len(window), 256),
+            )
+            buckets.setdefault(key, []).append(i)
 
         from .ops.device_dp import pad_batch
 
-        pat, plen = pad_batch(self.patterns)
-        txt, tlen = pad_batch(self.windows)
-        distances, ends = myers_distance(pat, plen, txt, tlen)
-        return np.asarray(distances), np.asarray(ends)
+        for (m_bucket, n_bucket), slots in buckets.items():
+            cells = len(slots) * m_bucket * n_bucket
+            on_device = self.use_device and (
+                len(slots) >= MIN_DEVICE_BATCH or cells > 4_000_000
+            )
+            if not on_device:
+                for i in slots:
+                    dp = dp_reference.semi_global_dp_matrix(
+                        self.windows[i], self.patterns[i]
+                    )
+                    last = dp[-1]
+                    end = dp_reference._rightmost_argmin(last)
+                    distances[i] = last[end]
+                    ends[i] = end
+                continue
+            pat, plen = pad_batch(
+                [self.patterns[i] for i in slots], pad_to=m_bucket
+            )
+            txt, tlen = pad_batch(
+                [self.windows[i] for i in slots], pad_to=n_bucket
+            )
+            bucket_distances, bucket_ends = myers_distance(pat, plen, txt, tlen)
+            distances[slots] = np.asarray(bucket_distances)
+            ends[slots] = np.asarray(bucket_ends)
+
+        return distances, ends
 
 
 class BatchVerifier:
@@ -161,9 +191,96 @@ class BatchVerifier:
             node = tree.parent_of(node)
 
     def process(self, items: list[_QueryItem]) -> list[QueryAlignments]:
+        """Wave loop: an optimistic cache simulation picks the anchors the
+        sequential reference would actually verify (everything else is
+        interval-cache-skipped, verification.cpp:119-136), only those walks
+        run on device, and the loop repeats for anchors whose skip turned
+        out wrong (an assumed root insertion didn't happen because an inner
+        level failed). The final bookkeeping pass is the authoritative exact
+        replay — output is byte-identical to the sequential verifier, but
+        with --interval-optimization the device computes ~one walk per
+        distinct locus instead of one per anchor."""
         walks = self._build_walks(items)
-        self._compute_walks(walks, items)
-        return self._bookkeeping(walks, items)
+        computed: set[int] = set()
+
+        while True:
+            need = self._scan(walks, items, computed, record=None)
+            if not need:
+                break
+            self._compute_walks(walks, items, need)
+            computed.update(need)
+
+        alignments = [QueryAlignments(len(self.references)) for _ in items]
+        leftover = self._scan(walks, items, computed, record=alignments)
+        assert not leftover
+        return alignments
+
+    def _scan(
+        self,
+        walks: list[_AnchorWalk],
+        items: list[_QueryItem],
+        computed: set[int],
+        record: list[QueryAlignments] | None,
+    ) -> list[int]:
+        """One pass over all walks in anchor order with fresh caches.
+
+        For computed walks, replays the actual outcome; for uncomputed
+        non-skipped walks, optimistically assumes the walk reaches the root
+        (so its interval lands in the cache) and reports it as needed.
+        When `record` is given this is the authoritative bookkeeping pass:
+        alignments and statistics are emitted.
+        """
+        caches = {}
+        stats_events = [] if record is not None else None
+        need: list[int] = []
+
+        for walk_id, walk in enumerate(walks):
+            key = (walk.query_index, walk.orientation, walk.anchor.reference_id)
+            cache = caches.get(key)
+            if cache is None:
+                cache = VerifiedIntervals(self.use_interval_optimization)
+                caches[key] = cache
+
+            trimmed = (
+                walk.root_span.as_half_open_interval().trim_from_both_sides(
+                    walk.root_span.applied_extra_verification_length_per_side
+                )
+            )
+            if cache.contains(trimmed):
+                if stats_events is not None:
+                    stats_events.append(("avoided_root", walk.root_span.length))
+                continue
+
+            if walk_id not in computed:
+                need.append(walk_id)
+                # optimistic: assume the walk reaches the root
+                cache.insert(walk.root_span.as_half_open_interval())
+                continue
+
+            for level in walk.levels:
+                if level.node.is_root:
+                    if stats_events is not None:
+                        stats_events.append(("aligned_root", level.span.length))
+                    cache.insert(level.span.as_half_open_interval())
+                    if level.exists and record is not None:
+                        record[walk.query_index].insert(
+                            QueryAlignment(
+                                start_in_reference=level.begin,
+                                num_errors=level.distance,
+                                orientation=walk.orientation,
+                                cigar=list(level.cigar),
+                            ),
+                            walk.anchor.reference_id,
+                        )
+                    break
+                if stats_events is not None:
+                    stats_events.append(("aligned_inner", level.span.length))
+                if not level.exists:
+                    break
+
+        if stats_events is not None:
+            self.last_stats_events = stats_events
+        return need
 
     # ---------------- phase A ----------------
 
@@ -211,9 +328,14 @@ class BatchVerifier:
             else item.query_record.reverse_complement_rank_sequence
         )
 
-    def _compute_walks(self, walks: list[_AnchorWalk], items: list[_QueryItem]):
-        max_depth = max((len(w.levels) for w in walks), default=0)
-        active = list(range(len(walks)))
+    def _compute_walks(
+        self,
+        walks: list[_AnchorWalk],
+        items: list[_QueryItem],
+        subset: list[int],
+    ):
+        max_depth = max((len(walks[w].levels) for w in subset), default=0)
+        active = list(subset)
 
         for depth in range(max_depth):
             batcher = _TaskBatcher(self.use_device)
@@ -334,56 +456,4 @@ class BatchVerifier:
             level.begin = level.span.offset + begin
             level.cigar = cigar
 
-    # ---------------- phase B ----------------
-
-    def _bookkeeping(
-        self, walks: list[_AnchorWalk], items: list[_QueryItem]
-    ) -> list[QueryAlignments]:
-        alignments = [
-            QueryAlignments(len(self.references)) for _ in items
-        ]
-        caches = {
-            (query_index, orientation): [
-                VerifiedIntervals(self.use_interval_optimization)
-                for _ in self.references
-            ]
-            for query_index in range(len(items))
-            for orientation in (
-                Orientation.FORWARD,
-                Orientation.REVERSE_COMPLEMENT,
-            )
-        }
-        stats_events = []  # optional hook for stats parity
-
-        for walk in walks:
-            cache = caches[(walk.query_index, walk.orientation)][
-                walk.anchor.reference_id
-            ]
-            trimmed = walk.root_span.as_half_open_interval().trim_from_both_sides(
-                walk.root_span.applied_extra_verification_length_per_side
-            )
-            if cache.contains(trimmed):
-                stats_events.append(("avoided_root", walk.root_span.length))
-                continue
-
-            for level in walk.levels:
-                if level.node.is_root:
-                    stats_events.append(("aligned_root", level.span.length))
-                    cache.insert(level.span.as_half_open_interval())
-                    if level.exists:
-                        alignments[walk.query_index].insert(
-                            QueryAlignment(
-                                start_in_reference=level.begin,
-                                num_errors=level.distance,
-                                orientation=walk.orientation,
-                                cigar=list(level.cigar),
-                            ),
-                            walk.anchor.reference_id,
-                        )
-                    break
-                stats_events.append(("aligned_inner", level.span.length))
-                if not level.exists:
-                    break
-
-        self.last_stats_events = stats_events
-        return alignments
+    last_stats_events: list = []
