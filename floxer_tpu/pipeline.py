@@ -106,14 +106,13 @@ def make_searcher(cli: CommandLineInput, index: FmIndex, num_references: int):
     )
 
 
-def search_query(
-    query: QueryRecord,
-    cli: CommandLineInput,
-    searcher: Searcher,
-    stats: SearchAndAlignmentStatistics,
+def search_query_pure(
+    query: QueryRecord, cli: CommandLineInput, searcher: Searcher
 ):
-    """Search stage for one query: PEX tree, seeds, fwd+rc FM search, stats
-    (parallelization.cpp:91-116)."""
+    """Search stage for one query without stats side effects: PEX tree,
+    seeds, fwd+rc FM search (parallelization.cpp:91-101). Thread-safe — the
+    native search releases the GIL, so chunks parallelize across
+    --threads host workers."""
     search_started = time.monotonic()
 
     query_num_errors = sequence_io.num_errors_from_config(
@@ -139,12 +138,32 @@ def search_query(
     rc_result = searcher.search_seeds(
         seeds, query.reverse_complement_rank_sequence
     )
+    elapsed_ms = int((time.monotonic() - search_started) * 1000)
+    return pex_tree, seeds, forward_result, rc_result, elapsed_ms
 
+
+def _apply_search_stats(
+    query, seeds, forward_result, rc_result, elapsed_ms, stats
+):
     stats.add_query_length(len(query.rank_sequence))
     stats.add_statistics_for_seeds(seeds, seeds)
     stats.add_statistics_for_search_result(forward_result, rc_result)
-    stats.add_milliseconds_spent_in_search_per_query(
-        int((time.monotonic() - search_started) * 1000)
+    stats.add_milliseconds_spent_in_search_per_query(elapsed_ms)
+
+
+def search_query(
+    query: QueryRecord,
+    cli: CommandLineInput,
+    searcher: Searcher,
+    stats: SearchAndAlignmentStatistics,
+):
+    """Search stage for one query: PEX tree, seeds, fwd+rc FM search, stats
+    (parallelization.cpp:91-116)."""
+    pex_tree, seeds, forward_result, rc_result, elapsed_ms = search_query_pure(
+        query, cli, searcher
+    )
+    _apply_search_stats(
+        query, seeds, forward_result, rc_result, elapsed_ms, stats
     )
     return pex_tree, forward_result, rc_result
 
@@ -224,11 +243,24 @@ def process_query_chunk(
     (verify_batch.BatchVerifier), then in-order output."""
     from .verify_batch import BatchVerifier, _QueryItem
 
+    if cli.num_threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(cli.num_threads) as pool:
+            searched = list(
+                pool.map(
+                    lambda query: search_query_pure(query, cli, searcher),
+                    chunk,
+                )
+            )
+    else:
+        searched = [search_query_pure(query, cli, searcher) for query in chunk]
+
     items = []
-    for query in chunk:
-        pex_tree, forward_result, rc_result = search_query(
-            query, cli, searcher, stats
-        )
+    for query, (pex_tree, seeds, forward_result, rc_result, ms) in zip(
+        chunk, searched
+    ):
+        _apply_search_stats(query, seeds, forward_result, rc_result, ms, stats)
         items.append(_QueryItem(query, pex_tree, forward_result, rc_result))
 
     verification_started = time.monotonic()

@@ -1,0 +1,416 @@
+"""Device approximate seed search: masked-frontier scheme traversal.
+
+The TPU-native replacement for the recursive search_ng21 tree walk
+(search.cpp:173-188, BASELINE.json north star: "FM-index approximate search
+... as batched rank-query gathers in JAX"). Instead of a per-seed DFS, the
+whole read batch's seeds advance together as a FRONTIER of bidirectional
+cursor states:
+
+  state = (lb, lb_rev, length, search_idx, part_idx, char_pos,
+           errors, last_op, seed_id)
+
+One jitted iteration expands every active state by one pattern position —
+match, 4 substitutions, 5 insertions and a deletion, up to 11 children per
+state — where every child interval comes from the same two batched rank_all
+gathers (index/device_index). Children are compacted into the fixed-capacity
+frontier with a cumsum scatter; states that complete their search's last
+part emit (lb, lb_rev, length, errors, seed_id) into the report buffer.
+Part-boundary bookkeeping (cumulative lower/upper bound checks, jumping to
+the next part's first character) is data-parallel scalar work over small
+scheme tables in SMEM-scale arrays.
+
+Semantics vs the host DFS (search_host.search_seed_groups):
+  - the reported group SET is identical (same canonicalization rules)
+  - report ORDER differs (frontier order vs DFS order) and duplicate groups
+    are removed after the fact, so per-seed raw totals and cap-abort
+    decisions can differ when the anchor caps bind; when they don't (the
+    common case and the e2e workload), downstream output is identical.
+    Seeds that overflow the frontier or report capacity are flagged and
+    re-searched on the host path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .alphabet import SIGMA
+from .index.device_index import DeviceIndex, rank_all
+from .schemes import ExpandedSearch
+
+_EDIT_SYMBOLS = (1, 2, 3, 4, 5)
+
+# last_op codes
+_OP_M, _OP_I, _OP_D = 0, 1, 2
+
+
+@dataclass(frozen=True)
+class SchemeTables:
+    """Expanded-search tables as device arrays [num_searches, num_parts]."""
+
+    start: jnp.ndarray
+    end: jnp.ndarray
+    direction: jnp.ndarray
+    lower: jnp.ndarray
+    upper: jnp.ndarray
+    num_searches: int
+    num_parts: int
+
+    @classmethod
+    def from_searches(cls, searches: tuple[ExpandedSearch, ...]):
+        num_searches = len(searches)
+        num_parts = len(searches[0].pi)
+        start = np.zeros((num_searches, num_parts), dtype=np.int32)
+        end = np.zeros_like(start)
+        direction = np.zeros_like(start)
+        lower = np.zeros_like(start)
+        upper = np.zeros_like(start)
+        for s, search in enumerate(searches):
+            for j in range(num_parts):
+                start[s, j], end[s, j] = search.part_spans[j]
+                direction[s, j] = search.directions[j]
+                lower[s, j] = search.lower[j]
+                upper[s, j] = search.upper[j]
+        return cls(
+            jnp.asarray(start),
+            jnp.asarray(end),
+            jnp.asarray(direction),
+            jnp.asarray(lower),
+            jnp.asarray(upper),
+            num_searches,
+            num_parts,
+        )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_searches",
+        "num_parts",
+        "frontier_capacity",
+        "report_capacity",
+        "max_iterations",
+    ),
+)
+def _frontier_search(
+    index: DeviceIndex,
+    patterns: jnp.ndarray,  # int32 [num_seeds, max_len] padded
+    scheme_start,
+    scheme_end,
+    scheme_direction,
+    scheme_lower,
+    scheme_upper,
+    num_searches: int,
+    num_parts: int,
+    frontier_capacity: int,
+    report_capacity: int,
+    max_iterations: int,
+):
+    """Returns (reports [R, 5], num_reports, overflow_flags [num_seeds])."""
+    num_seeds = patterns.shape[0]
+    C = frontier_capacity
+    R = report_capacity
+    n = index.fwd.bwt.shape[0]
+
+    # initial frontier: one state per (seed, search)
+    init_count = num_seeds * num_searches
+    seed0 = jnp.repeat(jnp.arange(num_seeds, dtype=jnp.int32), num_searches)
+    search0 = jnp.tile(jnp.arange(num_searches, dtype=jnp.int32), num_seeds)
+
+    def blank(value, dtype=jnp.int32):
+        return jnp.full((C,), value, dtype=dtype)
+
+    first_part = scheme_start[search0, 0] * (scheme_direction[search0, 0] > 0) + (
+        scheme_end[search0, 0] - 1
+    ) * (scheme_direction[search0, 0] < 0)
+
+    state = {
+        "lb": blank(0).at[:init_count].set(0),
+        "lb_rev": blank(0).at[:init_count].set(0),
+        "length": blank(0).at[:init_count].set(n),
+        "search": blank(0).at[:init_count].set(search0),
+        "part": blank(0),
+        "pos": blank(0).at[:init_count].set(first_part),
+        "errors": blank(0),
+        "last_op": blank(_OP_M),
+        "seed": blank(0).at[:init_count].set(seed0),
+        "alive": jnp.zeros((C,), dtype=bool).at[:init_count].set(True),
+    }
+
+    reports0 = jnp.zeros((R, 5), dtype=jnp.int32)
+    num_reports0 = jnp.int32(0)
+    overflow0 = jnp.zeros((num_seeds,), dtype=bool)
+
+    def expand(carry, _):
+        state, reports, num_reports, overflow = carry
+        alive = state["alive"]
+
+        search = state["search"]
+        part = jnp.clip(state["part"], 0, num_parts - 1)
+        direction = scheme_direction[search, part]
+        p_start = scheme_start[search, part]
+        p_end = scheme_end[search, part]
+        upper = scheme_upper[search, part]
+        lower = scheme_lower[search, part]
+
+        pos = state["pos"]
+        at_boundary = jnp.where(
+            direction > 0, pos >= p_end, pos < p_start
+        ) & alive
+
+        # ---- boundary bookkeeping (no extension) ----
+        meets_lower = state["errors"] >= lower
+        finished = at_boundary & meets_lower & (state["part"] == num_parts - 1)
+        advancing = at_boundary & meets_lower & ~finished
+        killed_lower = at_boundary & ~meets_lower
+
+        next_part = jnp.clip(state["part"] + 1, 0, num_parts - 1)
+        next_dir = scheme_direction[search, next_part]
+        next_first = jnp.where(
+            next_dir > 0,
+            scheme_start[search, next_part],
+            scheme_end[search, next_part] - 1,
+        )
+
+        # emit finished states into the report buffer (drop-mode scatter:
+        # out-of-range slots vanish instead of clobbering a live row)
+        finish_idx = jnp.cumsum(finished.astype(jnp.int32)) - 1
+        slots = num_reports + finish_idx
+        can_write = finished & (slots < R)
+        report_rows = jnp.stack(
+            [
+                state["lb"],
+                state["lb_rev"],
+                state["length"],
+                state["errors"],
+                state["seed"],
+            ],
+            axis=1,
+        )
+        reports = reports.at[jnp.where(can_write, slots, R + 1)].set(
+            report_rows, mode="drop"
+        )
+        report_overflow = finished & (slots >= R)
+        overflow = overflow.at[state["seed"]].max(report_overflow)
+        num_reports = num_reports + jnp.sum(finished.astype(jnp.int32))
+        num_reports = jnp.minimum(num_reports, R)
+
+        # advance boundary states to the next part
+        state = dict(state)
+        state["part"] = jnp.where(advancing, state["part"] + 1, state["part"])
+        state["pos"] = jnp.where(advancing, next_first, state["pos"])
+        state["alive"] = alive & ~finished & ~killed_lower
+
+        # ---- character expansion for non-boundary states ----
+        expanding = state["alive"] & ~advancing
+        left = direction < 0
+
+        lb = state["lb"]
+        lb_rev = state["lb_rev"]
+        length = state["length"]
+
+        # rank gathers for both directions, masked to the needed one
+        base_fwd = jnp.where(expanding, lb, 0)
+        base_rev = jnp.where(expanding, lb_rev, 0)
+        base = jnp.where(left, base_fwd, base_rev)
+        lo = jnp.where(
+            left[:, None],
+            rank_all(index.fwd, base_fwd),
+            rank_all(index.rev, base_rev),
+        )
+        hi = jnp.where(
+            left[:, None],
+            rank_all(index.fwd, base_fwd + jnp.where(expanding, length, 0)),
+            rank_all(index.rev, base_rev + jnp.where(expanding, length, 0)),
+        )
+        counts = hi - lo  # [C, SIGMA]
+        prefix = jnp.cumsum(counts, axis=1) - counts
+        child_primary = index.C[None, :SIGMA] + lo  # new lb (left) / lb_rev
+        child_secondary = jnp.where(left[:, None], lb_rev[:, None], lb[:, None]) + prefix
+        child_lb = jnp.where(left[:, None], child_primary, child_secondary)
+        child_lb_rev = jnp.where(left[:, None], child_secondary, child_primary)
+
+        pattern_symbol = patterns[state["seed"], jnp.clip(state["pos"], 0, patterns.shape[1] - 1)]
+        budget_left = state["errors"] < upper
+
+        # children: [C, 11] = 1 match + 4 subs + 5 ins + 1 del
+        child_defs = []
+        # match + substitutions over symbols 1..5
+        for symbol in _EDIT_SYMBOLS:
+            is_match = pattern_symbol == symbol
+            valid = (
+                expanding
+                & (counts[:, symbol] > 0)
+                & (is_match | budget_left)
+            )
+            child_defs.append(
+                dict(
+                    valid=valid,
+                    lb=child_lb[:, symbol],
+                    lb_rev=child_lb_rev[:, symbol],
+                    length=counts[:, symbol],
+                    pos=state["pos"] + direction,
+                    errors=state["errors"] + (~is_match).astype(jnp.int32),
+                    last_op=jnp.full((C,), _OP_M, dtype=jnp.int32),
+                )
+            )
+        # insertions (text symbol consumed, pattern position unchanged)
+        for symbol in _EDIT_SYMBOLS:
+            valid = (
+                expanding
+                & budget_left
+                & (counts[:, symbol] > 0)
+                & (state["last_op"] != _OP_D)
+            )
+            child_defs.append(
+                dict(
+                    valid=valid,
+                    lb=child_lb[:, symbol],
+                    lb_rev=child_lb_rev[:, symbol],
+                    length=counts[:, symbol],
+                    pos=state["pos"],
+                    errors=state["errors"] + 1,
+                    last_op=jnp.full((C,), _OP_I, dtype=jnp.int32),
+                )
+            )
+        # deletion (pattern symbol skipped, no extension)
+        valid = expanding & budget_left & (state["last_op"] != _OP_I)
+        child_defs.append(
+            dict(
+                valid=valid,
+                lb=lb,
+                lb_rev=lb_rev,
+                length=length,
+                pos=state["pos"] + direction,
+                errors=state["errors"] + 1,
+                last_op=jnp.full((C,), _OP_D, dtype=jnp.int32),
+            )
+        )
+
+        num_kinds = len(child_defs)  # 11
+
+        def stack(field_name):
+            return jnp.stack([c[field_name] for c in child_defs], axis=1)
+
+        child_valid = jnp.stack([c["valid"] for c in child_defs], axis=1)
+        flat_valid = child_valid.reshape(-1)
+        target = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
+        child_overflow = flat_valid & (target >= C)
+        parent_seed = jnp.repeat(state["seed"], num_kinds)
+        overflow = overflow.at[parent_seed].max(child_overflow)
+        write = flat_valid & (target < C)
+        safe_target = jnp.where(write, target, C - 1)
+
+        del safe_target
+
+        def scatter_ok(field_values, fill):
+            flat = field_values.reshape(-1)
+            out = jnp.full((C,), fill, dtype=jnp.int32)
+            return out.at[jnp.where(write, target, C + 1)].set(flat, mode="drop")
+
+        new_state = {
+            "lb": scatter_ok(stack("lb"), 0),
+            "lb_rev": scatter_ok(stack("lb_rev"), 0),
+            "length": scatter_ok(stack("length"), 0),
+            "pos": scatter_ok(stack("pos"), 0),
+            "errors": scatter_ok(stack("errors"), 0),
+            "last_op": scatter_ok(stack("last_op"), _OP_M),
+            "search": scatter_ok(
+                jnp.repeat(state["search"], num_kinds).reshape(C, num_kinds), 0
+            ),
+            "part": scatter_ok(
+                jnp.repeat(state["part"], num_kinds).reshape(C, num_kinds), 0
+            ),
+            "seed": scatter_ok(
+                jnp.repeat(state["seed"], num_kinds).reshape(C, num_kinds), 0
+            ),
+        }
+        occupied = jnp.arange(C, dtype=jnp.int32) < jnp.minimum(
+            jnp.sum(flat_valid.astype(jnp.int32)), C
+        )
+        # boundary-advancing states survive unexpanded: merge them back
+        keep = advancing & state["alive"]
+        keep_idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        base_count = jnp.minimum(jnp.sum(flat_valid.astype(jnp.int32)), C)
+        keep_target = base_count + keep_idx
+        keep_overflow = keep & (keep_target >= C)
+        overflow = overflow.at[state["seed"]].max(keep_overflow)
+        keep_write = keep & (keep_target < C)
+
+        def merge(field_name):
+            return new_state[field_name].at[
+                jnp.where(keep_write, keep_target, C + 1)
+            ].set(state[field_name], mode="drop")
+
+        merged = {key: merge(key) for key in new_state}
+        total = base_count + jnp.sum(keep.astype(jnp.int32))
+        merged["alive"] = jnp.arange(C, dtype=jnp.int32) < jnp.minimum(total, C)
+
+        return (merged, reports, num_reports, overflow), None
+
+    (final_state, reports, num_reports, overflow), _ = jax.lax.scan(
+        expand,
+        (state, reports0, num_reports0, overflow0),
+        None,
+        length=max_iterations,
+    )
+    return reports, num_reports, overflow
+
+
+def search_seeds_device(
+    index: DeviceIndex,
+    patterns: list[np.ndarray],
+    max_errors: int,
+    expanded_searches,
+    frontier_capacity: int = 1 << 14,
+    report_capacity: int = 1 << 12,
+):
+    """Run the frontier search for a batch of same-(length-class) seeds.
+
+    Returns (groups_per_seed: list[list[(lb, lb_rev, len, errors)]],
+    overflow: np.ndarray[bool]) with duplicate groups removed and groups
+    sorted canonically by (errors, lb, len)."""
+    tables = SchemeTables.from_searches(expanded_searches)
+    max_len = max(len(p) for p in patterns)
+    padded = np.zeros((len(patterns), max_len), dtype=np.int32)
+    for i, pattern in enumerate(patterns):
+        padded[i, : len(pattern)] = pattern
+
+    max_iterations = max_len + max_errors + 2 * tables.num_parts + 2
+
+    reports, num_reports, overflow = _frontier_search(
+        index,
+        jnp.asarray(padded),
+        tables.start,
+        tables.end,
+        tables.direction,
+        tables.lower,
+        tables.upper,
+        tables.num_searches,
+        tables.num_parts,
+        frontier_capacity,
+        report_capacity,
+        max_iterations,
+    )
+    reports = np.asarray(reports)[: int(num_reports)]
+    overflow = np.asarray(overflow)
+
+    groups: list[list[tuple[int, int, int, int]]] = [
+        [] for _ in range(len(patterns))
+    ]
+    seen: set = set()
+    for lb, lb_rev, length, errors, seed in reports:
+        key = (int(seed), int(lb), int(length), int(errors))
+        if key in seen:
+            continue
+        seen.add(key)
+        groups[int(seed)].append(
+            (int(lb), int(lb_rev), int(length), int(errors))
+        )
+    for per_seed in groups:
+        per_seed.sort(key=lambda g: (g[3], g[0], g[2]))
+    return groups, overflow
