@@ -17,6 +17,10 @@ import numpy as np
 
 
 def main():
+    from floxer_tpu.backend import ensure_backend
+
+    ensure_backend()
+
     import jax
     import jax.numpy as jnp
 

@@ -1,0 +1,43 @@
+"""JAX backend selection hardening.
+
+This environment routes TPU access through an experimental plugin whose
+platform registration is flaky: depending on process startup it may be
+known as 'axon', as 'tpu', or fail to resolve while JAX_PLATFORMS still
+says 'axon'. ensure_backend() makes first device use robust: honor an
+explicit FLOXER_TPU_PLATFORM override, otherwise try the configured
+platforms and fall back to automatic selection when resolution fails.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+logger = logging.getLogger("floxer-tpu")
+
+_ensured = False
+
+
+def ensure_backend() -> str:
+    """Initialize a working JAX backend; returns the backend name."""
+    global _ensured
+    import jax
+
+    override = os.environ.get("FLOXER_TPU_PLATFORM")
+    if override and not _ensured:
+        jax.config.update("jax_platforms", override)
+
+    try:
+        jax.devices()
+    except RuntimeError as error:
+        if _ensured:
+            raise
+        logger.debug(
+            "backend init failed (%s); falling back to automatic platform "
+            "selection",
+            error,
+        )
+        jax.config.update("jax_platforms", "")
+        jax.devices()
+    _ensured = True
+    return jax.default_backend()

@@ -66,6 +66,9 @@ class CommandLineInput:
     # TPU-native extensions (no reference counterpart)
     engine: str = "reference"  # reference | batched | device
     batch_size: int = 128
+    num_hosts: int = 1
+    host_id: int = 0
+    resume: bool = False
 
     def command_line_call(self) -> str:
         """Sanitized canonical echo for logs (floxer_cli.cpp:134-171)."""
@@ -362,6 +365,20 @@ def build_parser(advanced: bool = False) -> argparse.ArgumentParser:
         type=_ranged_int(1, 1 << 20),
         **adv(help="Queries per verification batch for the batched/device "
               "engines."),
+    )
+    parser.add_argument(
+        "--num-hosts", dest="num_hosts", default=1, type=_ranged_int(1, 4096),
+        **adv(help="Total number of hosts sharding the query stream "
+              "(strided by query internal id)."),
+    )
+    parser.add_argument(
+        "--host-id", dest="host_id", default=0, type=_ranged_int(0, 4095),
+        **adv(help="This host's shard id in [0, num-hosts)."),
+    )
+    parser.add_argument(
+        "--resume", dest="resume", action="store_true",
+        **adv(help="Resume an interrupted run: skip queries recorded in the "
+              "output's progress file and append to the output."),
     )
     return parser
 

@@ -110,21 +110,42 @@ class _BgzfWriter:
         self._handle.close()
 
 
-class AlignmentOutput:
-    """SAM or BAM writer selected by output path extension."""
+_BGZF_EOF_SIZE = 28
 
-    def __init__(self, output_path, references):
+
+class AlignmentOutput:
+    """SAM or BAM writer selected by output path extension.
+
+    append=True resumes an interrupted run: SAM appends records directly;
+    BAM strips the 28-byte BGZF EOF marker and continues the block stream.
+    """
+
+    def __init__(self, output_path, references, append: bool = False):
+        import os
+
         self.references = references
         self._ref_index = {ref.id: i for i, ref in enumerate(references)}
         path = str(output_path)
         self._is_bam = path.endswith(".bam")
-        header_text = self._header_text()
+        resuming = append and os.path.exists(path) and os.path.getsize(path) > 0
         if self._is_bam:
-            self._bgzf = _BgzfWriter(open(path, "wb"))
-            self._write_bam_header(header_text)
+            if resuming:
+                handle = open(path, "r+b")
+                handle.seek(0, os.SEEK_END)
+                size = handle.tell()
+                if size >= _BGZF_EOF_SIZE:
+                    handle.truncate(size - _BGZF_EOF_SIZE)
+                handle.seek(0, os.SEEK_END)
+                self._bgzf = _BgzfWriter(handle)
+            else:
+                self._bgzf = _BgzfWriter(open(path, "wb"))
+                self._write_bam_header(self._header_text())
         else:
-            self._handle = open(path, "wt")
-            self._handle.write(header_text)
+            if resuming:
+                self._handle = open(path, "at")
+            else:
+                self._handle = open(path, "wt")
+                self._handle.write(self._header_text())
 
     def _header_text(self) -> str:
         lines = ["@HD\tVN:1.6\tSO:unknown"]

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BIG = jnp.int32(1 << 20)
+# plain int: a jnp constant here would initialize the backend at import time
+BIG = 1 << 20
 
 
 @partial(jax.jit, static_argnames=("max_pattern_length",))

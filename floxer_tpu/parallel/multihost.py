@@ -1,0 +1,98 @@
+"""Multi-host orchestration: read sharding and output merging.
+
+The reference is strictly single-process (SURVEY.md section 2.4); floxer-tpu
+scales across TPU hosts with:
+
+  - deterministic strided READ SHARDING: host h of H processes the queries
+    whose internal id i satisfies i % H == h. Every host streams the same
+    FASTQ and skips foreign records — no coordination, no manifest, and
+    global internal ids (and with them output determinism) are preserved.
+  - per-host shard outputs merged into one canonical SAM/BAM ordered by
+    query internal id: because shards are strided, the merge is a
+    round-robin interleave of per-query record groups. On a real pod slice
+    this runs on host 0 after a barrier (jax.experimental.multihost_utils);
+    the same merge is exposed as `floxer_tpu.tools.merge_sam` for
+    file-based workflows.
+  - statistics merge: SearchAndAlignmentStatistics arrays are psum-mergeable
+    (stats.merge_other_into_this on gathered TOML dicts, or psum of the
+    histogram arrays on device).
+
+CLI: --num-hosts / --host-id select the shard (default 1/0: single host).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+
+def shard_queries(
+    queries: Iterable, host_id: int, num_hosts: int
+) -> Iterator:
+    """Strided query sharding by internal id (deterministic across hosts)."""
+    for query in queries:
+        if query.internal_id % num_hosts == host_id:
+            yield query
+
+
+def maybe_initialize_distributed() -> tuple[int, int]:
+    """Initialize jax.distributed from the standard env variables when a
+    coordinator is configured; returns (process_index, process_count)."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
+        return jax.process_index(), jax.process_count()
+    return 0, 1
+
+
+def _read_sam_query_groups(path):
+    """Yield (header_lines, groups) where groups are per-query record runs
+    in file order."""
+    header = []
+    groups = []
+    current_qname = None
+    with open(path) as handle:
+        for line in handle:
+            line = line.rstrip("\n")
+            if line.startswith("@"):
+                header.append(line)
+                continue
+            qname = line.split("\t", 1)[0]
+            if qname != current_qname:
+                groups.append((qname, []))
+                current_qname = qname
+            groups[-1][1].append(line)
+    return header, groups
+
+
+def merge_sam_shards(shard_paths: list[str], output_path: str) -> int:
+    """Round-robin interleave of strided shards into one SAM ordered by
+    query internal id. Returns the number of merged queries."""
+    shards = [_read_sam_query_groups(path) for path in shard_paths]
+    header = shards[0][0]
+    for other_header, _ in shards[1:]:
+        if other_header != header:
+            raise ValueError("shard headers disagree; not outputs of one run")
+
+    groups = [groups for _, groups in shards]
+    positions = [0] * len(shards)
+    total = 0
+    with open(output_path, "w") as out:
+        for line in header:
+            out.write(line + "\n")
+        exhausted = 0
+        shard = 0
+        while exhausted < len(shards):
+            if positions[shard] < len(groups[shard]):
+                _, lines = groups[shard][positions[shard]]
+                for line in lines:
+                    out.write(line + "\n")
+                positions[shard] += 1
+                total += 1
+                exhausted = 0
+            else:
+                exhausted += 1
+            shard = (shard + 1) % len(shards)
+    return total

@@ -297,26 +297,12 @@ def process_query_chunk(
         write_alignments_for_query(output, query, alignments, references.records)
 
 
-def _apply_platform_override() -> None:
-    """Honor FLOXER_TPU_PLATFORM=cpu|tpu|axon before any JAX backend use.
-
-    This environment pre-imports jax at interpreter startup pinned to the
-    TPU tunnel, so the env var JAX_PLATFORMS alone is too late; the config
-    update below still works as long as no device has been touched.
-    """
-    import os
-
-    platform = os.environ.get("FLOXER_TPU_PLATFORM")
-    if platform:
-        import jax
-
-        jax.config.update("jax_platforms", platform)
-
-
 def run(cli: CommandLineInput) -> int:
     """Main driver; mirrors src/main/floxer.cpp:35-195."""
     if cli.engine == "device":
-        _apply_platform_override()
+        from .backend import ensure_backend
+
+        ensure_backend()
     initialize_logger(cli.logfile_path, cli.console_debug_logs)
     logger.info("successfully parsed CLI input ... starting")
     logger.debug("command line call: %s", cli.command_line_call())
@@ -332,17 +318,49 @@ def run(cli: CommandLineInput) -> int:
         )
         return -1
 
+    import itertools
+    import os
+
     index = build_or_load_index(cli, references)
     searcher = make_searcher(cli, index, len(references.records))
-    output = AlignmentOutput(cli.output_path, references.records)
+
+    # checkpoint/resume: a progress cursor on the (sharded) query stream —
+    # the reference has no mid-run resume (SURVEY.md aux subsystem 4)
+    progress_path = f"{cli.output_path}.progress"
+    skip = 0
+    if cli.resume and os.path.exists(progress_path):
+        try:
+            skip = int(open(progress_path).read().strip() or 0)
+        except ValueError:
+            skip = 0
+        if skip:
+            logger.info("resuming: skipping %d already-processed queries", skip)
+
+    output = AlignmentOutput(
+        cli.output_path, references.records, append=cli.resume and skip > 0
+    )
     stats = SearchAndAlignmentStatistics(cli.stats_input_hint)
 
-    queries = Queries(
+    queries_stream = Queries(
         cli.queries_path,
         cli.query_num_errors,
         cli.query_error_probability,
         cli.pex_seed_num_errors,
     )
+    if cli.num_hosts > 1:
+        from .parallel.multihost import shard_queries
+
+        queries = shard_queries(queries_stream, cli.host_id, cli.num_hosts)
+    else:
+        queries = iter(queries_stream)
+    num_processed = 0
+    if skip:
+        queries = itertools.islice(queries, skip, None)
+        num_processed = skip
+
+    def record_progress() -> None:
+        with open(progress_path, "w") as handle:
+            handle.write(f"{num_processed}\n")
 
     logger.info(
         "aligning queries against %d references and writing output file to %s",
@@ -364,6 +382,8 @@ def run(cli: CommandLineInput) -> int:
                 timed_out = True
                 break
             process_query(query, cli, references, searcher, output, stats)
+            num_processed += 1
+            record_progress()
     else:
         while not timed_out:
             chunk = []
@@ -377,6 +397,8 @@ def run(cli: CommandLineInput) -> int:
                 timed_out = True
                 break
             process_query_chunk(chunk, cli, references, searcher, output, stats)
+            num_processed += len(chunk)
+            record_progress()
 
     if timed_out:
         logger.warning(
@@ -388,6 +410,10 @@ def run(cli: CommandLineInput) -> int:
 
     if timed_out:
         return -1
+
+    # a completed run needs no resume cursor
+    if os.path.exists(progress_path):
+        os.remove(progress_path)
 
     logger.info(
         "finished aligning successfully in %.2f seconds",
