@@ -69,6 +69,7 @@ class CommandLineInput:
     num_hosts: int = 1
     host_id: int = 0
     resume: bool = False
+    device_search: bool = False
 
     def command_line_call(self) -> str:
         """Sanitized canonical echo for logs (floxer_cli.cpp:134-171)."""
@@ -379,6 +380,13 @@ def build_parser(advanced: bool = False) -> argparse.ArgumentParser:
         "--resume", dest="resume", action="store_true",
         **adv(help="Resume an interrupted run: skip queries recorded in the "
               "output's progress file and append to the output."),
+    )
+    parser.add_argument(
+        "--device-search", dest="device_search", action="store_true",
+        **adv(help="Run the FM-index seed search as a masked-frontier "
+              "traversal on the JAX backend instead of the native host DFS. "
+              "Identical results while the anchor caps don't bind; when they "
+              "do, the (heuristic) anchor choice may differ."),
     )
     return parser
 

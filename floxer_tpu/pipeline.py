@@ -93,7 +93,7 @@ def build_or_load_index(cli: CommandLineInput, references: References) -> FmInde
 
 
 def make_searcher(cli: CommandLineInput, index: FmIndex, num_references: int):
-    return Searcher(
+    searcher = Searcher(
         index=index,
         num_reference_sequences=num_references,
         config=SearchConfig(
@@ -104,6 +104,12 @@ def make_searcher(cli: CommandLineInput, index: FmIndex, num_references: int):
             erase_useless_anchors=not cli.dont_erase_useless_anchors,
         ),
     )
+    if getattr(cli, "device_search", False):
+        from .index.device_index import DeviceIndex
+        from .search_device import DeviceSearcher
+
+        return DeviceSearcher(searcher, DeviceIndex.from_host(index))
+    return searcher
 
 
 def search_query_pure(

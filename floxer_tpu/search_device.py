@@ -48,6 +48,66 @@ _EDIT_SYMBOLS = (1, 2, 3, 4, 5)
 _OP_M, _OP_I, _OP_D = 0, 1, 2
 
 
+class DeviceSearcher:
+    """Drop-in Searcher that discovers anchor groups with the device
+    frontier search, then reuses the host post-processing (caps, ordering,
+    choice strategies, dominance sweep). Seeds that overflow the device
+    buffers transparently fall back to the host DFS."""
+
+    def __init__(self, host_searcher, device_index: DeviceIndex):
+        self._host = host_searcher
+        self._device_index = device_index
+        self.index = host_searcher.index
+        self.num_reference_sequences = host_searcher.num_reference_sequences
+        self.config = host_searcher.config
+
+    def search_seeds(self, seeds, query):
+        from .schemes import expand_scheme
+        from .search_host import (
+            AnchorGroup,
+            SearchResult,
+            search_seed_groups,
+        )
+        from .index.fmindex import Cursor
+
+        result = SearchResult()
+        result.anchors_by_seed = [None] * len(seeds)
+
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, seed in enumerate(seeds):
+            buckets.setdefault((seed.length, seed.num_errors), []).append(i)
+
+        for (length, errors), indices in buckets.items():
+            patterns = [
+                query[
+                    seeds[i].query_position : seeds[i].query_position + length
+                ]
+                for i in indices
+            ]
+            expanded = expand_scheme(errors, length)
+            groups_per_seed, overflow = search_seeds_device(
+                self._device_index, patterns, errors, expanded
+            )
+            for slot, i in enumerate(indices):
+                if overflow[slot]:
+                    groups, total_raw, _ = search_seed_groups(
+                        self.index,
+                        patterns[slot],
+                        errors,
+                        self._host.search_cap(),
+                    )
+                else:
+                    groups = [
+                        AnchorGroup(Cursor(lb, lb_rev, ln), er)
+                        for lb, lb_rev, ln, er in groups_per_seed[slot]
+                    ]
+                    total_raw = sum(g.cursor.length for g in groups)
+                result.anchors_by_seed[i] = self._host.process_seed_groups(
+                    seeds[i], groups, total_raw
+                )
+        return result
+
+
 @dataclass(frozen=True)
 class SchemeTables:
     """Expanded-search tables as device arrays [num_searches, num_parts]."""

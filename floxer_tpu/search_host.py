@@ -241,36 +241,44 @@ class Searcher:
     num_reference_sequences: int
     config: SearchConfig
 
+    def search_cap(self) -> int:
+        """search_n's result cap (search.cpp:176-179)."""
+        if self.config.anchor_choice_strategy == AnchorChoiceStrategy.FIRST_REPORTED:
+            return self.config.max_num_anchors_soft
+        return self.config.max_num_anchors_hard + 1
+
     def search_seeds(self, seeds: list[Seed], query: np.ndarray) -> SearchResult:
         result = SearchResult()
-        config = self.config
-
         for seed in seeds:
             pattern = query[seed.query_position : seed.query_position + seed.length]
-
-            if config.anchor_choice_strategy == AnchorChoiceStrategy.FIRST_REPORTED:
-                cap = config.max_num_anchors_soft
-            else:
-                cap = config.max_num_anchors_hard + 1
-
             groups, total_raw, _ = search_seed_groups(
-                self.index, pattern, seed.num_errors, cap
+                self.index, pattern, seed.num_errors, self.search_cap()
+            )
+            result.anchors_by_seed.append(
+                self.process_seed_groups(seed, groups, total_raw)
+            )
+        return result
+
+    def process_seed_groups(
+        self, seed: Seed, groups: list[AnchorGroup], total_raw: int
+    ) -> AnchorsOfSeed:
+        """Group post-processing: hard cap, ordering, choice strategy,
+        dominance sweep (search.cpp:190-318). Shared by the host DFS and the
+        device frontier search."""
+        config = self.config
+
+        if (
+            total_raw > config.max_num_anchors_hard
+            and config.anchor_choice_strategy != AnchorChoiceStrategy.FIRST_REPORTED
+        ):
+            # seed fully excluded (search.cpp:190-202)
+            return AnchorsOfSeed(
+                anchors_by_reference=[
+                    [] for _ in range(self.num_reference_sequences)
+                ]
             )
 
-            if (
-                total_raw > config.max_num_anchors_hard
-                and config.anchor_choice_strategy != AnchorChoiceStrategy.FIRST_REPORTED
-            ):
-                # seed fully excluded (search.cpp:190-202)
-                result.anchors_by_seed.append(
-                    AnchorsOfSeed(
-                        anchors_by_reference=[
-                            [] for _ in range(self.num_reference_sequences)
-                        ]
-                    )
-                )
-                continue
-
+        if True:
             if config.anchor_group_order == AnchorGroupOrder.COUNT_FIRST:
                 groups.sort(key=lambda g: (g.cursor.length, g.num_errors))
             elif config.anchor_group_order == AnchorGroupOrder.ERRORS_FIRST:
@@ -329,16 +337,12 @@ class Searcher:
             if config.erase_useless_anchors:
                 num_kept_useful = erase_useless_anchors(anchors_by_reference)
 
-            result.anchors_by_seed.append(
-                AnchorsOfSeed(
-                    num_kept_useful_anchors=num_kept_useful,
-                    num_kept_raw_anchors=num_kept_raw,
-                    num_excluded_raw_anchors_by_soft_cap=num_excluded_soft,
-                    anchors_by_reference=anchors_by_reference,
-                )
+            return AnchorsOfSeed(
+                num_kept_useful_anchors=num_kept_useful,
+                num_kept_raw_anchors=num_kept_raw,
+                num_excluded_raw_anchors_by_soft_cap=num_excluded_soft,
+                anchors_by_reference=anchors_by_reference,
             )
-
-        return result
 
 
 def erase_useless_anchors(anchors_by_reference: list[list[Anchor]]) -> int:

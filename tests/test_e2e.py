@@ -196,6 +196,22 @@ def test_whole_program_bam_output(tmp_path, data_dir):
     check_output_records(records)
 
 
+def test_device_search_e2e(tmp_path, data_dir):
+    """Full device pipeline: frontier search + batched verification must
+    satisfy the reference e2e expectations (caps don't bind here)."""
+    proc, output = run_aligner(
+        tmp_path,
+        data_dir,
+        [
+            "--query-errors", "2", "--seed-errors", "1",
+            "--extra-verification-ratio", "2",
+            "--engine", "device", "--device-search",
+        ],
+    )
+    assert proc.returncode == 0, proc.stderr
+    check_output_records(parse_sam(output))
+
+
 @pytest.mark.parametrize("engine", ["batched", "device"])
 def test_engines_produce_identical_sam(tmp_path, data_dir, engine):
     """The batched/device engines must emit byte-identical records to the
