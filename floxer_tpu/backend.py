@@ -27,6 +27,25 @@ def ensure_backend() -> str:
     if override and not _ensured:
         jax.config.update("jax_platforms", override)
 
+    if not _ensured:
+        # persistent compilation cache: kernel shapes recur across runs, and
+        # compiles through the TPU tunnel are expensive
+        cache_dir = os.environ.get(
+            "FLOXER_TPU_JAX_CACHE",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "floxer_tpu", "jax_cache"
+            ),
+        )
+        if cache_dir != "off":
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.5
+                )
+            except Exception as error:  # noqa: BLE001
+                logger.debug("compilation cache unavailable: %s", error)
+
     try:
         jax.devices()
     except RuntimeError as error:

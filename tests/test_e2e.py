@@ -244,6 +244,45 @@ def test_without_cigar_mode(tmp_path, data_dir):
         assert record["tags"]["NM"] in (0, 1, 2)
 
 
+def test_multithreaded_matches_reference_expectations(tmp_path, data_dir):
+    """Parity with the reference's 4-thread e2e variant
+    (floxer_whole_program_via_cli_test.cpp:141-143)."""
+    proc, output = run_aligner(
+        tmp_path,
+        data_dir,
+        ["--query-errors", "2", "--seed-errors", "1",
+         "--extra-verification-ratio", "2", "--threads", "4",
+         "--engine", "batched"],
+    )
+    assert proc.returncode == 0, proc.stderr
+    check_output_records(parse_sam(output))
+
+
+def test_logfile_written(tmp_path, data_dir):
+    logfile = tmp_path / "floxer.log"
+    proc, _ = run_aligner(
+        tmp_path,
+        data_dir,
+        ["--query-errors", "2", "--logfile", str(logfile)],
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert logfile.exists()
+    assert "aligning queries" in logfile.read_text()
+
+
+def test_timeout_truncates_and_fails(tmp_path, data_dir):
+    import time as _time
+
+    proc, output = run_aligner(
+        tmp_path,
+        data_dir,
+        ["--query-errors", "2", "--timeout", "0"],
+    )
+    # exit -1 (=255) and a warning; output may be truncated
+    assert proc.returncode == 255
+    assert "Timeout happened" in proc.stderr
+
+
 def test_stats_toml_output(tmp_path, data_dir):
     stats_path = tmp_path / "stats.toml"
     proc, _ = run_aligner(
