@@ -70,6 +70,7 @@ class CommandLineInput:
     host_id: int = 0
     resume: bool = False
     device_search: bool = False
+    profile_dir: Optional[str] = None
 
     def command_line_call(self) -> str:
         """Sanitized canonical echo for logs (floxer_cli.cpp:134-171)."""
@@ -380,6 +381,11 @@ def build_parser(advanced: bool = False) -> argparse.ArgumentParser:
         "--resume", dest="resume", action="store_true",
         **adv(help="Resume an interrupted run: skip queries recorded in the "
               "output's progress file and append to the output."),
+    )
+    parser.add_argument(
+        "--profile", dest="profile_dir", default=None,
+        **adv(help="Write a jax.profiler trace of the alignment phase to "
+              "this directory (view with TensorBoard/Perfetto)."),
     )
     parser.add_argument(
         "--device-search", dest="device_search", action="store_true",

@@ -376,6 +376,18 @@ def run(cli: CommandLineInput) -> int:
     aligning_started = time.monotonic()
     timed_out = False
 
+    profiling = False
+    if cli.profile_dir:
+        # jax.profiler trace of the alignment phase (SURVEY.md aux 1: the
+        # reference only has wall-clock stopwatches)
+        try:
+            import jax
+
+            jax.profiler.start_trace(cli.profile_dir)
+            profiling = True
+        except Exception as error:  # noqa: BLE001
+            logger.warning("profiler unavailable: %s", error)
+
     def hit_timeout() -> bool:
         return (
             cli.timeout_seconds is not None
@@ -413,6 +425,11 @@ def run(cli: CommandLineInput) -> int:
         )
 
     output.close()
+
+    if profiling:
+        import jax
+
+        jax.profiler.stop_trace()
 
     if timed_out:
         return -1

@@ -436,7 +436,13 @@ def search_seeds_device(
     sorted canonically by (errors, lb, len)."""
     tables = SchemeTables.from_searches(expanded_searches)
     max_len = max(len(p) for p in patterns)
-    padded = np.zeros((len(patterns), max_len), dtype=np.int32)
+    # pad the seed count to a power of two so the jitted kernel sees a
+    # bounded set of shapes (padding seeds carry an all-sentinel pattern
+    # that can never extend)
+    num_padded = 8
+    while num_padded < len(patterns):
+        num_padded *= 2
+    padded = np.zeros((num_padded, max_len), dtype=np.int32)
     for i, pattern in enumerate(patterns):
         padded[i, : len(pattern)] = pattern
 
@@ -464,6 +470,8 @@ def search_seeds_device(
     ]
     seen: set = set()
     for lb, lb_rev, length, errors, seed in reports:
+        if int(seed) >= len(patterns):  # padding seed
+            continue
         key = (int(seed), int(lb), int(length), int(errors))
         if key in seen:
             continue

@@ -143,15 +143,21 @@ class _TaskBatcher:
                     distances[i] = last[end]
                     ends[i] = end
                 continue
-            pat, plen = pad_batch(
-                [self.patterns[i] for i in slots], pad_to=m_bucket
-            )
-            txt, tlen = pad_batch(
-                [self.windows[i] for i in slots], pad_to=n_bucket
-            )
+            # pad the batch dimension to a power of two as well, so the
+            # jitted kernel sees a bounded set of (B, M, N) shapes — a fresh
+            # compile per wave would dominate on a remote TPU
+            b_bucket = pow2_at_least(len(slots), 8)
+            dummy = np.zeros(1, dtype=np.uint8)
+            batch_patterns = [self.patterns[i] for i in slots]
+            batch_windows = [self.windows[i] for i in slots]
+            while len(batch_patterns) < b_bucket:
+                batch_patterns.append(dummy)
+                batch_windows.append(dummy)
+            pat, plen = pad_batch(batch_patterns, pad_to=m_bucket)
+            txt, tlen = pad_batch(batch_windows, pad_to=n_bucket)
             bucket_distances, bucket_ends = myers_distance(pat, plen, txt, tlen)
-            distances[slots] = np.asarray(bucket_distances)
-            ends[slots] = np.asarray(bucket_ends)
+            distances[slots] = np.asarray(bucket_distances)[: len(slots)]
+            ends[slots] = np.asarray(bucket_ends)[: len(slots)]
 
         return distances, ends
 
