@@ -194,25 +194,28 @@ def myers_batched_large(
     of the (Eq & VP) + VP addition — is resolved with a Kogge-Stone
     generate/propagate prefix scan (log W depth); the bit-shift carries are
     a plain word roll. Handles 100k-base root verifications (W ~ 3200) in
-    one compiled kernel."""
+    one compiled kernel.
+
+    Layout [B, W]: the word axis sits on the 128-lane dimension, so even a
+    batch-of-one root verification (the common case under interval
+    optimization) fills the VPU — a [W, B] layout would leave 127/128 lanes
+    idle at B = 1."""
     B = peq.shape[0]
     W = num_words
     texts = texts.astype(jnp.int32)
     pattern_lengths = pattern_lengths.astype(jnp.int32)
     text_lengths = text_lengths.astype(jnp.int32)
 
-    peq_w_first = jnp.transpose(peq, (2, 0, 1))  # [W, B, SIGMA]
-
     msb_word = (pattern_lengths - 1) // WORD  # [B]
     msb_bit = ((pattern_lengths - 1) % WORD).astype(jnp.uint32)
     msb_mask = (jnp.uint32(1) << msb_bit).astype(jnp.uint32)  # [B]
 
-    word_ids = jnp.arange(W, dtype=jnp.int32)[:, None]  # [W, 1]
-    active = word_ids <= msb_word[None, :]  # [W, B]
+    word_ids = jnp.arange(W, dtype=jnp.int32)[None, :]  # [1, W]
+    active = word_ids <= msb_word[:, None]  # [B, W]
     ones = jnp.uint32(0xFFFFFFFF)
 
     vp0 = jnp.where(active, ones, jnp.uint32(0))
-    vn0 = jnp.zeros((W, B), dtype=jnp.uint32)
+    vn0 = jnp.zeros((B, W), dtype=jnp.uint32)
 
     def carry_combine(left, right):
         # (g, p) monoid for carry lookahead: right after left
@@ -224,17 +227,17 @@ def myers_batched_large(
         vp, vn, score, best, best_end = carry
         chars = texts[:, j]  # [B]
         eq = jnp.take_along_axis(
-            peq_w_first, chars[None, :, None], axis=2
-        ).squeeze(-1)  # [W, B]
+            peq, chars[:, None, None], axis=1
+        )[:, 0, :]  # [B, W]
 
         a = eq & vp
         t = a + vp  # wrapping add, carries resolved below
         g = (t < a).astype(jnp.uint32)  # carry generate
         p = (t == ones).astype(jnp.uint32)  # carry propagate
-        G, _ = jax.lax.associative_scan(carry_combine, (g, p), axis=0)
+        G, _ = jax.lax.associative_scan(carry_combine, (g, p), axis=1)
         # exclusive carries: word w receives the inclusive scan up to w-1
         carry_in = jnp.concatenate(
-            [jnp.zeros((1, B), dtype=jnp.uint32), G[:-1]], axis=0
+            [jnp.zeros((B, 1), dtype=jnp.uint32), G[:, :-1]], axis=1
         )
         s = t + carry_in
 
@@ -245,19 +248,22 @@ def myers_batched_large(
 
         # MSB-row deltas, gathered at each lane's top word
         ph_msb = (
-            jnp.take_along_axis(ph, msb_word[None, :].astype(jnp.int32), 0)[0]
+            jnp.take_along_axis(ph, msb_word[:, None].astype(jnp.int32), 1)[:, 0]
             & msb_mask
         )
         mh_msb = (
-            jnp.take_along_axis(mh, msb_word[None, :].astype(jnp.int32), 0)[0]
+            jnp.take_along_axis(mh, msb_word[:, None].astype(jnp.int32), 1)[:, 0]
             & msb_mask
         )
 
         # cross-word left shift: word w takes word w-1's MSB
         def shift1(x):
             carry = jnp.concatenate(
-                [jnp.zeros((1, B), dtype=jnp.uint32), x[:-1] >> jnp.uint32(31)],
-                axis=0,
+                [
+                    jnp.zeros((B, 1), dtype=jnp.uint32),
+                    x[:, :-1] >> jnp.uint32(31),
+                ],
+                axis=1,
             )
             return (x << jnp.uint32(1)) | carry
 

@@ -112,17 +112,20 @@ class _TaskBatcher:
         if count == 0:
             return distances, ends
 
-        def pow2_at_least(x, floor):
+        def bucket_at_least(x, floor):
+            # geometric 1.25-step buckets aligned to 128: bounded shape
+            # count for the jit cache with <= 25% padding waste (pow2 steps
+            # waste up to 2x on the dominant root-sized tasks)
             size = floor
             while size < x:
-                size *= 2
+                size = -(-(size * 5 // 4 + 1) // 128) * 128
             return size
 
         buckets: dict[tuple[int, int], list[int]] = {}
         for i, (pattern, window) in enumerate(zip(self.patterns, self.windows)):
             key = (
-                pow2_at_least(len(pattern), 128),
-                pow2_at_least(len(window), 256),
+                bucket_at_least(len(pattern), 128),
+                bucket_at_least(len(window), 256),
             )
             buckets.setdefault(key, []).append(i)
 
@@ -145,8 +148,11 @@ class _TaskBatcher:
                 continue
             # pad the batch dimension to a power of two as well, so the
             # jitted kernel sees a bounded set of (B, M, N) shapes — a fresh
-            # compile per wave would dominate on a remote TPU
-            b_bucket = pow2_at_least(len(slots), 8)
+            # compile per wave would dominate on a remote TPU. Min 1: big
+            # single-task buckets (roots) must not pay 8x padding.
+            b_bucket = 1
+            while b_bucket < len(slots):
+                b_bucket *= 2
             dummy = np.zeros(1, dtype=np.uint8)
             batch_patterns = [self.patterns[i] for i in slots]
             batch_windows = [self.windows[i] for i in slots]
@@ -208,6 +214,19 @@ class BatchVerifier:
         distinct locus instead of one per anchor."""
         walks = self._build_walks(items)
         computed: set[int] = set()
+        self._task_cache: dict = {}
+        self._root_memo: dict = {}
+
+        # prescreen: one cheap batched pass over every walk's FIRST level
+        # (the smallest spans) resolves junk anchors immediately — their
+        # walks can never reach the root, so the wave loop's optimistic
+        # cache simulation won't wrongly shadow other anchors behind them
+        all_ids = list(range(len(walks)))
+        self._compute_walks(walks, items, all_ids, max_depth=1)
+        for walk_id in all_ids:
+            walk = walks[walk_id]
+            if walk.levels and not walk.levels[0].exists:
+                computed.add(walk_id)
 
         while True:
             need = self._scan(walks, items, computed, record=None)
@@ -339,13 +358,20 @@ class BatchVerifier:
         walks: list[_AnchorWalk],
         items: list[_QueryItem],
         subset: list[int],
+        max_depth: int | None = None,
     ):
-        max_depth = max((len(walks[w].levels) for w in subset), default=0)
+        limit = max((len(walks[w].levels) for w in subset), default=0)
+        if max_depth is not None:
+            limit = min(limit, max_depth)
         active = list(subset)
+        cache = getattr(self, "_task_cache", None)
+        if cache is None:
+            cache = self._task_cache = {}
 
-        for depth in range(max_depth):
+        for depth in range(limit):
             batcher = _TaskBatcher(self.use_device)
             slot_of_walk = {}
+            cached_of_walk = {}
             for walk_id in active:
                 walk = walks[walk_id]
                 if depth >= len(walk.levels):
@@ -354,12 +380,6 @@ class BatchVerifier:
                 item = items[walk.query_index]
                 query = self._oriented_query(item, walk.orientation)
                 reference = self.references[walk.anchor.reference_id]
-                pattern = query[
-                    level.node.query_index_from : level.node.query_index_to + 1
-                ]
-                window = reference.rank_sequence[
-                    level.span.offset : level.span.offset + level.span.length
-                ]
                 key = (
                     walk.query_index,
                     walk.orientation,
@@ -369,22 +389,41 @@ class BatchVerifier:
                     level.span.offset,
                     level.span.length,
                 )
-                slot_of_walk[walk_id] = batcher.add(key, pattern, window, walk_id)
+                hit = cache.get(key)
+                if hit is not None:
+                    cached_of_walk[walk_id] = hit
+                    continue
+                pattern = query[
+                    level.node.query_index_from : level.node.query_index_to + 1
+                ]
+                window = reference.rank_sequence[
+                    level.span.offset : level.span.offset + level.span.length
+                ]
+                slot_of_walk[walk_id] = (
+                    batcher.add(key, pattern, window, walk_id),
+                    key,
+                )
 
             distances, ends = batcher.run()
 
             next_active = []
             root_tasks = []  # (walk_id, level, distance, end)
-            for walk_id, slot in slot_of_walk.items():
+            for walk_id in active:
                 walk = walks[walk_id]
+                if depth >= len(walk.levels):
+                    continue
                 level = walk.levels[depth]
-                distance = int(distances[slot])
+                if walk_id in cached_of_walk:
+                    distance, end = cached_of_walk[walk_id]
+                else:
+                    slot, key = slot_of_walk[walk_id]
+                    distance = int(distances[slot])
+                    end = int(ends[slot])
+                    cache[key] = (distance, end)
                 level.exists = distance <= level.node.num_errors
                 if level.node.is_root:
                     if level.exists:
-                        root_tasks.append(
-                            (walk_id, level, distance, int(ends[slot]))
-                        )
+                        root_tasks.append((walk_id, level, distance, end))
                 elif level.exists and depth + 1 < len(walk.levels):
                     next_active.append(walk_id)
 
@@ -432,7 +471,9 @@ class BatchVerifier:
                 level.cigar = []
             return
 
-        memo = {}
+        memo = getattr(self, "_root_memo", None)
+        if memo is None:
+            memo = self._root_memo = {}
         for walk_id, level, distance, end in root_tasks:
             walk = walks[walk_id]
             item = items[walk.query_index]
