@@ -212,10 +212,17 @@ class BatchVerifier:
         replay — output is byte-identical to the sequential verifier, but
         with --interval-optimization the device computes ~one walk per
         distinct locus instead of one per anchor."""
+        import logging
+        import time as _time
+
+        log = logging.getLogger("floxer-tpu")
+        t0 = _time.monotonic()
+
         walks = self._build_walks(items)
         computed: set[int] = set()
         self._task_cache: dict = {}
         self._root_memo: dict = {}
+        t_build = _time.monotonic()
 
         # prescreen: one cheap batched pass over every walk's FIRST level
         # (the smallest spans) resolves junk anchors immediately — their
@@ -227,17 +234,31 @@ class BatchVerifier:
             walk = walks[walk_id]
             if walk.levels and not walk.levels[0].exists:
                 computed.add(walk_id)
+        t_prescreen = _time.monotonic()
 
+        waves = 0
         while True:
             need = self._scan(walks, items, computed, record=None)
             if not need:
                 break
+            waves += 1
             self._compute_walks(walks, items, need)
             computed.update(need)
+        t_waves = _time.monotonic()
 
         alignments = [QueryAlignments(len(self.references)) for _ in items]
         leftover = self._scan(walks, items, computed, record=alignments)
         assert not leftover
+        log.debug(
+            "verify batch: %d walks, %d waves; build %.2fs prescreen %.2fs "
+            "waves %.2fs record %.2fs",
+            len(walks),
+            waves,
+            t_build - t0,
+            t_prescreen - t_build,
+            t_waves - t_prescreen,
+            _time.monotonic() - t_waves,
+        )
         return alignments
 
     def _scan(
