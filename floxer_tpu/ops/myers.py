@@ -223,8 +223,9 @@ def myers_batched_large(
         gr, pr = right
         return gr | (pr & gl), pr & pl
 
-    def step(carry, j):
-        vp, vn, score, best, best_end = carry
+    UNROLL = 4
+
+    def one_char(vp, vn, score, best, best_end, j):
         chars = texts[:, j]  # [B]
         eq = jnp.take_along_axis(
             peq, chars[:, None, None], axis=1
@@ -280,9 +281,22 @@ def myers_batched_large(
         improves = eligible & (score <= best)
         best = jnp.where(improves, score, best)
         best_end = jnp.where(improves, j + 1, best_end)
+        return vp, vn, score, best, best_end
+
+    def step(carry, block):
+        vp, vn, score, best, best_end = carry
+        # a small unrolled block per scan iteration amortizes the per-step
+        # loop overhead of lax.scan
+        for u in range(UNROLL):
+            vp, vn, score, best, best_end = one_char(
+                vp, vn, score, best, best_end, block * UNROLL + u
+            )
         return (vp, vn, score, best, best_end), None
 
     N = texts.shape[1]
+    num_blocks = -(-N // UNROLL)
+    if N % UNROLL:
+        texts = jnp.pad(texts, ((0, 0), (0, num_blocks * UNROLL - N)))
     init = (
         vp0,
         vn0,
@@ -291,7 +305,7 @@ def myers_batched_large(
         jnp.zeros((B,), dtype=jnp.int32),
     )
     (_, _, _, best, best_end), _ = jax.lax.scan(
-        step, init, jnp.arange(N, dtype=jnp.int32)
+        step, init, jnp.arange(num_blocks, dtype=jnp.int32)
     )
     return best, best_end
 

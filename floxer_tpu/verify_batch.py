@@ -224,25 +224,62 @@ class BatchVerifier:
         self._root_memo: dict = {}
         t_build = _time.monotonic()
 
-        # prescreen: one cheap batched pass over every walk's FIRST level
-        # (the smallest spans) resolves junk anchors immediately — their
+        # prescreen: cheap batched passes over every walk's first few levels
+        # (the smallest spans) resolve junk anchors immediately — their
         # walks can never reach the root, so the wave loop's optimistic
         # cache simulation won't wrongly shadow other anchors behind them
-        all_ids = list(range(len(walks)))
-        self._compute_walks(walks, items, all_ids, max_depth=1)
-        for walk_id in all_ids:
-            walk = walks[walk_id]
-            if walk.levels and not walk.levels[0].exists:
-                computed.add(walk_id)
+        # and trigger repair waves
+        # depth 0 disables the prescreen: with flat single-dispatch waves,
+        # letting the wave loop resolve mis-predicted walks is cheaper than
+        # prescreening the (mostly cache-skipped) full anchor set
+        prescreen_depth = int(
+            __import__("os").environ.get("FLOXER_TPU_PRESCREEN_DEPTH", "0")
+        )
+        if prescreen_depth > 0:
+            all_ids = list(range(len(walks)))
+            self._compute_walks(
+                walks, items, all_ids, max_depth=prescreen_depth
+            )
+            for walk_id in all_ids:
+                walk = walks[walk_id]
+                prescreened = walk.levels[:prescreen_depth]
+                if prescreened and not all(
+                    level.exists for level in prescreened
+                ):
+                    computed.add(walk_id)
         t_prescreen = _time.monotonic()
 
         waves = 0
+        need_total = 0
+        CHECK_DEPTH = 3
         while True:
             need = self._scan(walks, items, computed, record=None)
             if not need:
                 break
             waves += 1
-            self._compute_walks(walks, items, need)
+            need_total += len(need)
+            # cheap plausibility check first: the selected walks' first few
+            # (smallest) levels. Walks failing there resolve immediately and
+            # the scan repeats with corrected knowledge — this keeps wrong
+            # optimistic predictions from triggering full-size repair waves.
+            self._compute_walks(walks, items, need, max_depth=CHECK_DEPTH)
+            failed = [
+                walk_id
+                for walk_id in need
+                if not all(
+                    level.exists
+                    for level in walks[walk_id].levels[:CHECK_DEPTH]
+                )
+            ]
+            if failed:
+                computed.update(failed)
+                continue
+            # all levels of the surviving walks go out as ONE flat batch:
+            # the early-exit is only a compute saving, never a dependency —
+            # the authoritative replay ignores levels past the first failure
+            # — and on a remote TPU, dispatch rounds cost more than the
+            # extra cells
+            self._compute_walks_flat(walks, items, need)
             computed.update(need)
         t_waves = _time.monotonic()
 
@@ -250,10 +287,11 @@ class BatchVerifier:
         leftover = self._scan(walks, items, computed, record=alignments)
         assert not leftover
         log.debug(
-            "verify batch: %d walks, %d waves; build %.2fs prescreen %.2fs "
-            "waves %.2fs record %.2fs",
+            "verify batch: %d walks, %d waves (%d walks computed); "
+            "build %.2fs prescreen %.2fs waves %.2fs record %.2fs",
             len(walks),
             waves,
+            need_total,
             t_build - t0,
             t_prescreen - t_build,
             t_waves - t_prescreen,
@@ -450,6 +488,64 @@ class BatchVerifier:
 
             self._finalize_roots(root_tasks, walks, items)
             active = next_active
+
+    def _compute_walks_flat(
+        self,
+        walks: list[_AnchorWalk],
+        items: list[_QueryItem],
+        subset: list[int],
+    ):
+        """Compute every level of every walk in `subset` with one batcher
+        pass (no per-depth rounds)."""
+        cache = getattr(self, "_task_cache", None)
+        if cache is None:
+            cache = self._task_cache = {}
+
+        batcher = _TaskBatcher(self.use_device)
+        pending = []  # (walk_id, depth, key, slot_or_None)
+        for walk_id in subset:
+            walk = walks[walk_id]
+            item = items[walk.query_index]
+            query = self._oriented_query(item, walk.orientation)
+            reference = self.references[walk.anchor.reference_id]
+            for depth, level in enumerate(walk.levels):
+                key = (
+                    walk.query_index,
+                    walk.orientation,
+                    walk.anchor.reference_id,
+                    level.node.query_index_from,
+                    level.node.query_index_to,
+                    level.span.offset,
+                    level.span.length,
+                )
+                if key in cache:
+                    pending.append((walk_id, depth, key, None))
+                    continue
+                pattern = query[
+                    level.node.query_index_from : level.node.query_index_to + 1
+                ]
+                window = reference.rank_sequence[
+                    level.span.offset : level.span.offset + level.span.length
+                ]
+                slot = batcher.add(key, pattern, window, walk_id)
+                pending.append((walk_id, depth, key, slot))
+
+        distances, ends = batcher.run()
+
+        root_tasks = []
+        for walk_id, depth, key, slot in pending:
+            level = walks[walk_id].levels[depth]
+            if slot is None:
+                distance, end = cache[key]
+            else:
+                distance = int(distances[slot])
+                end = int(ends[slot])
+                cache[key] = (distance, end)
+            level.exists = distance <= level.node.num_errors
+            if level.node.is_root and level.exists:
+                root_tasks.append((walk_id, level, distance, end))
+
+        self._finalize_roots(root_tasks, walks, items)
 
     def _finalize_roots(self, root_tasks, walks, items):
         """Begin/CIGAR for accepted roots; memoized per unique task."""
