@@ -83,6 +83,15 @@ def get_library():
             i64p, u8p, ctypes.c_int64, i64p,
         ]
         lib.floxer_banded_traceback.restype = ctypes.c_int
+        lib.floxer_search_seeds_batch.argtypes = [
+            u8p, i64p, u8p, i64p, i64p, ctypes.c_int64,  # index
+            u8p, ctypes.c_int64, ctypes.c_int64,  # patterns
+            i64p, ctypes.c_int64, ctypes.c_int64,  # scheme
+            ctypes.c_int64, ctypes.c_int64,  # caps
+            i64p, i64p,  # outputs
+            ctypes.c_int64,  # threads
+        ]
+        lib.floxer_search_seeds_batch.restype = ctypes.c_int
         _lib = lib
     except OSError as error:
         logger.debug("native library load failed: %s", error)
@@ -163,6 +172,87 @@ def native_search_seed(
     aborted = bool(status & 1)
     groups = out_groups[: num_groups * 4].reshape(num_groups, 4)
     return groups, total, aborted
+
+
+def _pack_scheme(expanded_searches):
+    num_searches = len(expanded_searches)
+    num_parts = len(expanded_searches[0].pi)
+    parts_flat = np.empty(num_searches * num_parts * 5, dtype=np.int64)
+    pos = 0
+    for search in expanded_searches:
+        for j in range(num_parts):
+            start, end = search.part_spans[j]
+            parts_flat[pos : pos + 5] = (
+                start,
+                end,
+                search.directions[j],
+                search.lower[j],
+                search.upper[j],
+            )
+            pos += 5
+    return parts_flat, num_searches, num_parts
+
+
+def native_search_seeds_batch(
+    index,
+    patterns: np.ndarray,  # uint8 [num_seeds, pattern_len], uniform length
+    expanded_searches,
+    max_total: int,
+    num_threads: int = 1,
+):
+    """Batched native scheme-DFS over uniform-length seeds; returns
+    (list_of_(groups_array, total, aborted) or None per seed), or None when
+    the native library is unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+
+    parts_flat, num_searches, num_parts = _pack_scheme(expanded_searches)
+    num_seeds, pattern_len = patterns.shape
+    max_groups = int(min(max_total, 1_000_000)) + 8
+    out_groups = np.empty(num_seeds * max_groups * 4, dtype=np.int64)
+    out_meta = np.zeros(num_seeds * 3, dtype=np.int64)
+    patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
+
+    bwt_fwd = np.ascontiguousarray(index.fwd.bwt)
+    occ_fwd = np.ascontiguousarray(index.fwd.occ_checkpoints)
+    bwt_rev = np.ascontiguousarray(index.rev.bwt)
+    occ_rev = np.ascontiguousarray(index.rev.occ_checkpoints)
+    C = np.ascontiguousarray(index.C, dtype=np.int64)
+
+    lib.floxer_search_seeds_batch(
+        _as_u8p(bwt_fwd),
+        _as_i64p(occ_fwd),
+        _as_u8p(bwt_rev),
+        _as_i64p(occ_rev),
+        _as_i64p(C),
+        ctypes.c_int64(index.n),
+        _as_u8p(patterns),
+        ctypes.c_int64(pattern_len),
+        ctypes.c_int64(num_seeds),
+        _as_i64p(parts_flat),
+        ctypes.c_int64(num_searches),
+        ctypes.c_int64(num_parts),
+        ctypes.c_int64(max_total),
+        ctypes.c_int64(max_groups),
+        _as_i64p(out_groups),
+        _as_i64p(out_meta),
+        ctypes.c_int64(num_threads),
+    )
+
+    results = []
+    for i in range(num_seeds):
+        num_groups = int(out_meta[i * 3])
+        total = int(out_meta[i * 3 + 1])
+        status = int(out_meta[i * 3 + 2])
+        if status & 2:
+            results.append(None)  # overflow: caller falls back
+            continue
+        rows = out_groups[
+            i * max_groups * 4 : i * max_groups * 4 + num_groups * 4
+        ].reshape(num_groups, 4)
+        results.append((rows.copy(), total, bool(status & 1)))
+    return results
 
 
 _OP_CHARS = "=XID"

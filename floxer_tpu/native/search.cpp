@@ -13,8 +13,10 @@
 //
 // Build: compiled into libfloxer_native.so together with sais.cpp.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <unordered_set>
 #include <vector>
 
@@ -183,6 +185,33 @@ struct SearchState {
 
 }  // namespace
 
+namespace {
+
+int search_one(const BiIndex& index, const uint8_t* pattern,
+               const int64_t* parts_flat, int64_t num_searches,
+               int64_t num_parts, int64_t max_total, int64_t max_groups,
+               int64_t* out_groups, int64_t* out_meta) {
+    SearchState state;
+    state.index = &index;
+    state.pattern = pattern;
+    state.num_parts = num_parts;
+    state.max_total = max_total;
+    state.max_groups = max_groups;
+    state.out_groups = out_groups;
+
+    Cursor const root{0, 0, index.n};
+    for (int64_t s = 0; s < num_searches && !state.aborted; s++) {
+        state.parts =
+            reinterpret_cast<const PartSpec*>(parts_flat + s * num_parts * 5);
+        state.process_part(root, 0, 0, 0);
+    }
+    out_meta[0] = state.num_groups;
+    out_meta[1] = state.total;
+    return (state.aborted ? 1 : 0) | (state.overflow ? 2 : 0);
+}
+
+}  // namespace
+
 extern "C" {
 
 // Returns: bit 0 = aborted (cap hit), bit 1 = group-buffer overflow.
@@ -193,26 +222,50 @@ int floxer_search_seed(
     int64_t num_parts, int64_t max_total, int64_t max_groups,
     int64_t* out_groups, int64_t* out_meta /* [2]: num_groups, total */) {
     BiIndex const index{{bwt_fwd, occ_fwd}, {bwt_rev, occ_rev}, C, n};
+    return search_one(index, pattern, parts_flat, num_searches, num_parts,
+                      max_total, max_groups, out_groups, out_meta);
+}
 
-    SearchState state;
-    state.index = &index;
-    state.pattern = pattern;
-    state.num_parts = num_parts;
-    state.max_total = max_total;
-    state.max_groups = max_groups;
-    state.out_groups = out_groups;
+// Batched variant: num_seeds patterns of uniform length, one scheme, split
+// across num_threads host workers. out_groups is
+// [num_seeds][max_groups_per_seed][4]; out_meta is [num_seeds][3] with
+// (num_groups, total, status).
+int floxer_search_seeds_batch(
+    const uint8_t* bwt_fwd, const int64_t* occ_fwd, const uint8_t* bwt_rev,
+    const int64_t* occ_rev, const int64_t* C, int64_t n,
+    const uint8_t* patterns, int64_t pattern_len, int64_t num_seeds,
+    const int64_t* parts_flat, int64_t num_searches, int64_t num_parts,
+    int64_t max_total, int64_t max_groups_per_seed, int64_t* out_groups,
+    int64_t* out_meta, int64_t num_threads) {
+    BiIndex const index{{bwt_fwd, occ_fwd}, {bwt_rev, occ_rev}, C, n};
 
-    Cursor const root{0, 0, n};
+    auto worker = [&](int64_t begin, int64_t end) {
+        for (int64_t i = begin; i < end; i++) {
+            int const status = search_one(
+                index, patterns + i * pattern_len, parts_flat, num_searches,
+                num_parts, max_total, max_groups_per_seed,
+                out_groups + i * max_groups_per_seed * 4, out_meta + i * 3);
+            out_meta[i * 3 + 2] = status;
+        }
+    };
 
-    for (int64_t s = 0; s < num_searches && !state.aborted; s++) {
-        state.parts = reinterpret_cast<const PartSpec*>(
-            parts_flat + s * num_parts * 5);
-        state.process_part(root, 0, 0, 0);
+    if (num_threads <= 1 || num_seeds < 2) {
+        worker(0, num_seeds);
+        return 0;
     }
 
-    out_meta[0] = state.num_groups;
-    out_meta[1] = state.total;
-    return (state.aborted ? 1 : 0) | (state.overflow ? 2 : 0);
+    int64_t const threads = std::min<int64_t>(num_threads, num_seeds);
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    int64_t const chunk = (num_seeds + threads - 1) / threads;
+    for (int64_t t = 0; t < threads; t++) {
+        int64_t const begin = t * chunk;
+        int64_t const end = std::min(begin + chunk, num_seeds);
+        if (begin >= end) break;
+        pool.emplace_back(worker, begin, end);
+    }
+    for (auto& th : pool) th.join();
+    return 0;
 }
 
 }  // extern "C"

@@ -103,6 +103,7 @@ def make_searcher(cli: CommandLineInput, index: FmIndex, num_references: int):
             anchor_choice_strategy=AnchorChoiceStrategy(cli.anchor_choice_strategy),
             erase_useless_anchors=not cli.dont_erase_useless_anchors,
         ),
+        num_threads=cli.num_threads,
     )
     if getattr(cli, "device_search", False):
         from .index.device_index import DeviceIndex
@@ -249,18 +250,9 @@ def process_query_chunk(
     (verify_batch.BatchVerifier), then in-order output."""
     from .verify_batch import BatchVerifier, _QueryItem
 
-    if cli.num_threads > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(cli.num_threads) as pool:
-            searched = list(
-                pool.map(
-                    lambda query: search_query_pure(query, cli, searcher),
-                    chunk,
-                )
-            )
-    else:
-        searched = [search_query_pure(query, cli, searcher) for query in chunk]
+    # --threads parallelism lives inside the native batch search (C++ worker
+    # threads per seed group); the outer loop stays sequential
+    searched = [search_query_pure(query, cli, searcher) for query in chunk]
 
     items = []
     for query, (pex_tree, seeds, forward_result, rc_result, ms) in zip(

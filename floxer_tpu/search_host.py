@@ -240,6 +240,7 @@ class Searcher:
     index: FmIndex
     num_reference_sequences: int
     config: SearchConfig
+    num_threads: int = 1
 
     def search_cap(self) -> int:
         """search_n's result cap (search.cpp:176-179)."""
@@ -249,15 +250,66 @@ class Searcher:
 
     def search_seeds(self, seeds: list[Seed], query: np.ndarray) -> SearchResult:
         result = SearchResult()
-        for seed in seeds:
-            pattern = query[seed.query_position : seed.query_position + seed.length]
-            groups, total_raw, _ = search_seed_groups(
-                self.index, pattern, seed.num_errors, self.search_cap()
-            )
-            result.anchors_by_seed.append(
-                self.process_seed_groups(seed, groups, total_raw)
+        result.anchors_by_seed = [None] * len(seeds)
+
+        # batch uniform-length seed groups through the native runtime (one
+        # ctypes call + optional C++ worker threads instead of per-seed
+        # dispatch); the per-seed DFS is unchanged semantically
+        group_results = self._search_all_groups(seeds, query)
+
+        for i, seed in enumerate(seeds):
+            groups, total_raw = group_results[i]
+            result.anchors_by_seed[i] = self.process_seed_groups(
+                seed, groups, total_raw
             )
         return result
+
+    def _search_all_groups(self, seeds: list[Seed], query: np.ndarray):
+        from .native import native_search_seeds_batch
+
+        out: list = [None] * len(seeds)
+        by_class: dict[tuple[int, int], list[int]] = {}
+        for i, seed in enumerate(seeds):
+            by_class.setdefault((seed.length, seed.num_errors), []).append(i)
+
+        for (length, errors), indices in by_class.items():
+            expanded = expand_scheme(errors, length)
+            cap = self.search_cap()
+            batch = None
+            if len(indices) > 1:
+                patterns = np.stack(
+                    [
+                        query[
+                            seeds[i].query_position : seeds[i].query_position
+                            + length
+                        ]
+                        for i in indices
+                    ]
+                )
+                batch = native_search_seeds_batch(
+                    self.index, patterns, expanded, cap, self.num_threads
+                )
+            for slot, i in enumerate(indices):
+                entry = batch[slot] if batch is not None else None
+                if entry is not None:
+                    rows, total, _ = entry
+                    groups = [
+                        AnchorGroup(
+                            Cursor(int(lb), int(lb_rev), int(ln)), int(er)
+                        )
+                        for lb, lb_rev, ln, er in rows
+                    ]
+                    out[i] = (groups, total)
+                else:
+                    seed = seeds[i]
+                    pattern = query[
+                        seed.query_position : seed.query_position + seed.length
+                    ]
+                    groups, total, _ = search_seed_groups(
+                        self.index, pattern, seed.num_errors, cap
+                    )
+                    out[i] = (groups, total)
+        return out
 
     def process_seed_groups(
         self, seed: Seed, groups: list[AnchorGroup], total_raw: int
