@@ -316,8 +316,25 @@ def myers_distance(
     texts: np.ndarray,
     text_lengths: np.ndarray,
 ):
-    """Convenience wrapper: builds Peq on host and runs the batched kernel
-    (unrolled words for small patterns, carry-scan beyond)."""
+    """Convenience wrapper: builds Peq on host and runs the batched kernel.
+
+    Dispatch: unrolled-word kernel for small patterns; for large patterns the
+    VMEM-resident Pallas kernel on TPU (ops/pallas_myers_large), the XLA
+    carry-scan formulation elsewhere."""
+    if jax.default_backend() == "tpu":
+        max_len = int(np.max(pattern_lengths)) if len(pattern_lengths) else 0
+        if max_len > MAX_UNROLLED_WORDS * WORD:
+            from .pallas_myers_large import myers_pallas_large
+
+            distance, end = myers_pallas_large(
+                np.asarray(patterns),
+                np.asarray(pattern_lengths),
+                np.asarray(texts),
+                np.asarray(text_lengths),
+                interpret=False,
+            )
+            return distance, end
+
     peq = build_peq_vectorized(np.asarray(patterns), np.asarray(pattern_lengths))
     W = peq.shape[2]
     kernel = myers_batched if W <= MAX_UNROLLED_WORDS else myers_batched_large

@@ -78,6 +78,9 @@ class _QueryItem:
     rc_result: SearchResult
 
 
+_BATCH_TIMERS = {"pack": 0.0, "kernel": 0.0, "numpy": 0.0, "calls": 0}
+
+
 class _TaskBatcher:
     """Collects unique (pattern, window) pairs and runs them in one padded
     batched Myers call; duplicates share one slot."""
@@ -137,6 +140,9 @@ class _TaskBatcher:
                 len(slots) >= MIN_DEVICE_BATCH or cells > 4_000_000
             )
             if not on_device:
+                import time as _time
+
+                t0 = _time.monotonic()
                 for i in slots:
                     dp = dp_reference.semi_global_dp_matrix(
                         self.windows[i], self.patterns[i]
@@ -145,11 +151,15 @@ class _TaskBatcher:
                     end = dp_reference._rightmost_argmin(last)
                     distances[i] = last[end]
                     ends[i] = end
+                _BATCH_TIMERS["numpy"] += _time.monotonic() - t0
                 continue
             # pad the batch dimension to a power of two as well, so the
             # jitted kernel sees a bounded set of (B, M, N) shapes — a fresh
             # compile per wave would dominate on a remote TPU. Min 1: big
             # single-task buckets (roots) must not pay 8x padding.
+            import time as _time
+
+            t0 = _time.monotonic()
             b_bucket = 1
             while b_bucket < len(slots):
                 b_bucket *= 2
@@ -161,9 +171,20 @@ class _TaskBatcher:
                 batch_windows.append(dummy)
             pat, plen = pad_batch(batch_patterns, pad_to=m_bucket)
             txt, tlen = pad_batch(batch_windows, pad_to=n_bucket)
+            t1 = _time.monotonic()
             bucket_distances, bucket_ends = myers_distance(pat, plen, txt, tlen)
             distances[slots] = np.asarray(bucket_distances)[: len(slots)]
             ends[slots] = np.asarray(bucket_ends)[: len(slots)]
+            t2 = _time.monotonic()
+            _BATCH_TIMERS["pack"] += t1 - t0
+            _BATCH_TIMERS["kernel"] += t2 - t1
+            _BATCH_TIMERS["calls"] += 1
+            import logging as _logging
+
+            _logging.getLogger("floxer-tpu").debug(
+                "batcher call: %d slots (pad %d) m=%d n=%d -> %.2fs",
+                len(slots), b_bucket, m_bucket, n_bucket, t2 - t1,
+            )
 
         return distances, ends
 
@@ -286,6 +307,13 @@ class BatchVerifier:
         alignments = [QueryAlignments(len(self.references)) for _ in items]
         leftover = self._scan(walks, items, computed, record=alignments)
         assert not leftover
+        log.debug(
+            "batcher timers: pack %.2fs kernel %.2fs numpy %.2fs calls %d",
+            _BATCH_TIMERS["pack"],
+            _BATCH_TIMERS["kernel"],
+            _BATCH_TIMERS["numpy"],
+            _BATCH_TIMERS["calls"],
+        )
         log.debug(
             "verify batch: %d walks, %d waves (%d walks computed); "
             "build %.2fs prescreen %.2fs waves %.2fs record %.2fs",
