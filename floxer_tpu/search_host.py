@@ -330,71 +330,70 @@ class Searcher:
                 ]
             )
 
-        if True:
-            if config.anchor_group_order == AnchorGroupOrder.COUNT_FIRST:
-                groups.sort(key=lambda g: (g.cursor.length, g.num_errors))
-            elif config.anchor_group_order == AnchorGroupOrder.ERRORS_FIRST:
-                # the reference's comparator (search.cpp:215-223) compares
-                # counts whenever the error counts differ; reproduced as a
-                # stable sort by count restricted to that predicate's effect
-                groups.sort(key=lambda g: g.cursor.length)
+        if config.anchor_group_order == AnchorGroupOrder.COUNT_FIRST:
+            groups.sort(key=lambda g: (g.cursor.length, g.num_errors))
+        elif config.anchor_group_order == AnchorGroupOrder.ERRORS_FIRST:
+            # the reference's comparator (search.cpp:215-223) compares
+            # counts whenever the error counts differ; reproduced as a
+            # stable sort by count restricted to that predicate's effect
+            groups.sort(key=lambda g: g.cursor.length)
 
-            anchors_by_reference: list[list[Anchor]] = [
-                [] for _ in range(self.num_reference_sequences)
-            ]
-            num_kept_raw = 0
+        anchors_by_reference: list[list[Anchor]] = [
+            [] for _ in range(self.num_reference_sequences)
+        ]
+        num_kept_raw = 0
 
-            def emit(group: AnchorGroup, row_offset: int, leaf_index: int) -> None:
-                reference_id, position = self.index.locate(
-                    group.cursor.lb + row_offset
+        def emit(group: AnchorGroup, row_offset: int, leaf_index: int) -> None:
+            reference_id, position = self.index.locate(
+                group.cursor.lb + row_offset
+            )
+            anchors_by_reference[reference_id].append(
+                Anchor(
+                    pex_leaf_index=leaf_index,
+                    reference_id=reference_id,
+                    reference_position=position,
+                    num_errors=group.num_errors,
                 )
-                anchors_by_reference[reference_id].append(
-                    Anchor(
-                        pex_leaf_index=leaf_index,
-                        reference_id=reference_id,
-                        reference_position=position,
-                        num_errors=group.num_errors,
-                    )
-                )
+            )
 
-            if config.anchor_choice_strategy == AnchorChoiceStrategy.ROUND_ROBIN:
-                # rotate over the remaining groups, one anchor per group per
-                # round (search.cpp:239-272)
-                remaining = list(range(len(groups)))
-                round_no = 0
-                idx = 0
-                while remaining and num_kept_raw != config.max_num_anchors_soft:
-                    group = groups[remaining[idx]]
-                    emit(group, round_no, seed.pex_leaf_index)
+        if config.anchor_choice_strategy == AnchorChoiceStrategy.ROUND_ROBIN:
+            # rotate over the remaining groups, one anchor per group per
+            # round (search.cpp:239-272)
+            remaining = list(range(len(groups)))
+            round_no = 0
+            idx = 0
+            while remaining and num_kept_raw != config.max_num_anchors_soft:
+                group = groups[remaining[idx]]
+                emit(group, round_no, seed.pex_leaf_index)
+                num_kept_raw += 1
+                if group.cursor.length == round_no + 1:
+                    remaining.pop(idx)
+                else:
+                    idx += 1
+                if idx >= len(remaining):
+                    idx = 0
+                    round_no += 1
+        else:  # FULL_GROUPS and FIRST_REPORTED (search.cpp:273-299)
+            for group in groups:
+                if num_kept_raw == config.max_num_anchors_soft:
+                    break
+                for row in range(group.cursor.length):
+                    emit(group, row, seed.pex_leaf_index)
                     num_kept_raw += 1
-                    if group.cursor.length == round_no + 1:
-                        remaining.pop(idx)
-                    else:
-                        idx += 1
-                    if idx >= len(remaining):
-                        idx = 0
-                        round_no += 1
-            else:  # FULL_GROUPS and FIRST_REPORTED (search.cpp:273-299)
-                for group in groups:
                     if num_kept_raw == config.max_num_anchors_soft:
                         break
-                    for row in range(group.cursor.length):
-                        emit(group, row, seed.pex_leaf_index)
-                        num_kept_raw += 1
-                        if num_kept_raw == config.max_num_anchors_soft:
-                            break
 
-            num_excluded_soft = total_raw - num_kept_raw
-            num_kept_useful = num_kept_raw
-            if config.erase_useless_anchors:
-                num_kept_useful = erase_useless_anchors(anchors_by_reference)
+        num_excluded_soft = total_raw - num_kept_raw
+        num_kept_useful = num_kept_raw
+        if config.erase_useless_anchors:
+            num_kept_useful = erase_useless_anchors(anchors_by_reference)
 
-            return AnchorsOfSeed(
-                num_kept_useful_anchors=num_kept_useful,
-                num_kept_raw_anchors=num_kept_raw,
-                num_excluded_raw_anchors_by_soft_cap=num_excluded_soft,
-                anchors_by_reference=anchors_by_reference,
-            )
+        return AnchorsOfSeed(
+            num_kept_useful_anchors=num_kept_useful,
+            num_kept_raw_anchors=num_kept_raw,
+            num_excluded_raw_anchors_by_soft_cap=num_excluded_soft,
+            anchors_by_reference=anchors_by_reference,
+        )
 
 
 def erase_useless_anchors(anchors_by_reference: list[list[Anchor]]) -> int:
