@@ -74,3 +74,37 @@ def test_device_search_homopolymer(indexes):
         (g.cursor.lb, g.cursor.length, g.num_errors) for g in host_groups
     )
     assert sorted((lb, ln, er) for lb, _, ln, er in device_groups[0]) == want
+
+
+def test_device_search_k3(indexes):
+    host, device, sequences = indexes
+    from floxer_tpu.schemes import expand_scheme
+
+    rng = np.random.default_rng(7)
+    length = 18
+    patterns = []
+    for trial in range(4):
+        source = sequences[trial % 2]
+        start = int(rng.integers(0, len(source) - length))
+        pattern = source[start : start + length].copy()
+        for _ in range(3):
+            pos = int(rng.integers(0, length))
+            pattern[pos] = 1 + (pattern[pos] % 4)
+        patterns.append(pattern)
+
+    expanded = expand_scheme(3, length)
+    device_groups, overflow = search_seeds_device(
+        device, patterns, 3, expanded,
+        frontier_capacity=1 << 16, report_capacity=1 << 13,
+    )
+    for i, pattern in enumerate(patterns):
+        if overflow[i]:
+            continue
+        host_groups, _, _ = search_seed_groups(
+            host, pattern, 3, 1 << 30, allow_native=False
+        )
+        want = sorted(
+            (g.cursor.lb, g.cursor.length, g.num_errors) for g in host_groups
+        )
+        got = sorted((lb, ln, er) for lb, _, ln, er in device_groups[i])
+        assert got == want, f"seed {i}"
