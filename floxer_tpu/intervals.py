@@ -17,7 +17,7 @@ span batches are deduplicated before kernel launch.
 from __future__ import annotations
 
 import enum
-from bisect import bisect_right, insort
+from bisect import bisect_right
 from dataclasses import dataclass
 
 

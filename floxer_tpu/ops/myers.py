@@ -326,14 +326,22 @@ def myers_distance(
         if max_len > MAX_UNROLLED_WORDS * WORD:
             from .pallas_myers_large import myers_pallas_large
 
-            distance, end = myers_pallas_large(
+            return myers_pallas_large(
                 np.asarray(patterns),
                 np.asarray(pattern_lengths),
                 np.asarray(texts),
                 np.asarray(text_lengths),
                 interpret=False,
             )
-            return distance, end
+        from .pallas_myers import myers_pallas
+
+        return myers_pallas(
+            np.asarray(patterns),
+            np.asarray(pattern_lengths),
+            np.asarray(texts),
+            np.asarray(text_lengths),
+            interpret=False,
+        )
 
     peq = build_peq_vectorized(np.asarray(patterns), np.asarray(pattern_lengths))
     W = peq.shape[2]

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..index.device_index import DeviceIndex, extend_left_all, locate_batch
+from ..index.device_index import DeviceIndex, locate_batch
 from ..ops.myers import myers_batched
 
 READS_AXIS = "reads"

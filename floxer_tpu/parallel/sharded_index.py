@@ -33,7 +33,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..alphabet import SIGMA
-from ..index.fmindex import OCC_BLOCK, FmIndex
+from ..index.fmindex import OCC_BLOCK
 
 READS_AXIS = "reads"
 INDEX_AXIS = "index"
