@@ -231,6 +231,130 @@ class AlignmentOutput:
             self._handle.close()
 
 
+def read_alignment_records(path):
+    """Iterate alignment records from a SAM or BAM file as dicts with keys
+    qname, flag, rname, pos (0-based, -1 unmapped), mapq, cigar (string),
+    seq, qual, tags (dict). Header reference names are resolved for BAM.
+
+    Host-side reader used by the analysis tools (the reference reads both
+    formats through seqan3::sam_file_input)."""
+    path = str(path)
+    if path.endswith(".bam"):
+        yield from _read_bam_records(path)
+        return
+    with open(path) as handle:
+        for line in handle:
+            line = line.rstrip("\n")
+            if not line or line.startswith("@"):
+                continue
+            fields = line.split("\t")
+            tags = {}
+            for tag_field in fields[11:]:
+                name, tag_type, value = tag_field.split(":", 2)
+                tags[name] = int(value) if tag_type == "i" else value
+            yield {
+                "qname": fields[0],
+                "flag": int(fields[1]),
+                "rname": "" if fields[2] == "*" else fields[2],
+                "pos": int(fields[3]) - 1,
+                "mapq": int(fields[4]),
+                "cigar": fields[5],
+                "seq": "" if fields[9] == "*" else fields[9],
+                "qual": "" if fields[10] == "*" else fields[10],
+                "tags": tags,
+            }
+
+
+def _read_bam_records(path):
+    import gzip
+
+    raw = gzip.decompress(open(path, "rb").read())
+    if raw[:4] != b"BAM\x01":
+        raise ValueError(f"{path} is not a BAM file")
+    l_text = struct.unpack("<i", raw[4:8])[0]
+    offset = 8 + l_text
+    n_ref = struct.unpack("<i", raw[offset : offset + 4])[0]
+    offset += 4
+    names = []
+    for _ in range(n_ref):
+        l_name = struct.unpack("<i", raw[offset : offset + 4])[0]
+        names.append(raw[offset + 4 : offset + 4 + l_name - 1].decode())
+        offset += 4 + l_name + 4
+    seq_chars = "=ACMGRSVTWYHKDBN"
+    while offset < len(raw):
+        block_size = struct.unpack("<i", raw[offset : offset + 4])[0]
+        body = raw[offset + 4 : offset + 4 + block_size]
+        offset += 4 + block_size
+        ref_id, pos = struct.unpack("<ii", body[0:8])
+        l_read_name = body[8]
+        mapq = body[9]
+        n_cigar, flag = struct.unpack("<HH", body[12:16])
+        l_seq = struct.unpack("<i", body[16:20])[0]
+        cursor = 32
+        qname = body[cursor : cursor + l_read_name - 1].decode()
+        cursor += l_read_name
+        cigar_raw = struct.unpack(
+            f"<{n_cigar}I", body[cursor : cursor + 4 * n_cigar]
+        )
+        cursor += 4 * n_cigar
+        cigar = "".join(
+            f"{c >> 4}{_BAM_CIGAR_OPS[c & 15]}" for c in cigar_raw
+        ) or "*"
+        seq_bytes = body[cursor : cursor + (l_seq + 1) // 2]
+        cursor += (l_seq + 1) // 2
+        seq = "".join(
+            seq_chars[(seq_bytes[i // 2] >> (4 if i % 2 == 0 else 0)) & 15]
+            for i in range(l_seq)
+        )
+        qual_bytes = body[cursor : cursor + l_seq]
+        cursor += l_seq
+        qual = (
+            ""
+            if l_seq == 0 or (qual_bytes and qual_bytes[0] == 0xFF)
+            else "".join(chr(q + 33) for q in qual_bytes)
+        )
+        tags = {}
+        tail = body[cursor:]
+        tag_cursor = 0
+        while tag_cursor + 3 <= len(tail):
+            tag_name = tail[tag_cursor : tag_cursor + 2].decode()
+            tag_type = chr(tail[tag_cursor + 2])
+            tag_cursor += 3
+            if tag_type == "i":
+                tags[tag_name] = struct.unpack(
+                    "<i", tail[tag_cursor : tag_cursor + 4]
+                )[0]
+                tag_cursor += 4
+            elif tag_type in "cC":
+                tags[tag_name] = tail[tag_cursor]
+                tag_cursor += 1
+            elif tag_type in "sS":
+                tags[tag_name] = struct.unpack(
+                    "<h", tail[tag_cursor : tag_cursor + 2]
+                )[0]
+                tag_cursor += 2
+            elif tag_type == "A":
+                tags[tag_name] = chr(tail[tag_cursor])
+                tag_cursor += 1
+            elif tag_type == "Z":
+                end_idx = tail.index(b"\x00", tag_cursor)
+                tags[tag_name] = tail[tag_cursor:end_idx].decode()
+                tag_cursor = end_idx + 1
+            else:  # unsupported tag types: stop parsing this record's tags
+                break
+        yield {
+            "qname": qname,
+            "flag": flag,
+            "rname": names[ref_id] if ref_id >= 0 else "",
+            "pos": pos,
+            "mapq": mapq,
+            "cigar": cigar,
+            "seq": seq,
+            "qual": qual,
+            "tags": tags,
+        }
+
+
 def _reg2bin(beg: int, end: int) -> int:
     end -= 1
     if beg >> 14 == end >> 14:

@@ -172,16 +172,14 @@ def _parse_cigar(cigar: str):
 
 
 def read_alignments(path, query_data_by_id, is_floxer: bool, error_rate: float):
-    """compare_aligner_outputs.cpp:345-511."""
-    with open(path) as handle:
-        for line in handle:
-            line = line.rstrip("\n")
-            if not line or line.startswith("@"):
-                continue
-            fields = line.split("\t")
-            query_id = fields[0]
-            flag = int(fields[1])
-            cigar = fields[5]
+    """compare_aligner_outputs.cpp:345-511. Accepts SAM or BAM."""
+    from ..io.sam import read_alignment_records
+
+    for record in read_alignment_records(path):
+        if True:
+            query_id = record["qname"]
+            flag = record["flag"]
+            cigar = record["cigar"]
 
             query_data = query_data_by_id.setdefault(query_id, QueryData())
             data = (
@@ -216,16 +214,13 @@ def read_alignments(path, query_data_by_id, is_floxer: bool, error_rate: float):
                     if op in "ID":
                         longest_indel = max(longest_indel, count)
 
-            tags = {}
-            for tag_field in fields[11:]:
-                name, tag_type, value = tag_field.split(":", 2)
-                tags[name] = value
+            tags = record["tags"]
             edit_distance = int(tags.get("NM", 0))
             query_len_unclipped = q_consumed - soft
             error_rate_observed = (
                 edit_distance / query_len_unclipped if query_len_unclipped else 0.0
             )
-            record = AlignmentRecord(
+            extracted = AlignmentRecord(
                 num_query_bases_consumed_by_cigar=q_consumed,
                 num_unclipped_query_bases_consumed_by_cigar=unclipped_q,
                 num_reference_bases_consumed_by_cigar=ref_consumed,
@@ -240,7 +235,7 @@ def read_alignments(path, query_data_by_id, is_floxer: bool, error_rate: float):
 
             if not flag & 256 and not flag & 2048:
                 if data.primary_alignment is None:
-                    data.primary_alignment = record
+                    data.primary_alignment = extracted
                 else:
                     print(
                         "Multiple primary alignments for query", file=sys.stderr
@@ -248,17 +243,17 @@ def read_alignments(path, query_data_by_id, is_floxer: bool, error_rate: float):
                 continue
             if flag & 2048:
                 if flag & 256:
-                    data.secondary_supplementary_alignments.append(record)
-                data.supplementary_alignments.append(record)
+                    data.secondary_supplementary_alignments.append(extracted)
+                data.supplementary_alignments.append(extracted)
                 continue
-            if record.is_inversion:
-                data.secondary_inverted_alignments.append(record)
-            elif record.is_significantly_clipped(error_rate):
-                data.secondary_linear_clipped_alignments.append(record)
-            elif record.is_high_edit_distance(error_rate):
-                data.secondary_linear_high_edit_distance_alignments.append(record)
+            if extracted.is_inversion:
+                data.secondary_inverted_alignments.append(extracted)
+            elif extracted.is_significantly_clipped(error_rate):
+                data.secondary_linear_clipped_alignments.append(extracted)
+            elif extracted.is_high_edit_distance(error_rate):
+                data.secondary_linear_high_edit_distance_alignments.append(extracted)
             else:
-                data.secondary_linear_basic_alignments.append(record)
+                data.secondary_linear_basic_alignments.append(extracted)
 
 
 def print_alignment_statistics(title, num_queries, error_rate, alignments):

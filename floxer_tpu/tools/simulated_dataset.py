@@ -130,30 +130,21 @@ def parse_chromosome_id(name: str) -> int:
 
 
 def verify_alignments(args) -> int:
-    """Classify every aligned read against its simulated origin (TOML)."""
+    """Classify every aligned read against its simulated origin (TOML).
+    Accepts SAM or BAM (the reference reads both via seqan3)."""
+    from ..io.sam import read_alignment_records
+
     alignments_by_query: dict[str, list[tuple[int, int, int]]] = {}
-    ref_names: list[str] = []
-    with open(args.alignments) as handle:
-        for line in handle:
-            line = line.rstrip("\n")
-            if line.startswith("@"):
-                if line.startswith("@SQ"):
-                    for field in line.split("\t"):
-                        if field.startswith("SN:"):
-                            ref_names.append(field[3:])
-                continue
-            fields = line.split("\t")
-            flag = int(fields[1])
-            if flag & 4:
-                continue
-            nm = 0
-            for tag_field in fields[11:]:
-                if tag_field.startswith("NM:i:"):
-                    nm = int(tag_field[5:])
-            rname = fields[2]
-            alignments_by_query.setdefault(fields[0], []).append(
-                (parse_chromosome_id(rname), int(fields[3]) - 1, nm)
+    for record in read_alignment_records(args.alignments):
+        if record["flag"] & 4:
+            continue
+        alignments_by_query.setdefault(record["qname"], []).append(
+            (
+                parse_chromosome_id(record["rname"]),
+                record["pos"],
+                int(record["tags"].get("NM", 0)),
             )
+        )
 
     big = (1 << 32) - 1
     print("queries = [")
