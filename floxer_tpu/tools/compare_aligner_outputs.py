@@ -176,84 +176,83 @@ def read_alignments(path, query_data_by_id, is_floxer: bool, error_rate: float):
     from ..io.sam import read_alignment_records
 
     for record in read_alignment_records(path):
-        if True:
-            query_id = record["qname"]
-            flag = record["flag"]
-            cigar = record["cigar"]
+        query_id = record["qname"]
+        flag = record["flag"]
+        cigar = record["cigar"]
 
-            query_data = query_data_by_id.setdefault(query_id, QueryData())
-            data = (
-                query_data.floxer_alignments
-                if is_floxer
-                else query_data.minimap_alignments
-            )
-            if is_floxer:
-                query_data.mentioned_by_floxer = True
+        query_data = query_data_by_id.setdefault(query_id, QueryData())
+        data = (
+            query_data.floxer_alignments
+            if is_floxer
+            else query_data.minimap_alignments
+        )
+        if is_floxer:
+            query_data.mentioned_by_floxer = True
+        else:
+            query_data.mentioned_by_minimap = True
+
+        if flag & 4:
+            data.is_explicitly_unmapped = True
+            continue
+        data.is_mapped = True
+
+        q_consumed = unclipped_q = ref_consumed = 0
+        soft = hard = longest_indel = 0
+        if cigar != "*":
+            for count, op in _parse_cigar(cigar):
+                if op in "IM=X":
+                    q_consumed += count
+                    unclipped_q += count
+                if op in "DM=X":
+                    ref_consumed += count
+                if op == "S":
+                    q_consumed += count
+                    soft += count
+                if op == "H":
+                    hard += count
+                if op in "ID":
+                    longest_indel = max(longest_indel, count)
+
+        tags = record["tags"]
+        edit_distance = int(tags.get("NM", 0))
+        query_len_unclipped = q_consumed - soft
+        error_rate_observed = (
+            edit_distance / query_len_unclipped if query_len_unclipped else 0.0
+        )
+        extracted = AlignmentRecord(
+            num_query_bases_consumed_by_cigar=q_consumed,
+            num_unclipped_query_bases_consumed_by_cigar=unclipped_q,
+            num_reference_bases_consumed_by_cigar=ref_consumed,
+            num_soft_clipped_bases=soft,
+            num_hard_clipped_bases=hard,
+            query_length_without_clipped_bases=query_len_unclipped,
+            edit_distance=edit_distance,
+            edit_distance_error_rate=error_rate_observed,
+            is_inversion=tags.get("tp") == "I",
+            longest_indel=longest_indel,
+        )
+
+        if not flag & 256 and not flag & 2048:
+            if data.primary_alignment is None:
+                data.primary_alignment = extracted
             else:
-                query_data.mentioned_by_minimap = True
-
-            if flag & 4:
-                data.is_explicitly_unmapped = True
-                continue
-            data.is_mapped = True
-
-            q_consumed = unclipped_q = ref_consumed = 0
-            soft = hard = longest_indel = 0
-            if cigar != "*":
-                for count, op in _parse_cigar(cigar):
-                    if op in "IM=X":
-                        q_consumed += count
-                        unclipped_q += count
-                    if op in "DM=X":
-                        ref_consumed += count
-                    if op == "S":
-                        q_consumed += count
-                        soft += count
-                    if op == "H":
-                        hard += count
-                    if op in "ID":
-                        longest_indel = max(longest_indel, count)
-
-            tags = record["tags"]
-            edit_distance = int(tags.get("NM", 0))
-            query_len_unclipped = q_consumed - soft
-            error_rate_observed = (
-                edit_distance / query_len_unclipped if query_len_unclipped else 0.0
-            )
-            extracted = AlignmentRecord(
-                num_query_bases_consumed_by_cigar=q_consumed,
-                num_unclipped_query_bases_consumed_by_cigar=unclipped_q,
-                num_reference_bases_consumed_by_cigar=ref_consumed,
-                num_soft_clipped_bases=soft,
-                num_hard_clipped_bases=hard,
-                query_length_without_clipped_bases=query_len_unclipped,
-                edit_distance=edit_distance,
-                edit_distance_error_rate=error_rate_observed,
-                is_inversion=tags.get("tp") == "I",
-                longest_indel=longest_indel,
-            )
-
-            if not flag & 256 and not flag & 2048:
-                if data.primary_alignment is None:
-                    data.primary_alignment = extracted
-                else:
-                    print(
-                        "Multiple primary alignments for query", file=sys.stderr
-                    )
-                continue
-            if flag & 2048:
-                if flag & 256:
-                    data.secondary_supplementary_alignments.append(extracted)
-                data.supplementary_alignments.append(extracted)
-                continue
-            if extracted.is_inversion:
-                data.secondary_inverted_alignments.append(extracted)
-            elif extracted.is_significantly_clipped(error_rate):
-                data.secondary_linear_clipped_alignments.append(extracted)
-            elif extracted.is_high_edit_distance(error_rate):
-                data.secondary_linear_high_edit_distance_alignments.append(extracted)
-            else:
-                data.secondary_linear_basic_alignments.append(extracted)
+                print(
+                    "Multiple primary alignments for query", file=sys.stderr
+                )
+            continue
+        if flag & 2048:
+            if flag & 256:
+                data.secondary_supplementary_alignments.append(extracted)
+            data.supplementary_alignments.append(extracted)
+            continue
+        if extracted.is_inversion:
+            data.secondary_inverted_alignments.append(extracted)
+        elif extracted.is_significantly_clipped(error_rate):
+            data.secondary_linear_clipped_alignments.append(extracted)
+        elif extracted.is_high_edit_distance(error_rate):
+            data.secondary_linear_high_edit_distance_alignments.append(extracted)
+        else:
+            data.secondary_linear_basic_alignments.append(extracted)
 
 
 def print_alignment_statistics(title, num_queries, error_rate, alignments):
