@@ -253,6 +253,19 @@ def process_query_chunk(
     # --threads parallelism lives inside the native batch search (C++ worker
     # threads per seed group); the outer loop stays sequential
     searched = [search_query_pure(query, cli, searcher) for query in chunk]
+    verify_and_write_chunk(chunk, searched, cli, references, output, stats)
+
+
+def verify_and_write_chunk(
+    chunk,
+    searched,
+    cli: CommandLineInput,
+    references: References,
+    output: AlignmentOutput,
+    stats: SearchAndAlignmentStatistics,
+) -> None:
+    """Verification + output for a chunk whose search results are ready."""
+    from .verify_batch import BatchVerifier, _QueryItem
 
     items = []
     for query, (pex_tree, seeds, forward_result, rc_result, ms) in zip(
@@ -395,20 +408,49 @@ def run(cli: CommandLineInput) -> int:
             num_processed += 1
             record_progress()
     else:
-        while not timed_out:
+        # double-buffered pipeline: the host searches chunk N+1 on a worker
+        # thread (the native search releases the GIL) while the device
+        # verifies chunk N — the reference's self-respawning streaming
+        # property (parallelization.cpp:139-148), TPU-shaped
+        from concurrent.futures import ThreadPoolExecutor
+
+        def next_chunk():
             chunk = []
             for query in queries:
                 chunk.append(query)
                 if len(chunk) >= cli.batch_size:
                     break
-            if not chunk:
-                break
-            if hit_timeout():
-                timed_out = True
-                break
-            process_query_chunk(chunk, cli, references, searcher, output, stats)
-            num_processed += len(chunk)
-            record_progress()
+            return chunk
+
+        def search_chunk(chunk):
+            return [search_query_pure(query, cli, searcher) for query in chunk]
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = None
+            while not timed_out:
+                chunk = next_chunk()
+                future = (
+                    pool.submit(search_chunk, chunk) if chunk else None
+                )
+                if pending is not None:
+                    prev_chunk, prev_future = pending
+                    verify_and_write_chunk(
+                        prev_chunk,
+                        prev_future.result(),
+                        cli,
+                        references,
+                        output,
+                        stats,
+                    )
+                    num_processed += len(prev_chunk)
+                    record_progress()
+                if not chunk:
+                    break
+                if hit_timeout():
+                    timed_out = True
+                    future.cancel()
+                    break
+                pending = (chunk, future)
 
     if timed_out:
         logger.warning(
