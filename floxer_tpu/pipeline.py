@@ -399,14 +399,25 @@ def run(cli: CommandLineInput) -> int:
             and time.monotonic() - aligning_started > cli.timeout_seconds
         )
 
+    failed = False
     if cli.engine == "reference":
-        for query in queries:
-            if hit_timeout():
-                timed_out = True
-                break
-            process_query(query, cli, references, searcher, output, stats)
-            num_processed += 1
-            record_progress()
+        try:
+            for query in queries:
+                if hit_timeout():
+                    timed_out = True
+                    break
+                process_query(query, cli, references, searcher, output, stats)
+                num_processed += 1
+                record_progress()
+        except Exception as error:  # noqa: BLE001 - parity with the
+            # reference's task-level abort (parallelization.cpp:149-157)
+            logger.error(
+                "An error occurred while reading/searching/verifying a "
+                "query. Shutting down. The output file is likely "
+                "incomplete. Error message: %s",
+                error,
+            )
+            failed = True
     else:
         # double-buffered pipeline: the host searches chunk N+1 on a worker
         # thread (the native search releases the GIL) while the device
@@ -427,30 +438,40 @@ def run(cli: CommandLineInput) -> int:
 
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = None
-            while not timed_out:
-                chunk = next_chunk()
-                future = (
-                    pool.submit(search_chunk, chunk) if chunk else None
-                )
-                if pending is not None:
-                    prev_chunk, prev_future = pending
-                    verify_and_write_chunk(
-                        prev_chunk,
-                        prev_future.result(),
-                        cli,
-                        references,
-                        output,
-                        stats,
+            try:
+                while not timed_out:
+                    chunk = next_chunk()
+                    future = (
+                        pool.submit(search_chunk, chunk) if chunk else None
                     )
-                    num_processed += len(prev_chunk)
-                    record_progress()
-                if not chunk:
-                    break
-                if hit_timeout():
-                    timed_out = True
-                    future.cancel()
-                    break
-                pending = (chunk, future)
+                    if pending is not None:
+                        prev_chunk, prev_future = pending
+                        verify_and_write_chunk(
+                            prev_chunk,
+                            prev_future.result(),
+                            cli,
+                            references,
+                            output,
+                            stats,
+                        )
+                        num_processed += len(prev_chunk)
+                        record_progress()
+                    if not chunk:
+                        break
+                    if hit_timeout():
+                        timed_out = True
+                        future.cancel()
+                        break
+                    pending = (chunk, future)
+            except Exception as error:  # noqa: BLE001 - see reference-engine
+                # branch above
+                logger.error(
+                    "An error occurred during batched alignment. Shutting "
+                    "down. The output file is likely incomplete. Error "
+                    "message: %s",
+                    error,
+                )
+                failed = True
 
     if timed_out:
         logger.warning(
@@ -465,7 +486,7 @@ def run(cli: CommandLineInput) -> int:
 
         jax.profiler.stop_trace()
 
-    if timed_out:
+    if timed_out or failed:
         return -1
 
     # a completed run needs no resume cursor
