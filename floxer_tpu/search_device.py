@@ -363,9 +363,6 @@ def _frontier_search(
         parent_seed = jnp.repeat(state["seed"], num_kinds)
         overflow = overflow.at[parent_seed].max(child_overflow)
         write = flat_valid & (target < C)
-        safe_target = jnp.where(write, target, C - 1)
-
-        del safe_target
 
         def scatter_ok(field_values, fill):
             flat = field_values.reshape(-1)
@@ -389,9 +386,6 @@ def _frontier_search(
                 jnp.repeat(state["seed"], num_kinds).reshape(C, num_kinds), 0
             ),
         }
-        occupied = jnp.arange(C, dtype=jnp.int32) < jnp.minimum(
-            jnp.sum(flat_valid.astype(jnp.int32)), C
-        )
         # boundary-advancing states survive unexpanded: merge them back
         keep = advancing & state["alive"]
         keep_idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
