@@ -19,7 +19,15 @@ import numpy as np
 def main():
     from floxer_tpu.backend import ensure_backend
 
-    ensure_backend()
+    # the TPU tunnel occasionally fails to register its platform on startup;
+    # retry a few times before settling for whatever backend is available
+    for _ in range(3):
+        try:
+            if ensure_backend() == "tpu":
+                break
+        except Exception:  # noqa: BLE001
+            pass
+        time.sleep(5)
 
     import jax
     import jax.numpy as jnp
