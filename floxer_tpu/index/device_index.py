@@ -26,7 +26,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..alphabet import SIGMA
 from .fmindex import OCC_BLOCK, FmIndex
