@@ -146,6 +146,70 @@ def sharded_rank_all(
     return fn(bwt, occ, starts, lengths, positions)
 
 
+def make_2d_pipeline_step(mesh: Mesh, num_words: int):
+    """A full 2D-sharded device step for the dry run: collective rank
+    queries over the row-sharded index (the hg38 search stage) fused with
+    reads-sharded Myers verification and a global stats psum.
+
+    Shardings: index arrays along INDEX_AXIS; every per-read batch array
+    along READS_AXIS (replicated along INDEX_AXIS); outputs along
+    READS_AXIS. The verification runs redundantly on each index-shard chip
+    (deterministic, identical), which keeps the step collective-free apart
+    from the rank psum and the stats reduction.
+    """
+    from ..ops.myers import myers_batched
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(INDEX_AXIS, None),  # bwt_shards
+            P(INDEX_AXIS, None, None),  # occ_shards
+            P(INDEX_AXIS),  # starts
+            P(INDEX_AXIS),  # lengths
+            P(READS_AXIS),  # rank query positions [B]
+            P(READS_AXIS, None, None),  # peq [B, SIGMA, W]
+            P(READS_AXIS),  # pattern lengths
+            P(READS_AXIS, None),  # windows [B, N]
+            P(READS_AXIS),  # window lengths
+            P(READS_AXIS),  # error budgets
+        ),
+        out_specs=(P(READS_AXIS, None), P(READS_AXIS), P()),
+        check_vma=False,
+    )
+    def step(
+        bwt_shards,
+        occ_shards,
+        starts,
+        lengths,
+        positions,
+        peq,
+        plen,
+        windows,
+        wlen,
+        budgets,
+    ):
+        # search stage: sharded-index rank with a psum over the index axis
+        local_pos = jnp.clip(positions - starts[0], 0, lengths[0]).astype(
+            jnp.int32
+        )
+        local = _local_rank_all(
+            bwt_shards[0], occ_shards[0].astype(jnp.int32), local_pos
+        )
+        ranks = jax.lax.psum(local, INDEX_AXIS)
+
+        # verification stage on the local reads shard
+        distances, _ = myers_batched(
+            peq, plen, windows.astype(jnp.int32), wlen, num_words=num_words
+        )
+        accepted = (distances <= budgets).astype(jnp.int32)
+        # replicated along INDEX (every index chip verified the same shard)
+        num_accepted = jax.lax.psum(jnp.sum(accepted, keepdims=True), READS_AXIS)
+        return ranks, accepted, num_accepted
+
+    return step
+
+
 def make_2d_mesh(devices=None, index_axis_size: int = 2) -> Mesh:
     if devices is None:
         devices = jax.devices()
