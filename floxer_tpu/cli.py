@@ -64,7 +64,7 @@ class CommandLineInput:
     stats_input_hint: str = ""
 
     # TPU-native extensions (no reference counterpart)
-    engine: str = "reference"  # reference | batched | device
+    engine: str = "batched"  # reference | batched | device
     batch_size: int = 128
     num_hosts: int = 1
     host_id: int = 0
@@ -354,7 +354,7 @@ def build_parser(advanced: bool = False) -> argparse.ArgumentParser:
         **adv(help="Hint for the stats histogram binning."),
     )
     parser.add_argument(
-        "--engine", dest="engine", default="reference",
+        "--engine", dest="engine", default="batched",
         choices=("reference", "batched", "device"),
         **adv(help="Verification execution engine: 'reference' runs the "
               "sequential host path, 'batched' the level-synchronous batch "

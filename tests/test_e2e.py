@@ -220,7 +220,9 @@ def test_engines_produce_identical_sam(tmp_path, data_dir, engine):
         "--query-errors", "2", "--seed-errors", "1",
         "--extra-verification-ratio", "2",
     ]
-    _, ref_out = run_aligner(tmp_path, data_dir, base_args, "ref.sam")
+    _, ref_out = run_aligner(
+        tmp_path, data_dir, base_args + ["--engine", "reference"], "ref.sam"
+    )
     proc, engine_out = run_aligner(
         tmp_path, data_dir, base_args + ["--engine", engine], f"{engine}.sam"
     )
