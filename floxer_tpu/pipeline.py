@@ -237,25 +237,6 @@ def process_query(
     write_alignments_for_query(output, query, alignments, references.records)
 
 
-def process_query_chunk(
-    chunk: list[QueryRecord],
-    cli: CommandLineInput,
-    references: References,
-    searcher: Searcher,
-    output: AlignmentOutput,
-    stats: SearchAndAlignmentStatistics,
-) -> None:
-    """Batched pipeline stage: host search per query, then ONE
-    level-synchronous device verification pass over the whole chunk
-    (verify_batch.BatchVerifier), then in-order output."""
-    from .verify_batch import BatchVerifier, _QueryItem
-
-    # --threads parallelism lives inside the native batch search (C++ worker
-    # threads per seed group); the outer loop stays sequential
-    searched = [search_query_pure(query, cli, searcher) for query in chunk]
-    verify_and_write_chunk(chunk, searched, cli, references, output, stats)
-
-
 def verify_and_write_chunk(
     chunk,
     searched,
