@@ -274,7 +274,12 @@ class FmIndex:
     # ------------------------------------------------------------------
 
     def save(self, path) -> None:
-        np.savez_compressed(
+        # zlib on multi-GB occurrence tables costs tens of minutes at
+        # hg38 scale; beyond 256 Mbp the artifact is written uncompressed
+        writer = (
+            np.savez_compressed if self.n < (1 << 28) else np.savez
+        )
+        writer(
             path,
             format_version=np.int64(1),
             sampling_rate=np.int64(self.sampling_rate),
