@@ -132,6 +132,24 @@ class _TaskBatcher:
             )
             buckets.setdefault(key, []).append(i)
 
+        # merge all small buckets into one: a dispatch costs more than the
+        # padding waste at these sizes (tasks <= ~1.5k x 1.5k)
+        SMALL = 1536
+        small_keys = [
+            key for key in buckets if key[0] <= SMALL and key[1] <= SMALL
+        ]
+        if len(small_keys) > 1:
+            merged_key = (
+                max(key[0] for key in small_keys),
+                max(key[1] for key in small_keys),
+            )
+            merged_slots: list[int] = []
+            for key in small_keys:
+                merged_slots.extend(buckets.pop(key))
+            buckets[merged_key] = (
+                buckets.get(merged_key, []) + merged_slots
+            )
+
         from .ops.device_dp import pad_batch
 
         for (m_bucket, n_bucket), slots in buckets.items():
