@@ -313,7 +313,14 @@ def run(cli: CommandLineInput) -> int:
     import itertools
     import os
 
-    index = build_or_load_index(cli, references)
+    try:
+        index = build_or_load_index(cli, references)
+    except Exception as error:  # noqa: BLE001 - parity: floxer.cpp:70-80
+        logger.error(
+            "An error occured while trying to load or build the index. %s",
+            error,
+        )
+        return -1
     searcher = make_searcher(cli, index, len(references.records))
 
     # checkpoint/resume: a progress cursor on the (sharded) query stream —
