@@ -376,6 +376,9 @@ def run(cli: CommandLineInput) -> int:
         try:
             import jax
 
+            from .backend import ensure_backend
+
+            ensure_backend()
             jax.profiler.start_trace(cli.profile_dir)
             profiling = True
         except Exception as error:  # noqa: BLE001
