@@ -116,12 +116,19 @@ class _TaskBatcher:
             return distances, ends
 
         def bucket_at_least(x, floor):
-            # geometric 1.25-step buckets aligned to 128: bounded shape
-            # count for the jit cache with <= 25% padding waste (pow2 steps
-            # waste up to 2x on the dominant root-sized tasks)
+            # tiered geometric buckets aligned to 128: coarse steps for the
+            # cheap mid sizes (fewer compiled kernel shapes per process —
+            # Pallas compiles are per-process on this backend), tight steps
+            # at root scale where cells dominate
             size = floor
             while size < x:
-                size = -(-(size * 5 // 4 + 1) // 128) * 128
+                if size <= 1536:
+                    grown = size * 5 // 4 + 1
+                elif size <= 16384:
+                    grown = size * 8 // 5 + 1
+                else:
+                    grown = size * 23 // 20 + 1
+                size = -(-grown // 128) * 128
             return size
 
         buckets: dict[tuple[int, int], list[int]] = {}
