@@ -315,12 +315,18 @@ def myers_distance(
     pattern_lengths: np.ndarray,
     texts: np.ndarray,
     text_lengths: np.ndarray,
+    sync: bool = True,
 ):
     """Convenience wrapper: builds Peq on host and runs the batched kernel.
 
     Dispatch: unrolled-word kernel for small patterns; for large patterns the
     VMEM-resident Pallas kernel on TPU (ops/pallas_myers_large), the XLA
-    carry-scan formulation elsewhere."""
+    carry-scan formulation elsewhere.
+
+    With sync=False the TPU paths return device arrays without forcing a
+    download, so a caller submitting several batches can overlap their
+    dispatches and download all results at the end (np.asarray is the
+    reliable sync point on this backend)."""
     if jax.default_backend() == "tpu":
         max_len = int(np.max(pattern_lengths)) if len(pattern_lengths) else 0
         if max_len > MAX_UNROLLED_WORDS * WORD:
@@ -332,6 +338,7 @@ def myers_distance(
                 np.asarray(texts),
                 np.asarray(text_lengths),
                 interpret=False,
+                sync=sync,
             )
         from .pallas_myers import myers_pallas
 
@@ -341,6 +348,7 @@ def myers_distance(
             np.asarray(texts),
             np.asarray(text_lengths),
             interpret=False,
+            sync=sync,
         )
 
     peq = build_peq_vectorized(np.asarray(patterns), np.asarray(pattern_lengths))

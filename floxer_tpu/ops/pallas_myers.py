@@ -171,11 +171,13 @@ def myers_pallas(
     texts: np.ndarray,
     text_lengths: np.ndarray,
     interpret: bool | None = None,
+    sync: bool = True,
 ):
     """Host wrapper: packs layouts and runs the Pallas kernel.
 
     Returns (distance [B], end_col [B]). The batch is padded up to a
-    multiple of 128 lanes internally.
+    multiple of 128 lanes internally. sync=False returns device arrays
+    (lazy slices) so multiple calls can overlap before any download.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -207,4 +209,6 @@ def myers_pallas(
         num_text=texts.shape[1],
         interpret=interpret,
     )
+    if not sync:
+        return dist[0, :B], end[0, :B]
     return np.asarray(dist)[0, :B], np.asarray(end)[0, :B]

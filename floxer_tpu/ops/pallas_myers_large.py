@@ -103,13 +103,6 @@ def _kernel(
         ph = vn | ~(xh | vp)
         mh = vp & xh
 
-        ph_msb_any = jnp.sum(
-            (ph & msb_select).astype(jnp.int32), axis=1, keepdims=True
-        )
-        mh_msb_any = jnp.sum(
-            (mh & msb_select).astype(jnp.int32), axis=1, keepdims=True
-        )
-
         ph_shifted = (ph << jnp.uint32(1)) | _shift_lanes(
             ph >> jnp.uint32(31), 1, lane_iota
         )
@@ -120,8 +113,12 @@ def _kernel(
         vp = jnp.where(active, mh_shifted | ~(xv | ph_shifted), jnp.uint32(0))
         vn = jnp.where(active, ph_shifted & xv, jnp.uint32(0))
 
-        score = score + jnp.where(ph_msb_any != 0, 1, 0)
-        score = score - jnp.where(mh_msb_any != 0, 1, 0)
+        # score/best/best_end stay [S, Wp] with the meaningful value riding
+        # each pair's MSB word lane: the per-column update is then purely
+        # elementwise (no cross-lane reduction inside the hot loop); other
+        # lanes carry don't-care values masked out at extraction time
+        score = score + jnp.where((ph & msb_select) != 0, 1, 0)
+        score = score - jnp.where((mh & msb_select) != 0, 1, 0)
 
         eligible = (j + 1) < tlen
         improves = eligible & (score <= best)
@@ -148,10 +145,18 @@ def _kernel(
         _, carry = jax.lax.fori_loop(0, LANES, inner, (block, carry))
         return carry
 
-    init = (vp0, vn0, plen, plen, jnp.zeros((SUBLANES, 1), dtype=jnp.int32))
+    plen_v = jnp.broadcast_to(plen, (SUBLANES, Wp)).astype(jnp.int32)
+    init = (
+        vp0,
+        vn0,
+        plen_v,
+        plen_v,
+        jnp.zeros((SUBLANES, Wp), dtype=jnp.int32),
+    )
     _, _, _, best, best_end = jax.lax.fori_loop(0, num_blocks, outer, init)
-    dist_ref[:, :] = best
-    end_ref[:, :] = best_end
+    sel = msb_select != 0
+    dist_ref[:, :] = jnp.sum(jnp.where(sel, best, 0), axis=1, keepdims=True)
+    end_ref[:, :] = jnp.sum(jnp.where(sel, best_end, 0), axis=1, keepdims=True)
 
 
 @functools.partial(
@@ -199,9 +204,11 @@ def myers_pallas_large(
     texts: np.ndarray,
     text_lengths: np.ndarray,
     interpret: bool | None = None,
+    sync: bool = True,
 ):
     """Host wrapper: packs layouts, pads the batch to SUBLANES and the word
-    axis to LANES multiples, runs the kernel. Returns (distance, end_col)."""
+    axis to LANES multiples, runs the kernel. Returns (distance, end_col);
+    sync=False returns device arrays so calls can overlap before download."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -231,4 +238,6 @@ def myers_pallas_large(
         num_text=Np,
         interpret=interpret,
     )
+    if not sync:
+        return dist[:B, 0], end[:B, 0]
     return np.asarray(dist)[:B, 0], np.asarray(end)[:B, 0]

@@ -36,6 +36,28 @@ from .verify import QueryAlignments, QueryVerifier, VerificationKind
 logger = logging.getLogger("floxer-tpu")
 
 
+_ACCELERATOR_AVAILABLE: bool | None = None
+
+
+def _accelerator_available() -> bool:
+    """True when a TPU backend is live, so the default (batched) engine can
+    run its verification kernels on the accelerator. CPU-only hosts keep the
+    host DP path, which preserves byte-identical behavior in the test
+    environment without paying XLA compile latency for tiny workloads."""
+    global _ACCELERATOR_AVAILABLE
+    if _ACCELERATOR_AVAILABLE is None:
+        try:
+            from .backend import ensure_backend
+
+            ensure_backend()
+            import jax
+
+            _ACCELERATOR_AVAILABLE = jax.default_backend() == "tpu"
+        except Exception:
+            _ACCELERATOR_AVAILABLE = False
+    return _ACCELERATOR_AVAILABLE
+
+
 def initialize_logger(logfile_path, console_debug_logs: bool) -> None:
     """Parity: output::initialize_logger (output.cpp:110-151). All diagnostics
     go to stderr; stdout stays empty (asserted by the reference's e2e test)."""
@@ -266,7 +288,8 @@ def verify_and_write_chunk(
         extra_verification_ratio=cli.extra_verification_ratio,
         without_cigar=cli.without_cigar,
         use_interval_optimization=cli.use_interval_optimization,
-        use_device=cli.engine == "device",
+        use_device=cli.engine == "device"
+        or (cli.engine == "batched" and _accelerator_available()),
     )
     all_alignments = verifier.process(items)
     verification_ms = int((time.monotonic() - verification_started) * 1000)

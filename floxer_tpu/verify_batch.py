@@ -157,16 +157,22 @@ class _TaskBatcher:
                 buckets.get(merged_key, []) + merged_slots
             )
 
+        import logging as _logging
+        import time as _time
+
         from .ops.device_dp import pad_batch
 
+        # device buckets are SUBMITTED first (sync=False keeps results on
+        # device) and downloaded after the last dispatch, so the remote
+        # backend pipelines the transfers/launches instead of paying one
+        # full round trip per bucket
+        pending = []  # (slots, b_bucket, m_bucket, n_bucket, dist, end, t)
         for (m_bucket, n_bucket), slots in buckets.items():
             cells = len(slots) * m_bucket * n_bucket
             on_device = self.use_device and (
                 len(slots) >= MIN_DEVICE_BATCH or cells > 4_000_000
             )
             if not on_device:
-                import time as _time
-
                 t0 = _time.monotonic()
                 for i in slots:
                     dp = dp_reference.semi_global_dp_matrix(
@@ -182,8 +188,6 @@ class _TaskBatcher:
             # jitted kernel sees a bounded set of (B, M, N) shapes — a fresh
             # compile per wave would dominate on a remote TPU. Min 1: big
             # single-task buckets (roots) must not pay 8x padding.
-            import time as _time
-
             t0 = _time.monotonic()
             b_bucket = 1
             while b_bucket < len(slots):
@@ -197,18 +201,35 @@ class _TaskBatcher:
             pat, plen = pad_batch(batch_patterns, pad_to=m_bucket)
             txt, tlen = pad_batch(batch_windows, pad_to=n_bucket)
             t1 = _time.monotonic()
-            bucket_distances, bucket_ends = myers_distance(pat, plen, txt, tlen)
-            distances[slots] = np.asarray(bucket_distances)[: len(slots)]
-            ends[slots] = np.asarray(bucket_ends)[: len(slots)]
+            bucket_distances, bucket_ends = myers_distance(
+                pat, plen, txt, tlen, sync=False
+            )
             t2 = _time.monotonic()
             _BATCH_TIMERS["pack"] += t1 - t0
-            _BATCH_TIMERS["kernel"] += t2 - t1
             _BATCH_TIMERS["calls"] += 1
-            import logging as _logging
+            pending.append(
+                (slots, b_bucket, m_bucket, n_bucket,
+                 bucket_distances, bucket_ends, t2 - t1)
+            )
 
-            _logging.getLogger("floxer-tpu").debug(
-                "batcher call: %d slots (pad %d) m=%d n=%d -> %.2fs",
-                len(slots), b_bucket, m_bucket, n_bucket, t2 - t1,
+        log = _logging.getLogger("floxer-tpu")
+        for slots, b_bucket, m_bucket, n_bucket, dist, end, t_disp in pending:
+            t1 = _time.monotonic()
+            distances[slots] = np.asarray(dist)[: len(slots)]
+            ends[slots] = np.asarray(end)[: len(slots)]
+            t2 = _time.monotonic()
+            _BATCH_TIMERS["kernel"] += t2 - t1
+            useful = sum(
+                len(self.patterns[i]) * len(self.windows[i]) for i in slots
+            )
+            padded = b_bucket * m_bucket * n_bucket
+            log.debug(
+                "batcher call: %d slots (pad %d) m=%d n=%d -> disp %.2fs "
+                "wait %.2fs useful=%.2fMcells padded=%.2fMcells fill=%.1f%% "
+                "%.1fGCUPS",
+                len(slots), b_bucket, m_bucket, n_bucket, t_disp, t2 - t1,
+                useful / 1e6, padded / 1e6, 100.0 * useful / padded,
+                padded / max(t2 - t1, 1e-9) / 1e9,
             )
 
         return distances, ends
@@ -308,7 +329,9 @@ class BatchVerifier:
             # (smallest) levels. Walks failing there resolve immediately and
             # the scan repeats with corrected knowledge — this keeps wrong
             # optimistic predictions from triggering full-size repair waves.
-            self._compute_walks(walks, items, need, max_depth=CHECK_DEPTH)
+            self._compute_walks_flat(
+                walks, items, need, max_depth=CHECK_DEPTH
+            )
             failed = [
                 walk_id
                 for walk_id in need
@@ -547,9 +570,13 @@ class BatchVerifier:
         walks: list[_AnchorWalk],
         items: list[_QueryItem],
         subset: list[int],
+        max_depth: int | None = None,
     ):
-        """Compute every level of every walk in `subset` with one batcher
-        pass (no per-depth rounds)."""
+        """Compute every level (or the first max_depth levels) of every walk
+        in `subset` with one batcher pass (no per-depth rounds): the
+        early-exit at a failed level is only a compute saving, never a data
+        dependency, and one dispatch round beats the saved cells on a
+        remote-tunnel TPU."""
         cache = getattr(self, "_task_cache", None)
         if cache is None:
             cache = self._task_cache = {}
@@ -561,7 +588,12 @@ class BatchVerifier:
             item = items[walk.query_index]
             query = self._oriented_query(item, walk.orientation)
             reference = self.references[walk.anchor.reference_id]
-            for depth, level in enumerate(walk.levels):
+            levels = (
+                walk.levels
+                if max_depth is None
+                else walk.levels[:max_depth]
+            )
+            for depth, level in enumerate(levels):
                 key = (
                     walk.query_index,
                     walk.orientation,
