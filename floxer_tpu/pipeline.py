@@ -288,8 +288,12 @@ def verify_and_write_chunk(
         extra_verification_ratio=cli.extra_verification_ratio,
         without_cigar=cli.without_cigar,
         use_interval_optimization=cli.use_interval_optimization,
-        use_device=cli.engine == "device"
-        or (cli.engine == "batched" and _accelerator_available()),
+        # lazily resolved: the batched engine only initializes/queries the
+        # accelerator backend when a bucket is big enough to benefit, so
+        # tiny workloads never touch the device
+        use_device=(
+            True if cli.engine == "device" else _accelerator_available
+        ),
     )
     all_alignments = verifier.process(items)
     verification_ms = int((time.monotonic() - verification_started) * 1000)

@@ -48,6 +48,13 @@ from .verify import (
 # numpy oracle directly (jit dispatch isn't worth it)
 MIN_DEVICE_BATCH = 8
 
+# test hook: route every eligible task through the banded kernel even when
+# its band is not narrower than the full state (exercises the banded batch
+# path with small shapes, where interpret mode is fast)
+_FORCE_BANDED = bool(
+    __import__("os").environ.get("FLOXER_TPU_FORCE_BANDED", "")
+)
+
 
 @dataclass
 class _WalkLevel:
@@ -83,25 +90,49 @@ _BATCH_TIMERS = {"pack": 0.0, "kernel": 0.0, "numpy": 0.0, "calls": 0}
 
 class _TaskBatcher:
     """Collects unique (pattern, window) pairs and runs them in one padded
-    batched Myers call; duplicates share one slot."""
+    batched Myers call; duplicates share one slot.
 
-    def __init__(self, use_device: bool):
+    use_device may be a bool or a zero-arg callable resolved lazily the
+    first time a bucket actually qualifies for device dispatch — so tiny
+    workloads (e.g. the e2e test data) never initialize an accelerator
+    backend at all."""
+
+    def __init__(self, use_device):
         self.use_device = use_device
+        self._device_resolved: bool | None = None
         self.keys: dict = {}
         self.patterns: list[np.ndarray] = []
         self.windows: list[np.ndarray] = []
         self.owners: list[list[int]] = []
+        self.budgets: list[int] = []
 
-    def add(self, key, pattern: np.ndarray, window: np.ndarray, owner: int):
+    def add(
+        self,
+        key,
+        pattern: np.ndarray,
+        window: np.ndarray,
+        owner: int,
+        budget: int = -1,
+    ):
         slot = self.keys.get(key)
         if slot is None:
             slot = len(self.patterns)
             self.keys[key] = slot
             self.patterns.append(pattern)
             self.windows.append(window)
+            self.budgets.append(budget)
             self.owners.append([])
         self.owners[slot].append(owner)
         return slot
+
+    def _device(self) -> bool:
+        if self._device_resolved is None:
+            self._device_resolved = (
+                self.use_device()
+                if callable(self.use_device)
+                else bool(self.use_device)
+            )
+        return self._device_resolved
 
     def run(self) -> tuple[np.ndarray, np.ndarray]:
         """Returns (distances, end_cols) per unique slot.
@@ -131,24 +162,51 @@ class _TaskBatcher:
                 size = -(-grown // 128) * 128
             return size
 
-        buckets: dict[tuple[int, int], list[int]] = {}
+        def banded_words_for(i):
+            """Band tile count (in 128-word units) when the banded kernel
+            applies to slot i, else None. Banded is exact whenever
+            downstream reads the result (ops/myers_banded.py); it wins when
+            its band state is strictly narrower than the full pattern
+            state at tile granularity (PEX roots, large inner nodes)."""
+            budget = self.budgets[i]
+            m = len(self.patterns[i])
+            n = len(self.windows[i])
+            if budget <= 0 or budget >= m:
+                return None
+            if n < m - budget:  # too truncated to ever accept: full kernel
+                return None
+            band_tiles = -(-(n - m + 2 * budget + 1) // (128 * 32))
+            full_tiles = -(-(-(-m // 32)) // 128)
+            if band_tiles < full_tiles or _FORCE_BANDED:
+                return band_tiles * 128
+            return None
+
+        buckets: dict[tuple, list[int]] = {}
         for i, (pattern, window) in enumerate(zip(self.patterns, self.windows)):
-            key = (
-                bucket_at_least(len(pattern), 128),
-                bucket_at_least(len(window), 256),
-            )
+            bw = banded_words_for(i)
+            if bw is not None:
+                key = ("banded", bw, bucket_at_least(len(window), 256))
+            else:
+                key = (
+                    "full",
+                    bucket_at_least(len(pattern), 128),
+                    bucket_at_least(len(window), 256),
+                )
             buckets.setdefault(key, []).append(i)
 
-        # merge all small buckets into one: a dispatch costs more than the
-        # padding waste at these sizes (tasks <= ~1.5k x 1.5k)
+        # merge all small full-kernel buckets into one: a dispatch costs
+        # more than the padding waste at these sizes (tasks <= ~1.5k x 1.5k)
         SMALL = 1536
         small_keys = [
-            key for key in buckets if key[0] <= SMALL and key[1] <= SMALL
+            key
+            for key in buckets
+            if key[0] == "full" and key[1] <= SMALL and key[2] <= SMALL
         ]
         if len(small_keys) > 1:
             merged_key = (
-                max(key[0] for key in small_keys),
+                "full",
                 max(key[1] for key in small_keys),
+                max(key[2] for key in small_keys),
             )
             merged_slots: list[int] = []
             for key in small_keys:
@@ -167,11 +225,14 @@ class _TaskBatcher:
         # backend pipelines the transfers/launches instead of paying one
         # full round trip per bucket
         pending = []  # (slots, b_bucket, m_bucket, n_bucket, dist, end, t)
-        for (m_bucket, n_bucket), slots in buckets.items():
+        for (tag, m_bucket, n_bucket), slots in buckets.items():
             cells = len(slots) * m_bucket * n_bucket
-            on_device = self.use_device and (
-                len(slots) >= MIN_DEVICE_BATCH or cells > 4_000_000
+            size_qualifies = (
+                tag == "banded"
+                or len(slots) >= MIN_DEVICE_BATCH
+                or cells > 4_000_000
             )
+            on_device = size_qualifies and self._device()
             if not on_device:
                 t0 = _time.monotonic()
                 for i in slots:
@@ -198,13 +259,34 @@ class _TaskBatcher:
             while len(batch_patterns) < b_bucket:
                 batch_patterns.append(dummy)
                 batch_windows.append(dummy)
-            pat, plen = pad_batch(batch_patterns, pad_to=m_bucket)
-            txt, tlen = pad_batch(batch_windows, pad_to=n_bucket)
-            t1 = _time.monotonic()
-            bucket_distances, bucket_ends = myers_distance(
-                pat, plen, txt, tlen, sync=False
-            )
-            t2 = _time.monotonic()
+            if tag == "banded":
+                from .ops.pallas_myers_banded import myers_pallas_banded
+
+                txt, tlen = pad_batch(batch_windows, pad_to=n_bucket)
+                budgets = np.ones(b_bucket, dtype=np.int64)
+                budgets[: len(slots)] = [self.budgets[i] for i in slots]
+                # pad rows: m=2, budget=1, n=1 satisfies 0 < budget < m
+                batch_patterns = batch_patterns[: len(slots)] + [
+                    np.zeros(2, dtype=np.uint8)
+                ] * (b_bucket - len(slots))
+                t1 = _time.monotonic()
+                bucket_distances, bucket_ends = myers_pallas_banded(
+                    batch_patterns,
+                    txt,
+                    tlen,
+                    budgets,
+                    band_words=m_bucket,
+                    sync=False,
+                )
+                t2 = _time.monotonic()
+            else:
+                pat, plen = pad_batch(batch_patterns, pad_to=m_bucket)
+                txt, tlen = pad_batch(batch_windows, pad_to=n_bucket)
+                t1 = _time.monotonic()
+                bucket_distances, bucket_ends = myers_distance(
+                    pat, plen, txt, tlen, sync=False
+                )
+                t2 = _time.monotonic()
             _BATCH_TIMERS["pack"] += t1 - t0
             _BATCH_TIMERS["calls"] += 1
             pending.append(
@@ -535,7 +617,10 @@ class BatchVerifier:
                     level.span.offset : level.span.offset + level.span.length
                 ]
                 slot_of_walk[walk_id] = (
-                    batcher.add(key, pattern, window, walk_id),
+                    batcher.add(
+                        key, pattern, window, walk_id,
+                        budget=level.node.num_errors,
+                    ),
                     key,
                 )
 
@@ -612,7 +697,10 @@ class BatchVerifier:
                 window = reference.rank_sequence[
                     level.span.offset : level.span.offset + level.span.length
                 ]
-                slot = batcher.add(key, pattern, window, walk_id)
+                slot = batcher.add(
+                    key, pattern, window, walk_id,
+                    budget=level.node.num_errors,
+                )
                 pending.append((walk_id, depth, key, slot))
 
         distances, ends = batcher.run()
@@ -661,7 +749,12 @@ class BatchVerifier:
                     level.span.offset,
                     level.span.length,
                 )
-                per_task_slot.append(batcher.add(key, pattern, window, walk_id))
+                per_task_slot.append(
+                    batcher.add(
+                        key, pattern, window, walk_id,
+                        budget=level.node.num_errors,
+                    )
+                )
             distances, ends = batcher.run()
             for (walk_id, level, distance, _), slot in zip(
                 root_tasks, per_task_slot

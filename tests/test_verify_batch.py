@@ -155,3 +155,28 @@ def test_batch_matches_sequential_more_seeds(seed):
     ).process(items)
     for w, g in zip(want, got):
         assert _as_tuples(w) == _as_tuples(g)
+
+
+@pytest.mark.parametrize("without_cigar", [False, True])
+def test_batch_matches_sequential_forced_banded(monkeypatch, without_cigar):
+    """Route every eligible task through the banded kernel (interpret mode)
+    and assert byte-equality with the sequential full-DP verifier — the
+    CPU-side equivalence check for the banded dispatch path."""
+    import floxer_tpu.verify_batch as vb
+
+    monkeypatch.setattr(vb, "_FORCE_BANDED", True)
+    references, items = _make_workload(seed=3, num_queries=4, read_len=80, k=6)
+    want = _run_sequential(
+        references, items, VerificationKind.HIERARCHICAL, 0.05,
+        without_cigar, True
+    )
+    got = BatchVerifier(
+        references,
+        kind=VerificationKind.HIERARCHICAL,
+        extra_verification_ratio=0.05,
+        without_cigar=without_cigar,
+        use_interval_optimization=True,
+        use_device=True,
+    ).process(items)
+    for qi, (w, g) in enumerate(zip(want, got)):
+        assert _as_tuples(w) == _as_tuples(g), f"query {qi}"
