@@ -19,19 +19,32 @@ no moving masks):
     score of row m rides the STATIC top bit of the last band word.
   - per-task conditional shifting / carry pessimism are elementwise
     selects on per-task scalars broadcast across lanes.
-  - scores/best/best_end are [S, BW] arrays whose meaningful value rides
-    the last lane; other lanes hold don't-care values masked at extraction
-    (same trick as ops/pallas_myers_large.py).
+
+Register-pressure design (the loop is spill-bound before it is op-bound;
+see scripts/tpu_microbench_column_loop.py):
+
+  - pattern band rows are stored as THREE char bit-planes plus one
+    all-match plane (rows <= 0) instead of six per-symbol Peq masks:
+    Eq = XNOR-reduce of the planes against the text char's bits.
+  - the four score arrays (bottom score, row-m score, best, best_end)
+    live on a single 128-lane tile — their meaningful value rides the
+    static top bit of the LAST band word, so only the last lane tile of
+    PH/MH is consulted (a static slice).
+  - all six one-bit band shifts share ONE cross-lane roll by packing each
+    array's carry bit into one word per lane; the Kogge-Stone rounds pack
+    (generate, propagate) the same way, and the PH/MH horizontal shifts
+    share one roll — 12 rolls per column instead of 29.
 
 Host-side preparation (prepare_banded_batch) packs, per task: initial
-VP/Peq band words (rows <= 0 all-match, rows 1..budget = pattern prefix),
-the entering-row char stream (pattern chars from row budget+1 on), and the
-scalars (text length, j_star, carry-pessimism thresholds).
+VP/plane band words, the entering-row char stream (pattern chars from row
+budget+1 on; 255 = matches nothing past the pattern end), and the scalars
+(text length, j_star, carry-pessimism thresholds).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,35 +52,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..alphabet import SIGMA
 from .myers import WORD
-
-import os
 
 # tasks per grid step. The per-column op chain is serially dependent, so
 # with few tasks the kernel is latency-bound; stacking more tasks on the
-# sublane axis gives every op more independent work to pipeline. 32 was
-# fastest on v5e (see docs/BENCH.md); override for experiments.
+# sublane axis gives every op more independent work to pipeline, until
+# register spills push the other way. Sweep with
+# scripts/tpu_bench_group_size.py when the body changes.
 SUBLANES = int(os.environ.get("FLOXER_TPU_BANDED_GROUP", "32"))
 LANES = 128
 TOP_BIT = np.uint32(0x80000000)
 
 
-def _roll_down(x, lane_iota, bw):
-    """Value of the next-higher lane (word p+1), 0 at the last lane."""
-    rolled = pltpu.roll(x, shift=bw - 1, axis=1)
-    return jnp.where(lane_iota < bw - 1, rolled, jnp.uint32(0))
-
-
-def _roll_up(x, lane_iota):
-    """Value of the next-lower lane (word p-1), 0 at lane 0."""
-    rolled = pltpu.roll(x, shift=1, axis=1)
-    return jnp.where(lane_iota >= 1, rolled, jnp.uint32(0))
-
-
 def _kernel(
     vp0_ref,  # uint32 [S, BW]
-    peq0_ref,  # uint32 [S, SIGMA, BW]
+    planes0_ref,  # uint32 [S, 4, BW]  char bit-planes 0..2 + all-match
     texts_ref,  # int32 [S, Np]
     stream_ref,  # int32 [S, Np]
     tlen_ref,  # int32 [S, 1]
@@ -84,10 +83,12 @@ def _kernel(
 ):
     BW = band_words
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, BW), 1)
-    last_lane = lane_iota == BW - 1
+    tile_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+    last_tile_lane = tile_iota == LANES - 1  # last lane within the last tile
     lane0 = lane_iota == 0
-    top_mask = jnp.where(last_lane, TOP_BIT, jnp.uint32(0))
+    top_mask_tile = jnp.where(last_tile_lane, TOP_BIT, jnp.uint32(0))
     bit0_lane0 = jnp.where(lane0, jnp.uint32(1), jnp.uint32(0))
+    last_slice = BW - LANES  # static start of the last lane tile
 
     tlen = tlen_ref[:, :]
     j_star = jstar_ref[:, :]
@@ -98,77 +99,122 @@ def _kernel(
 
     log_rounds = max(1, (BW - 1).bit_length())
     ones = jnp.uint32(0xFFFFFFFF)
+    one = jnp.uint32(1)
+
+    def roll_down(x):
+        """Next-higher lane's value (word p+1), 0 at the last lane."""
+        rolled = pltpu.roll(x, shift=BW - 1, axis=1)
+        return jnp.where(lane_iota < BW - 1, rolled, jnp.uint32(0))
+
+    def roll_up(x, distance):
+        """Lane p-d's value, 0 below lane d."""
+        rolled = pltpu.roll(x, shift=distance, axis=1)
+        return jnp.where(lane_iota >= distance, rolled, jnp.uint32(0))
 
     def step(j, tchars, pchars, carry):
-        vp, vn, peq, s_bot, s_m, best, best_end = carry
-        col = j + 1  # [scalar] current text column
-        sliding = col <= j_star  # [S,1] band still slides this column
+        vp, vn, p0, p1, p2, am, s_bot, s_m, best, best_end = carry
+        col = j + 1
+        sliding = col <= j_star  # [S,1]
 
-        # --- band slide: shift VP/VN/Peq one bit toward p=0; entering
-        # bottom row gets pessimistic VP and its pattern char's Peq bit
-        def shr1(x, entering_mask):
-            lo = (x >> jnp.uint32(1)) | (
-                _roll_down(x, lane_iota, BW) << jnp.uint32(31)
+        # --- band slide: one packed roll feeds all six >>1 cross-word
+        # carries; entering bottom row gets pessimistic VP and its pattern
+        # char's plane bits
+        pack = (
+            (vp & one)
+            | ((vn & one) << 1)
+            | ((p0 & one) << 2)
+            | ((p1 & one) << 3)
+            | ((p2 & one) << 4)
+            | ((am & one) << 5)
+        )
+        nxt = roll_down(pack)
+
+        def shr(x, i, entering):
+            return (
+                (x >> one)
+                | (((nxt >> jnp.uint32(i)) & one) << jnp.uint32(31))
+                | entering
             )
-            return lo | entering_mask
 
-        vp_sh = shr1(vp, top_mask)
-        vn_sh = shr1(vn, jnp.uint32(0))
-        vp = jnp.where(sliding, vp_sh, vp)
-        vn = jnp.where(sliding, vn_sh, vn)
-        new_peq = []
-        for s in range(SIGMA):
-            enter = jnp.where(pchars == s, top_mask, jnp.uint32(0))
-            new_peq.append(jnp.where(sliding, shr1(peq[s], enter), peq[s]))
-        peq = tuple(new_peq)
+        pch = pchars.astype(jnp.uint32)  # [S,1]
+        enter0 = jnp.where((pch & one) != 0, top_mask_tile, jnp.uint32(0))
+        enter1 = jnp.where((pch & jnp.uint32(2)) != 0, top_mask_tile, jnp.uint32(0))
+        enter2 = jnp.where((pch & jnp.uint32(4)) != 0, top_mask_tile, jnp.uint32(0))
+        # entering masks live on the last tile; widen to [S, BW] by placing
+        # them at the global last lane
+        if BW == LANES:
+            top_mask = top_mask_tile
+            e0, e1, e2 = enter0, enter1, enter2
+        else:
+            glast = lane_iota == BW - 1
+            top_mask = jnp.where(glast, TOP_BIT, jnp.uint32(0))
+            e0 = jnp.where(glast & ((pch & one) != 0), TOP_BIT, jnp.uint32(0))
+            e1 = jnp.where(
+                glast & ((pch & jnp.uint32(2)) != 0), TOP_BIT, jnp.uint32(0)
+            )
+            e2 = jnp.where(
+                glast & ((pch & jnp.uint32(4)) != 0), TOP_BIT, jnp.uint32(0)
+            )
+
+        vp = jnp.where(sliding, shr(vp, 0, top_mask), vp)
+        vn = jnp.where(sliding, shr(vn, 1, jnp.uint32(0)), vn)
+        p0 = jnp.where(sliding, shr(p0, 2, e0), p0)
+        p1 = jnp.where(sliding, shr(p1, 3, e1), p1)
+        p2 = jnp.where(sliding, shr(p2, 4, e2), p2)
+        am = jnp.where(sliding, shr(am, 5, jnp.uint32(0)), am)
         s_bot = s_bot + jnp.where(sliding, 1, 0)
 
-        # --- Eq for this text char: 6-way select
-        eq = jnp.zeros((SUBLANES, BW), dtype=jnp.uint32)
-        for s in range(SIGMA):
-            eq = jnp.where(tchars == s, peq[s], eq)
+        # --- Eq from char bit-planes: XNOR-reduce against the text char
+        tch = tchars.astype(jnp.uint32)
+        m0 = jnp.where((tch & one) != 0, p0, ~p0)
+        m1 = jnp.where((tch & jnp.uint32(2)) != 0, p1, ~p1)
+        m2 = jnp.where((tch & jnp.uint32(4)) != 0, p2, ~p2)
+        eq = (m0 & m1 & m2) | am
 
-        # --- Myers column update with Kogge-Stone carry scan across lanes
+        # --- Myers column update; Kogge-Stone carry scan with (g, p)
+        # packed into one word per lane (one roll per round)
         xv = eq | vn
         a = eq & vp
         t = a + vp
-        g = jnp.where(t < a, jnp.uint32(1), jnp.uint32(0))
-        p = jnp.where(t == ones, jnp.uint32(1), jnp.uint32(0))
+        gp = jnp.where(t < a, one, jnp.uint32(0)) | (
+            jnp.where(t == ones, one, jnp.uint32(0)) << 1
+        )
         for k in range(log_rounds):
-            distance = 1 << k
-            rolled_g = pltpu.roll(g, shift=distance, axis=1)
-            rolled_p = pltpu.roll(p, shift=distance, axis=1)
-            g_shift = jnp.where(lane_iota >= distance, rolled_g, jnp.uint32(0))
-            p_shift = jnp.where(lane_iota >= distance, rolled_p, jnp.uint32(0))
-            g = g | (p & g_shift)
-            p = p & p_shift
-        carry_in = _roll_up(g, lane_iota)
+            shifted = roll_up(gp, 1 << k)
+            g = gp & one
+            pprop = gp >> one
+            g = g | (pprop & (shifted & one))
+            pprop = pprop & (shifted >> one)
+            gp = g | (pprop << 1)
+        carry_in = roll_up(gp & one, 1)
         summ = t + carry_in
 
         xh = (summ ^ vp) | eq
         ph = vn | ~(xh | vp)
         mh = vp & xh
 
-        # --- score deltas at the band bottom (static top bit, last lane)
-        d_bot = jnp.where((ph & top_mask) != 0, 1, 0) - jnp.where(
-            (mh & top_mask) != 0, 1, 0
+        # --- score deltas at the static band-bottom bit (last tile only)
+        pht = ph[:, last_slice:]
+        mht = mh[:, last_slice:]
+        d_bot = jnp.where((pht & top_mask_tile) != 0, 1, 0) - jnp.where(
+            (mht & top_mask_tile) != 0, 1, 0
         )
         s_bot = s_bot + d_bot
-        at_seed = col == j_star  # row m arrives at the bottom this column
+        at_seed = col == j_star
         s_m = jnp.where(at_seed, s_bot, s_m + jnp.where(sliding, 0, d_bot))
 
-        # --- horizontal shift down one row; entering top delta is +1
-        # (pessimistic) once the top stored row is a real row, else 0.
-        # int32 0/1 arithmetic: jnp.where over two BOOLEAN operands lowers
-        # to an i8->i1 truncation Mosaic rejects
+        # --- horizontal shift down one row (one packed roll); entering top
+        # delta is +1 (pessimistic) once the top stored row is real, else 0
         pessim = jnp.where(
             sliding,
             jnp.where(col >= top_shift_col, 1, 0),
             m_frozen_pessim,
         )  # [S,1] int32
+        hpack = (ph >> jnp.uint32(31)) | ((mh >> jnp.uint32(31)) << 1)
+        hnxt = roll_up(hpack, 1)
         ph_in = jnp.where(pessim != 0, bit0_lane0, jnp.uint32(0))
-        ph_sh = (ph << jnp.uint32(1)) | _shift_up_carry(ph, lane_iota) | ph_in
-        mh_sh = (mh << jnp.uint32(1)) | _shift_up_carry(mh, lane_iota)
+        ph_sh = (ph << one) | (hnxt & one) | ph_in
+        mh_sh = (mh << one) | ((hnxt >> one) & one)
 
         vp = mh_sh | ~(xv | ph_sh)
         vn = ph_sh & xv
@@ -177,10 +223,7 @@ def _kernel(
         improves = eligible & (s_m <= best)
         best = jnp.where(improves, s_m, best)
         best_end = jnp.where(improves, col, best_end)
-        return vp, vn, peq, s_bot, s_m, best, best_end
-
-    def _shift_up_carry(x, iota):
-        return _roll_up(x >> jnp.uint32(31), iota)
+        return vp, vn, p0, p1, p2, am, s_bot, s_m, best, best_end
 
     num_blocks = num_text // LANES
 
@@ -199,21 +242,23 @@ def _kernel(
         _, _, carry = jax.lax.fori_loop(0, LANES, inner, (tblock, pblock, carry))
         return carry
 
-    m_v = jnp.broadcast_to(m_init, (SUBLANES, BW)).astype(jnp.int32)
-    b_v = jnp.broadcast_to(b_init, (SUBLANES, BW)).astype(jnp.int32)
-    peq_init = tuple(peq0_ref[:, s, :] for s in range(SIGMA))
+    m_v = jnp.broadcast_to(m_init, (SUBLANES, LANES)).astype(jnp.int32)
+    b_v = jnp.broadcast_to(b_init, (SUBLANES, LANES)).astype(jnp.int32)
     init = (
         vp0_ref[:, :],
         jnp.zeros((SUBLANES, BW), dtype=jnp.uint32),
-        peq_init,
+        planes0_ref[:, 0, :],
+        planes0_ref[:, 1, :],
+        planes0_ref[:, 2, :],
+        planes0_ref[:, 3, :],
         b_v,
         m_v,
         m_v,
-        jnp.zeros((SUBLANES, BW), dtype=jnp.int32),
+        jnp.zeros((SUBLANES, LANES), dtype=jnp.int32),
     )
     carry = jax.lax.fori_loop(0, num_blocks, outer, init)
-    _, _, _, _, _, best, best_end = carry
-    sel = last_lane
+    best, best_end = carry[8], carry[9]
+    sel = last_tile_lane
     dist_ref[:, :] = jnp.sum(jnp.where(sel, best, 0), axis=1, keepdims=True)
     end_ref[:, :] = jnp.sum(jnp.where(sel, best_end, 0), axis=1, keepdims=True)
 
@@ -222,7 +267,7 @@ def _kernel(
     jax.jit, static_argnames=("band_words", "num_text", "interpret")
 )
 def _pallas_banded_call(
-    vp0, peq0, texts, stream, scalars, band_words, num_text, interpret
+    vp0, planes0, texts, stream, scalars, band_words, num_text, interpret
 ):
     B = vp0.shape[0]
     grid = (B // SUBLANES,)
@@ -239,7 +284,7 @@ def _pallas_banded_call(
         grid=grid,
         in_specs=[
             spec1((SUBLANES, band_words)),
-            spec1((SUBLANES, SIGMA, band_words)),
+            spec1((SUBLANES, 4, band_words)),
             spec1((SUBLANES, num_text)),
             spec1((SUBLANES, num_text)),
             spec1((SUBLANES, 1)),
@@ -255,7 +300,7 @@ def _pallas_banded_call(
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(vp0, peq0, texts, stream, tlen, jstar, topshift, mfrozen, minit, binit)
+    )(vp0, planes0, texts, stream, tlen, jstar, topshift, mfrozen, minit, binit)
 
 
 def prepare_banded_batch(
@@ -267,12 +312,11 @@ def prepare_banded_batch(
     """Vectorized host packing of per-task banded state.
 
     band_words/num_text are the bucket's static shape (band_words a
-    multiple of 128 covering every task's nominal band).
-    """
+    multiple of 128 covering every task's nominal band)."""
     T = len(patterns)
     b_store = band_words * WORD
     vp0 = np.zeros((T, band_words), dtype=np.uint32)
-    peq0 = np.zeros((T, SIGMA, band_words), dtype=np.uint32)
+    planes0 = np.zeros((T, 4, band_words), dtype=np.uint32)
     stream = np.full((T, num_text), 255, dtype=np.int32)
     tlen = np.zeros((T, 1), dtype=np.int32)
     jstar = np.zeros((T, 1), dtype=np.int32)
@@ -282,22 +326,23 @@ def prepare_banded_batch(
     binit = np.zeros((T, 1), dtype=np.int32)
 
     bit_idx = np.arange(b_store)
-    bitvals = (np.uint32(1) << (bit_idx % WORD).astype(np.uint32))
-    word_idx = bit_idx // WORD
+
+    def pack_bits(bits: np.ndarray) -> np.ndarray:
+        """bool [b_store] -> little-endian uint32 words [bw]."""
+        return np.packbits(bits, bitorder="little").view("<u4")
 
     for t, pattern in enumerate(patterns):
         m = len(pattern)
         k = int(budgets[t])
         rows = bit_idx + k - (b_store - 1)  # absolute row at band pos p
-        vp_bits = rows >= 1
-        np.add.at(vp0[t], word_idx[vp_bits], bitvals[vp_bits])
+        vp0[t] = pack_bits(rows >= 1)
         pad_rows = rows <= 0
         in_pat = (rows >= 1) & (rows <= m)
-        pat_at = np.zeros(b_store, dtype=np.int64)
-        pat_at[in_pat] = pattern[rows[in_pat] - 1]
-        for s in range(SIGMA):
-            bits = pad_rows | (in_pat & (pat_at == s))
-            np.add.at(peq0[t, s], word_idx[bits], bitvals[bits])
+        codes = np.full(b_store, 7, dtype=np.int64)  # matches nothing
+        codes[in_pat] = pattern[np.clip(rows[in_pat] - 1, 0, m - 1)]
+        for i in range(3):
+            planes0[t, i] = pack_bits(((codes >> i) & 1) != 0)
+        planes0[t, 3] = pack_bits(pad_rows)
         n_stream = min(num_text, max(0, m - k))
         if n_stream > 0:
             stream[t, :n_stream] = pattern[k : k + n_stream]
@@ -306,7 +351,7 @@ def prepare_banded_batch(
         mfrozen[t, 0] = 1 if m >= b_store else 0
         minit[t, 0] = m
         binit[t, 0] = k
-    return vp0, peq0, stream, (tlen, jstar, topshift, mfrozen, minit, binit)
+    return vp0, planes0, stream, (tlen, jstar, topshift, mfrozen, minit, binit)
 
 
 def myers_pallas_banded(
@@ -329,7 +374,7 @@ def myers_pallas_banded(
     Np = texts.shape[1]
     assert Np % LANES == 0
 
-    vp0, peq0, stream, scalars = prepare_banded_batch(
+    vp0, planes0, stream, scalars = prepare_banded_batch(
         patterns, budgets, band_words, Np
     )
     tlen = scalars[0]
@@ -343,14 +388,14 @@ def myers_pallas_banded(
         return out
 
     vp0 = pad(vp0)
-    peq0 = pad(peq0)
+    planes0 = pad(planes0)
     stream = pad(stream, 255)
     texts_padded = pad(np.asarray(texts, dtype=np.int32))
     scalars = tuple(pad(s, 1) for s in scalars)
 
     dist, end = _pallas_banded_call(
         jnp.asarray(vp0),
-        jnp.asarray(peq0),
+        jnp.asarray(planes0),
         jnp.asarray(texts_padded),
         jnp.asarray(stream),
         tuple(jnp.asarray(s) for s in scalars),

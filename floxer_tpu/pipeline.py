@@ -58,6 +58,43 @@ def _accelerator_available() -> bool:
     return _ACCELERATOR_AVAILABLE
 
 
+_WARMUP_STARTED = False
+
+
+def _start_device_warmup() -> None:
+    """Fire a tiny kernel on a daemon thread so the backend's one-time
+    first-execution warmup (minutes on the axon tunnel) overlaps the first
+    chunk's host search instead of stalling the first verification wave.
+    Safe to call repeatedly; only the first call acts."""
+    global _WARMUP_STARTED
+    if _WARMUP_STARTED:
+        return
+    _WARMUP_STARTED = True
+
+    def warm() -> None:
+        try:
+            if not _accelerator_available():
+                return
+            import numpy as np
+
+            from .ops.myers import myers_distance
+
+            pattern = np.ones((1, 16), dtype=np.uint8)
+            myers_distance(
+                pattern,
+                np.full(1, 16, dtype=np.int32),
+                np.ones((1, 128), dtype=np.uint8),
+                np.full(1, 128, dtype=np.int32),
+            )
+            logger.debug("device warmup complete")
+        except Exception as error:  # noqa: BLE001 - warmup is best-effort
+            logger.debug("device warmup failed: %s", error)
+
+    import threading
+
+    threading.Thread(target=warm, name="device-warmup", daemon=True).start()
+
+
 def initialize_logger(logfile_path, console_debug_logs: bool) -> None:
     """Parity: output::initialize_logger (output.cpp:110-151). All diagnostics
     go to stderr; stdout stays empty (asserted by the reference's e2e test)."""
@@ -459,6 +496,11 @@ def run(cli: CommandLineInput) -> int:
             try:
                 while not timed_out:
                     chunk = next_chunk()
+                    if len(chunk) >= 32:
+                        # big enough that device verification will engage:
+                        # overlap the backend's first-execution warmup with
+                        # this chunk's host search
+                        _start_device_warmup()
                     future = (
                         pool.submit(search_chunk, chunk) if chunk else None
                     )

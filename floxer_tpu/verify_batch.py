@@ -44,9 +44,11 @@ from .verify import (
     compute_reference_span,
 )
 
-# verification work items below this batch size skip the device and use the
-# numpy oracle directly (jit dispatch isn't worth it)
-MIN_DEVICE_BATCH = 8
+# buckets below this many padded DP cells skip the device and use the
+# numpy oracle directly: at ~70 Mcells/s host throughput the crossover with
+# a (warm) device dispatch is a few Mcells, and small workloads must never
+# pay the tunnel's cold-start for milliseconds of host work
+MIN_DEVICE_CELLS = 4_000_000
 
 # test hook: route every eligible task through the banded kernel even when
 # its band is not narrower than the full state (exercises the banded batch
@@ -227,11 +229,7 @@ class _TaskBatcher:
         pending = []  # (slots, b_bucket, m_bucket, n_bucket, dist, end, t)
         for (tag, m_bucket, n_bucket), slots in buckets.items():
             cells = len(slots) * m_bucket * n_bucket
-            size_qualifies = (
-                tag == "banded"
-                or len(slots) >= MIN_DEVICE_BATCH
-                or cells > 4_000_000
-            )
+            size_qualifies = tag == "banded" or cells > MIN_DEVICE_CELLS
             on_device = size_qualifies and self._device()
             if not on_device:
                 t0 = _time.monotonic()
@@ -401,37 +399,74 @@ class BatchVerifier:
         waves = 0
         need_total = 0
         CHECK_DEPTH = 3
+
+        # the optimistic cache simulation is exact per (query, orientation,
+        # reference) — interval caches never cross those keys — so only
+        # keys whose predictions turned out wrong need re-simulation.
+        # A failed optimistic root insertion can only UNCOVER other walks
+        # (more need, never less), so survivors of the cheap check are
+        # always safe to compute in the same wave.
+        walks_by_key: dict = {}
+        for walk_id, walk in enumerate(walks):
+            key = (walk.query_index, walk.orientation, walk.anchor.reference_id)
+            walks_by_key.setdefault(key, []).append(walk_id)
+        need_by_key = {}
+        dirty = set(walks_by_key)
+
         while True:
-            need = self._scan(walks, items, computed, record=None)
+            for key in dirty:
+                need_by_key[key] = self._simulate_key(
+                    walks, walks_by_key[key], computed
+                )
+            dirty.clear()
+            need = sorted(
+                walk_id
+                for ids in need_by_key.values()
+                for walk_id in ids
+            )
             if not need:
                 break
             waves += 1
             need_total += len(need)
             # cheap plausibility check first: the selected walks' first few
-            # (smallest) levels. Walks failing there resolve immediately and
-            # the scan repeats with corrected knowledge — this keeps wrong
-            # optimistic predictions from triggering full-size repair waves.
+            # (smallest) levels resolve junk anchors without computing
+            # their full-size upper levels
             self._compute_walks_flat(
                 walks, items, need, max_depth=CHECK_DEPTH
             )
-            failed = [
+            failed = set(
                 walk_id
                 for walk_id in need
                 if not all(
                     level.exists
                     for level in walks[walk_id].levels[:CHECK_DEPTH]
                 )
-            ]
-            if failed:
-                computed.update(failed)
-                continue
-            # all levels of the surviving walks go out as ONE flat batch:
-            # the early-exit is only a compute saving, never a dependency —
-            # the authoritative replay ignores levels past the first failure
-            # — and on a remote TPU, dispatch rounds cost more than the
-            # extra cells
-            self._compute_walks_flat(walks, items, need)
+            )
+            survivors = [w for w in need if w not in failed]
+            if survivors:
+                # all levels as ONE flat batch: the early-exit is only a
+                # compute saving, never a dependency, and dispatch rounds
+                # cost more than the extra cells on a remote TPU
+                self._compute_walks_flat(walks, items, survivors)
             computed.update(need)
+            for walk_id in need:
+                walk = walks[walk_id]
+                key = (
+                    walk.query_index,
+                    walk.orientation,
+                    walk.anchor.reference_id,
+                )
+                broken = False
+                for level in walk.levels:
+                    if level.node.is_root:
+                        break
+                    if not level.exists:
+                        broken = True
+                        break
+                if broken:
+                    dirty.add(key)
+                elif key not in dirty:
+                    need_by_key[key] = []
         t_waves = _time.monotonic()
 
         alignments = [QueryAlignments(len(self.references)) for _ in items]
@@ -456,6 +491,38 @@ class BatchVerifier:
             _time.monotonic() - t_waves,
         )
         return alignments
+
+    def _simulate_key(
+        self,
+        walks: list[_AnchorWalk],
+        key_walk_ids: list[int],
+        computed: set[int],
+    ) -> list[int]:
+        """Optimistic cache simulation for ONE (query, orientation,
+        reference) key — the exact non-recording logic of _scan restricted
+        to the walks sharing one interval cache."""
+        cache = VerifiedIntervals(self.use_interval_optimization)
+        need: list[int] = []
+        for walk_id in key_walk_ids:
+            walk = walks[walk_id]
+            trimmed = (
+                walk.root_span.as_half_open_interval().trim_from_both_sides(
+                    walk.root_span.applied_extra_verification_length_per_side
+                )
+            )
+            if cache.contains(trimmed):
+                continue
+            if walk_id not in computed:
+                need.append(walk_id)
+                cache.insert(walk.root_span.as_half_open_interval())
+                continue
+            for level in walk.levels:
+                if level.node.is_root:
+                    cache.insert(level.span.as_half_open_interval())
+                    break
+                if not level.exists:
+                    break
+        return need
 
     def _scan(
         self,
@@ -527,6 +594,10 @@ class BatchVerifier:
     # ---------------- phase A ----------------
 
     def _build_walks(self, items: list[_QueryItem]) -> list[_AnchorWalk]:
+        """Builds every walk with its root span (needed by the cache
+        simulation for ALL walks) but defers per-level span construction
+        to _ensure_levels — only the few percent of walks that actually
+        compute ever need their inner levels."""
         walks = []
         for query_index, item in enumerate(items):
             for orientation, result in (
@@ -544,24 +615,31 @@ class BatchVerifier:
                         len(reference.rank_sequence),
                         self.extra_verification_ratio,
                     )
-                    walk = _AnchorWalk(
-                        query_index, orientation, anchor, chain, root_span
-                    )
-                    for node in chain:
-                        span = (
-                            root_span
-                            if node.is_root
-                            else compute_reference_span(
-                                anchor,
-                                node,
-                                leaf.query_index_from,
-                                len(reference.rank_sequence),
-                                0.0,
-                            )
+                    walks.append(
+                        _AnchorWalk(
+                            query_index, orientation, anchor, chain, root_span
                         )
-                        walk.levels.append(_WalkLevel(span, node))
-                    walks.append(walk)
+                    )
         return walks
+
+    def _ensure_levels(self, walk: _AnchorWalk, item: _QueryItem) -> None:
+        if walk.levels:
+            return
+        leaf = item.pex_tree.leaves[walk.anchor.pex_leaf_index]
+        reference = self.references[walk.anchor.reference_id]
+        for node in walk.chain:
+            span = (
+                walk.root_span
+                if node.is_root
+                else compute_reference_span(
+                    walk.anchor,
+                    node,
+                    leaf.query_index_from,
+                    len(reference.rank_sequence),
+                    0.0,
+                )
+            )
+            walk.levels.append(_WalkLevel(span, node))
 
     def _oriented_query(self, item: _QueryItem, orientation: Orientation):
         return (
@@ -577,6 +655,8 @@ class BatchVerifier:
         subset: list[int],
         max_depth: int | None = None,
     ):
+        for w in subset:
+            self._ensure_levels(walks[w], items[walks[w].query_index])
         limit = max((len(walks[w].levels) for w in subset), default=0)
         if max_depth is not None:
             limit = min(limit, max_depth)
@@ -671,6 +751,7 @@ class BatchVerifier:
         for walk_id in subset:
             walk = walks[walk_id]
             item = items[walk.query_index]
+            self._ensure_levels(walk, item)
             query = self._oriented_query(item, walk.orientation)
             reference = self.references[walk.anchor.reference_id]
             levels = (
