@@ -90,22 +90,47 @@ class DeviceIndex:
         )
 
 
-def rank_all(index: DeviceSingleIndex, positions: jax.Array) -> jax.Array:
-    """occ over all SIGMA symbols for a batch of positions: [B] -> [B, SIGMA].
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ShardedSingleIndex:
+    """One direction of a ROW-SHARDED FM-index, as seen from inside a
+    shard_map body: this device's local BWT rows, local cumulative occ
+    checkpoints, and the shard's start row. rank_all() on it clamps global
+    positions into the shard, counts locally, and psums the partial counts
+    over `axis_name` — the ICI collective form of the hg38-scale rank
+    query (SURVEY.md section 2.4: the reference holds the whole ~11 GB
+    index in one node's RAM, floxer.cpp:90-92)."""
 
-    One checkpoint gather + a masked one-hot popcount over the partial block
-    (OCC_BLOCK wide), the device analogue of the EPR dictionary's
-    checkpoint+prefix-sum scheme.
-    """
-    positions = positions.astype(jnp.int32)
+    bwt: jax.Array  # uint8 [shard_len_padded]
+    occ: jax.Array  # int32 [nb_local + 1, SIGMA] local cumulative
+    shard_start: jax.Array  # int32 scalar
+    shard_length: jax.Array  # int32 scalar
+    axis_name: str = "index"
+    global_n: int = 0
+
+    def tree_flatten(self):
+        children = (self.bwt, self.occ, self.shard_start, self.shard_length)
+        return children, (self.axis_name, self.global_n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, axis_name=aux[0], global_n=aux[1])
+
+
+def index_size(index) -> int:
+    """Global text length of a (possibly sharded) single-direction index."""
+    if isinstance(index, ShardedSingleIndex):
+        return index.global_n
+    return index.bwt.shape[0]
+
+
+def _rank_all_dense(bwt, occ, positions) -> jax.Array:
     block = positions // OCC_BLOCK
-    base = index.occ[block]  # [B, SIGMA]
+    base = occ[block]  # [B, SIGMA]
     start = block * OCC_BLOCK
     offsets = jnp.arange(OCC_BLOCK, dtype=jnp.int32)[None, :]  # [1, OB]
-    gather_idx = jnp.minimum(
-        start[:, None] + offsets, index.bwt.shape[0] - 1
-    )
-    window = index.bwt[gather_idx].astype(jnp.int32)  # [B, OB]
+    gather_idx = jnp.minimum(start[:, None] + offsets, bwt.shape[0] - 1)
+    window = bwt[gather_idx].astype(jnp.int32)  # [B, OB]
     in_range = offsets < (positions - start)[:, None]  # [B, OB]
     one_hot = (
         window[:, :, None] == jnp.arange(SIGMA, dtype=jnp.int32)[None, None, :]
@@ -114,6 +139,39 @@ def rank_all(index: DeviceSingleIndex, positions: jax.Array) -> jax.Array:
         one_hot & in_range[:, :, None], axis=1, dtype=jnp.int32
     )
     return base + partial_counts
+
+
+def rank_all(index, positions: jax.Array) -> jax.Array:
+    """occ over all SIGMA symbols for a batch of positions: [B] -> [B, SIGMA].
+
+    One checkpoint gather + a masked one-hot popcount over the partial block
+    (OCC_BLOCK wide), the device analogue of the EPR dictionary's
+    checkpoint+prefix-sum scheme. For a ShardedSingleIndex the count is a
+    local partial plus a psum over the index mesh axis.
+    """
+    positions = positions.astype(jnp.int32)
+    if isinstance(index, ShardedSingleIndex):
+        local_pos = jnp.clip(
+            positions - index.shard_start, 0, index.shard_length
+        ).astype(jnp.int32)
+        local = _rank_all_dense(
+            index.bwt, index.occ.astype(jnp.int32), local_pos
+        )
+        return jax.lax.psum(local, index.axis_name)
+    return _rank_all_dense(index.bwt, index.occ, positions)
+
+
+def bwt_at(index, rows: jax.Array) -> jax.Array:
+    """BWT symbols at global rows; for a sharded index the owning shard
+    contributes via a masked psum."""
+    if isinstance(index, ShardedSingleIndex):
+        local = jnp.clip(rows - index.shard_start, 0, index.shard_length - 1)
+        in_shard = (rows >= index.shard_start) & (
+            rows < index.shard_start + index.shard_length
+        )
+        value = jnp.where(in_shard, index.bwt[local].astype(jnp.int32), 0)
+        return jax.lax.psum(value, index.axis_name)
+    return index.bwt[rows].astype(jnp.int32)
 
 
 def rank_symbol(
@@ -153,9 +211,58 @@ def extend_right_all(
     return new_lb, new_lb_rev, counts
 
 
-def lf_step(index: DeviceIndex, rows: jax.Array) -> jax.Array:
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ShardedDeviceIndex:
+    """A DeviceIndex whose BWT/occ rows and SA samples are row-sharded
+    across the `index` mesh axis (built by
+    parallel/sharded_index.shard_full_index, consumed inside shard_map).
+    C and seq_starts stay replicated. All batched ops (rank, LF, locate,
+    extensions, the frontier search) work unchanged on it — the sharded
+    gathers resolve through rank_all/bwt_at/_sample_lookup."""
+
+    fwd: ShardedSingleIndex
+    rev: ShardedSingleIndex
+    C: jax.Array
+    sampled_rows: jax.Array  # int32 [ns_local] local chunk, pad 1<<30
+    sampled_values: jax.Array  # int32 [ns_local]
+    seq_starts: jax.Array
+    sampling_rate: int = 4
+
+    def tree_flatten(self):
+        children = (
+            self.fwd,
+            self.rev,
+            self.C,
+            self.sampled_rows,
+            self.sampled_values,
+            self.seq_starts,
+        )
+        return children, self.sampling_rate
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, sampling_rate=aux)
+
+
+def _sample_lookup(index, rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(hit [B] bool, sampled_value [B]) for SA rows; sharded indexes OR
+    the hit and sum the value across the index axis (exactly one shard can
+    own a row; local pads are 1<<30 sentinels that never match)."""
+    idx = jnp.searchsorted(index.sampled_rows, rows)
+    idx = jnp.minimum(idx, index.sampled_rows.shape[0] - 1)
+    hit = index.sampled_rows[idx] == rows
+    value = jnp.where(hit, index.sampled_values[idx], 0)
+    if isinstance(index, ShardedDeviceIndex):
+        axis = index.fwd.axis_name
+        hit = jax.lax.psum(hit.astype(jnp.int32), axis) > 0
+        value = jax.lax.psum(value, axis)
+    return hit, value
+
+
+def lf_step(index, rows: jax.Array) -> jax.Array:
     """One batched LF mapping step: row of suffix p -> row of suffix p-1."""
-    symbols = index.fwd.bwt[rows].astype(jnp.int32)
+    symbols = bwt_at(index.fwd, rows)
     return index.C[symbols] + rank_symbol(index.fwd, symbols, rows)
 
 
@@ -173,12 +280,10 @@ def locate_batch(
 
     def body(_, carry):
         cur_rows, steps, done = carry
-        idx = jnp.searchsorted(index.sampled_rows, cur_rows)
-        idx = jnp.minimum(idx, index.sampled_rows.shape[0] - 1)
-        hit = index.sampled_rows[idx] == cur_rows
+        hit, sampled_value = _sample_lookup(index, cur_rows)
         newly_done = hit & ~done
         # remember the sampled value for rows that just hit
-        steps = jnp.where(newly_done, index.sampled_values[idx] + steps, steps)
+        steps = jnp.where(newly_done, sampled_value + steps, steps)
         next_rows = lf_step(index, cur_rows)
         cur_rows = jnp.where(hit | done, cur_rows, next_rows)
         # rows still walking accumulate +1 text position

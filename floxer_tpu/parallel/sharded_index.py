@@ -217,3 +217,199 @@ def make_2d_mesh(devices=None, index_axis_size: int = 2) -> Mesh:
     assert devices.size % index_axis_size == 0
     grid = devices.reshape(devices.size // index_axis_size, index_axis_size)
     return Mesh(grid, (READS_AXIS, INDEX_AXIS))
+
+
+# ---------------------------------------------------------------------------
+# Full sharded index: search + locate against row-sharded BWT and SA samples
+# (the hg38-scale configuration where one chip cannot hold the index). The
+# frontier search kernel (search_device._frontier_search) and the batched
+# locate (index/device_index.locate_batch) run UNCHANGED inside shard_map:
+# the ShardedSingleIndex / ShardedDeviceIndex types resolve every rank /
+# BWT / SA-sample gather into a local partial plus a psum over INDEX_AXIS.
+# Frontier bookkeeping is replicated across index shards (deterministic),
+# so the only collectives are the rank psums riding ICI.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ShardedHostIndex:
+    """Host-side stacked shard arrays of a full bidirectional index, ready
+    to device_put along INDEX_AXIS."""
+
+    fwd: HostShardedSingle
+    rev: HostShardedSingle
+    C: np.ndarray
+    sampled_rows: np.ndarray  # int64 [S, ns_per_shard] pad 1<<30
+    sampled_values: np.ndarray  # int64 [S, ns_per_shard]
+    seq_starts: np.ndarray
+    sampling_rate: int
+    global_n: int
+
+
+def shard_full_index(host_index, num_shards: int) -> ShardedHostIndex:
+    """Row-shards both directions of a host FmIndex plus its SA samples."""
+    fwd = shard_single_index(host_index.fwd.bwt, num_shards)
+    rev = shard_single_index(host_index.rev.bwt, num_shards)
+    rows = np.asarray(host_index.sampled_rows, dtype=np.int64)
+    vals = np.asarray(host_index.sampled_values, dtype=np.int64)
+    per = max(1, -(-len(rows) // num_shards))
+    srows = np.full((num_shards, per), np.int64(1) << 30, dtype=np.int64)
+    svals = np.zeros((num_shards, per), dtype=np.int64)
+    for s in range(num_shards):
+        chunk = slice(s * per, min((s + 1) * per, len(rows)))
+        size = max(0, chunk.stop - chunk.start)
+        if size > 0:
+            srows[s, :size] = rows[chunk]
+            svals[s, :size] = vals[chunk]
+    return ShardedHostIndex(
+        fwd=fwd,
+        rev=rev,
+        C=np.asarray(host_index.C, dtype=np.int64),
+        sampled_rows=srows,
+        sampled_values=svals,
+        seq_starts=np.asarray(host_index.seq_starts, dtype=np.int64),
+        sampling_rate=host_index.sampling_rate,
+        global_n=int(host_index.n),
+    )
+
+
+def _device_put_sharded_host(mesh: Mesh, sh: ShardedHostIndex):
+    """device_put every stacked array with its INDEX_AXIS sharding."""
+    shard0 = NamedSharding(mesh, P(INDEX_AXIS))
+    shard1 = NamedSharding(mesh, P(INDEX_AXIS, None))
+    shard2 = NamedSharding(mesh, P(INDEX_AXIS, None, None))
+    repl = NamedSharding(mesh, P())
+
+    def put(x, sharding, dtype=None):
+        arr = jnp.asarray(x if dtype is None else np.asarray(x, dtype=dtype))
+        return jax.device_put(arr, sharding)
+
+    return dict(
+        fwd_bwt=put(sh.fwd.bwt_shards, shard1),
+        fwd_occ=put(sh.fwd.occ_shards, shard2, np.int32),
+        fwd_starts=put(sh.fwd.shard_starts, shard0, np.int32),
+        fwd_lengths=put(sh.fwd.shard_lengths, shard0, np.int32),
+        rev_bwt=put(sh.rev.bwt_shards, shard1),
+        rev_occ=put(sh.rev.occ_shards, shard2, np.int32),
+        rev_starts=put(sh.rev.shard_starts, shard0, np.int32),
+        rev_lengths=put(sh.rev.shard_lengths, shard0, np.int32),
+        C=put(sh.C, repl, np.int32),
+        sampled_rows=put(sh.sampled_rows, shard1, np.int32),
+        sampled_values=put(sh.sampled_values, shard1, np.int32),
+        seq_starts=put(sh.seq_starts, repl, np.int32),
+    )
+
+
+def _local_index(arrs, sh: ShardedHostIndex):
+    """Build the in-body ShardedDeviceIndex from shard_map local views."""
+    from ..index.device_index import ShardedDeviceIndex, ShardedSingleIndex
+
+    fwd = ShardedSingleIndex(
+        arrs["fwd_bwt"][0],
+        arrs["fwd_occ"][0],
+        arrs["fwd_starts"][0],
+        arrs["fwd_lengths"][0],
+        axis_name=INDEX_AXIS,
+        global_n=sh.global_n,
+    )
+    rev = ShardedSingleIndex(
+        arrs["rev_bwt"][0],
+        arrs["rev_occ"][0],
+        arrs["rev_starts"][0],
+        arrs["rev_lengths"][0],
+        axis_name=INDEX_AXIS,
+        global_n=sh.global_n,
+    )
+    return ShardedDeviceIndex(
+        fwd=fwd,
+        rev=rev,
+        C=arrs["C"],
+        sampled_rows=arrs["sampled_rows"][0],
+        sampled_values=arrs["sampled_values"][0],
+        seq_starts=arrs["seq_starts"],
+        sampling_rate=sh.sampling_rate,
+    )
+
+
+_ARR_KEYS = (
+    "fwd_bwt", "fwd_occ", "fwd_starts", "fwd_lengths",
+    "rev_bwt", "rev_occ", "rev_starts", "rev_lengths",
+    "C", "sampled_rows", "sampled_values", "seq_starts",
+)
+_ARR_SPECS = (
+    P(INDEX_AXIS, None), P(INDEX_AXIS, None, None), P(INDEX_AXIS), P(INDEX_AXIS),
+    P(INDEX_AXIS, None), P(INDEX_AXIS, None, None), P(INDEX_AXIS), P(INDEX_AXIS),
+    P(), P(INDEX_AXIS, None), P(INDEX_AXIS, None), P(),
+)
+
+
+def sharded_locate(mesh: Mesh, sh: ShardedHostIndex, rows: np.ndarray):
+    """Batched locate against the sharded index: SA rows ->
+    (reference_id, position). Bit-identical to the replicated
+    DeviceIndex locate."""
+    from ..index.device_index import locate_batch
+
+    arrs = _device_put_sharded_host(mesh, sh)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(_ARR_SPECS, P(None)),
+        out_specs=(P(None), P(None)),
+        check_vma=False,
+    )
+    def run(arr_tuple, rows_):
+        index = _local_index(dict(zip(_ARR_KEYS, arr_tuple)), sh)
+        return locate_batch(index, rows_, sampling_rate=sh.sampling_rate)
+
+    rows_dev = jax.device_put(
+        jnp.asarray(rows, dtype=jnp.int32), NamedSharding(mesh, P())
+    )
+    return run(tuple(arrs[k] for k in _ARR_KEYS), rows_dev)
+
+
+def sharded_frontier_search(
+    mesh: Mesh,
+    sh: ShardedHostIndex,
+    padded_patterns: np.ndarray,
+    tables,
+    frontier_capacity: int,
+    report_capacity: int,
+    max_iterations: int,
+):
+    """The device frontier seed search (search_device._frontier_search)
+    with the index row-sharded across INDEX_AXIS. Returns the same
+    (reports, num_reports, overflow) as the replicated version."""
+    from ..search_device import _frontier_search
+
+    arrs = _device_put_sharded_host(mesh, sh)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(_ARR_SPECS, P(None, None)),
+        out_specs=(P(None, None), P(), P(None)),
+        check_vma=False,
+    )
+    def run(arr_tuple, patterns):
+        index = _local_index(dict(zip(_ARR_KEYS, arr_tuple)), sh)
+        return _frontier_search(
+            index,
+            patterns,
+            tables.start,
+            tables.end,
+            tables.direction,
+            tables.lower,
+            tables.upper,
+            tables.num_searches,
+            tables.num_parts,
+            frontier_capacity,
+            report_capacity,
+            max_iterations,
+        )
+
+    patterns_dev = jax.device_put(
+        jnp.asarray(padded_patterns, dtype=jnp.int32),
+        NamedSharding(mesh, P()),
+    )
+    return run(tuple(arrs[k] for k in _ARR_KEYS), patterns_dev)

@@ -174,7 +174,9 @@ def _frontier_search(
     num_seeds = patterns.shape[0]
     C = frontier_capacity
     R = report_capacity
-    n = index.fwd.bwt.shape[0]
+    from .index.device_index import index_size
+
+    n = index_size(index.fwd)
 
     # initial frontier: one state per (seed, search)
     init_count = num_seeds * num_searches

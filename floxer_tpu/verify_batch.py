@@ -850,7 +850,8 @@ class BatchVerifier:
         memo = getattr(self, "_root_memo", None)
         if memo is None:
             memo = self._root_memo = {}
-        for walk_id, level, distance, end in root_tasks:
+
+        def key_and_slices(walk_id, level):
             walk = walks[walk_id]
             item = items[walk.query_index]
             query = self._oriented_query(item, walk.orientation)
@@ -863,17 +864,42 @@ class BatchVerifier:
                 level.span.offset,
                 level.span.length,
             )
-            if key not in memo:
-                pattern = query[
-                    level.node.query_index_from : level.node.query_index_to + 1
-                ]
-                window = reference.rank_sequence[
-                    level.span.offset : level.span.offset + level.span.length
-                ]
-                begin, cigar = dp_reference.banded_cigar_traceback(
-                    window, pattern, end, distance
+            pattern = query[
+                level.node.query_index_from : level.node.query_index_to + 1
+            ]
+            window = reference.rank_sequence[
+                level.span.offset : level.span.offset + level.span.length
+            ]
+            return key, pattern, window
+
+        # the banded tracebacks run in the native library (ctypes drops the
+        # GIL), so unique roots fan out across host threads
+        todo = {}
+        for walk_id, level, distance, end in root_tasks:
+            key, pattern, window = key_and_slices(walk_id, level)
+            if key not in memo and key not in todo:
+                todo[key] = (window, pattern, end, distance)
+        if len(todo) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            import os as _os
+
+            with ThreadPoolExecutor(
+                max_workers=min(8, _os.cpu_count() or 1)
+            ) as pool:
+                results = pool.map(
+                    lambda kv: (
+                        kv[0],
+                        dp_reference.banded_cigar_traceback(*kv[1]),
+                    ),
+                    todo.items(),
                 )
-                memo[key] = (begin, cigar)
+                memo.update(results)
+        else:
+            for key, args in todo.items():
+                memo[key] = dp_reference.banded_cigar_traceback(*args)
+
+        for walk_id, level, distance, end in root_tasks:
+            key, _, _ = key_and_slices(walk_id, level)
             begin, cigar = memo[key]
             level.distance = distance
             level.begin = level.span.offset + begin

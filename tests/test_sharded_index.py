@@ -32,3 +32,110 @@ def test_sharded_rank_matches_host(index_axis):
     for i, pos in enumerate(positions):
         want = host.fwd.occ_all(int(pos))
         assert np.array_equal(got[i], want), f"position {pos}"
+
+
+def _mesh_1d(num):
+    import jax
+    from jax.sharding import Mesh
+
+    from floxer_tpu.parallel.sharded_index import INDEX_AXIS
+
+    return Mesh(np.asarray(jax.devices()[:num]), (INDEX_AXIS,))
+
+
+@pytest.mark.parametrize("num_shards", [2, 4])
+def test_sharded_locate_matches_replicated(num_shards):
+    import jax
+
+    if len(jax.devices()) < num_shards:
+        pytest.skip("needs virtual devices")
+
+    from floxer_tpu.index.device_index import DeviceIndex, locate_batch
+    from floxer_tpu.parallel.sharded_index import (
+        shard_full_index,
+        sharded_locate,
+    )
+
+    rng = np.random.default_rng(11)
+    sequences = [
+        rng.integers(1, 5, size=700).astype(np.uint8),
+        rng.integers(1, 5, size=450).astype(np.uint8),
+    ]
+    host = FmIndex(sequences)
+    mesh = _mesh_1d(num_shards)
+    sh = shard_full_index(host, num_shards)
+
+    rows = rng.integers(0, host.n, size=32).astype(np.int32)
+    got_ids, got_pos = sharded_locate(mesh, sh, rows)
+
+    replicated = DeviceIndex.from_host(host)
+    want_ids, want_pos = locate_batch(
+        replicated, np.asarray(rows), sampling_rate=host.sampling_rate
+    )
+    assert np.array_equal(np.asarray(got_ids), np.asarray(want_ids))
+    assert np.array_equal(np.asarray(got_pos), np.asarray(want_pos))
+
+
+@pytest.mark.parametrize("errors", [0, 1, 2])
+def test_sharded_frontier_search_matches_replicated(errors):
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+
+    from floxer_tpu.index.device_index import DeviceIndex
+    from floxer_tpu.parallel.sharded_index import (
+        shard_full_index,
+        sharded_frontier_search,
+    )
+    from floxer_tpu.schemes import expand_scheme
+    from floxer_tpu.search_device import SchemeTables, _frontier_search
+
+    rng = np.random.default_rng(5)
+    sequences = [rng.integers(1, 5, size=900).astype(np.uint8)]
+    host = FmIndex(sequences)
+    mesh = _mesh_1d(4)
+    sh = shard_full_index(host, 4)
+
+    seed_len = 12
+    patterns = []
+    for _ in range(4):
+        start = int(rng.integers(0, 900 - seed_len))
+        p = sequences[0][start : start + seed_len].copy()
+        if errors and rng.random() < 0.7:
+            pos = int(rng.integers(0, seed_len))
+            p[pos] = 1 + (p[pos] % 4)
+        patterns.append(p)
+    padded = np.zeros((8, seed_len), dtype=np.int32)
+    for i, p in enumerate(patterns):
+        padded[i] = p
+
+    tables = SchemeTables.from_searches(expand_scheme(errors, seed_len))
+    max_iterations = seed_len + errors + 2 * tables.num_parts + 2
+    C_CAP, R_CAP = 1 << 12, 1 << 10
+
+    got_reports, got_n, got_overflow = sharded_frontier_search(
+        mesh, sh, padded, tables, C_CAP, R_CAP, max_iterations
+    )
+
+    replicated = DeviceIndex.from_host(host)
+    want_reports, want_n, want_overflow = _frontier_search(
+        replicated,
+        np.asarray(padded),
+        tables.start,
+        tables.end,
+        tables.direction,
+        tables.lower,
+        tables.upper,
+        tables.num_searches,
+        tables.num_parts,
+        C_CAP,
+        R_CAP,
+        max_iterations,
+    )
+    assert int(got_n) == int(want_n)
+    assert np.array_equal(
+        np.asarray(got_reports)[: int(got_n)],
+        np.asarray(want_reports)[: int(want_n)],
+    )
+    assert np.array_equal(np.asarray(got_overflow), np.asarray(want_overflow))
