@@ -7,9 +7,26 @@
 // op sequence is byte-identical to the Python oracle. Used for accepted
 // PEX roots only (verification.cpp:206-213) — one call per reported
 // alignment.
+//
+// Two implementations:
+//   - floxer_banded_traceback_scalar: the original O(m * band) scalar DP
+//     with an explicit trace matrix (the semantics reference).
+//   - the default entry point fills the band with Myers' bit-parallel
+//     recurrence in 64-bit words (a sliding band that advances one row per
+//     text column, pessimistic +1 deltas at the band boundary), stores the
+//     per-column VP/VN/PH/MH delta bitmaps, and walks back by decoding
+//     deltas. Inside the nominal band its cell values are sandwiched
+//     between the true full-matrix values and the scalar band's values
+//     (wider storage + finite boundary can only lower, both only ever
+//     overestimate the truth), and every walk decision tests candidates
+//     for equality with the known-true path value — a candidate achieving
+//     the minimum is never inflated — so the decoded moves are identical
+//     to the scalar walk, at ~1/20th of the fill cost. Any structural
+//     surprise falls back to the scalar path.
 
 #include <cstddef>
 #include <cstdint>
+#include <cstring>
 #include <limits>
 #include <vector>
 
@@ -22,10 +39,11 @@ constexpr int32_t BIG = 1 << 28;
 
 extern "C" {
 
-int floxer_banded_traceback(const uint8_t* ref, int64_t n, const uint8_t* query,
-                            int64_t m, int64_t end_col, int64_t distance,
-                            int64_t* out_begin, uint8_t* out_ops,
-                            int64_t max_ops, int64_t* out_num_ops) {
+int floxer_banded_traceback_scalar(
+    const uint8_t* ref, int64_t n, const uint8_t* query,
+    int64_t m, int64_t end_col, int64_t distance,
+    int64_t* out_begin, uint8_t* out_ops,
+    int64_t max_ops, int64_t* out_num_ops) {
     int64_t const half = distance < 0 ? 0 : distance;
     int64_t const width = 2 * half + 1;
     int64_t const center = end_col - m;
@@ -116,6 +134,240 @@ int floxer_banded_traceback(const uint8_t* ref, int64_t n, const uint8_t* query,
     *out_begin = j;
     *out_num_ops = num_ops;
     return 0;
+}
+
+namespace {
+
+// Myers bit-parallel banded fill + delta-decoding walk. Returns 0 on
+// success, nonzero to request the scalar fallback.
+int banded_traceback_myers(const uint8_t* ref, int64_t n, const uint8_t* query,
+                           int64_t m, int64_t end_col, int64_t distance,
+                           int64_t* out_begin, uint8_t* out_ops,
+                           int64_t max_ops, int64_t* out_num_ops) {
+    if (distance < 0 || end_col < 1 || end_col > n || m < 1) return 10;
+    if (distance == 0) {
+        // pure diagonal: verify and emit m matches
+        if (end_col - m < 0 || m > max_ops) return 11;
+        for (int64_t i = 0; i < m; i++) {
+            if (ref[end_col - m + i] != query[i]) return 12;
+            out_ops[i] = 0;
+        }
+        *out_begin = end_col - m;
+        *out_num_ops = m;
+        return 0;
+    }
+
+    int64_t const half = distance;
+    int64_t const center = end_col - m;
+    int64_t const b_nominal = 2 * half + 1;
+    int64_t const W = (b_nominal + 63) / 64;
+    int64_t const b_store = W * 64;
+    int64_t const pad = b_store - b_nominal;  // extra rows ABOVE the band
+    auto lo_of = [&](int64_t j) { return j - center - half - pad; };
+
+    // per-symbol full Peq over virtual rows [i_min, m + half]
+    int64_t const i_min = lo_of(0);
+    int64_t const v_rows = (m + half) - i_min + 1;
+    int64_t const vw = (v_rows + 63) / 64 + 2;  // +2: funnel overread slack
+    std::vector<uint64_t> peq(static_cast<size_t>(6) * vw, 0);
+    for (int64_t q = 0; q < v_rows; q++) {
+        int64_t const i = i_min + q;
+        if (i <= 0) {
+            for (int s = 0; s < 6; s++)
+                peq[static_cast<size_t>(s) * vw + q / 64] |=
+                    uint64_t(1) << (q % 64);
+        } else if (i <= m) {
+            int const s = query[i - 1];
+            peq[static_cast<size_t>(s) * vw + q / 64] |= uint64_t(1) << (q % 64);
+        }
+    }
+
+    size_t const cols = static_cast<size_t>(end_col) + 1;
+    std::vector<uint64_t> vp_col(cols * W), vn_col(cols * W),
+        ph_col(cols * W), mh_col(cols * W);
+
+    std::vector<uint64_t> vp(W), vn(W, 0);
+    for (int64_t p = 0; p < b_store; p++) {
+        if (lo_of(0) + p >= 1) vp[p / 64] |= uint64_t(1) << (p % 64);
+    }
+    // column 0's vertical deltas (the walk's route via (i, j-1) can read
+    // them at j == 1)
+    std::memcpy(&vp_col[0], vp.data(), W * 8);
+
+    uint64_t const BOT = uint64_t(1) << 63;  // p = b_store - 1, last word
+    int64_t const j_star = end_col - half;  // row m reaches the band bottom
+    int64_t const bottom0 = half - center;  // bottom row at column 0
+    int64_t s_bot = bottom0 > 0 ? bottom0 : 0;
+    int64_t s_m = 0;
+    bool s_m_live = false;
+
+    std::vector<uint64_t> eq(W), ph(W), mh(W);
+    for (int64_t j = 1; j <= end_col; j++) {
+        // band slides one row down: shift VP/VN toward p=0, pessimistic
+        // VP bit entering at the bottom
+        for (int64_t w = 0; w < W; w++) {
+            uint64_t const nxt_vp = (w + 1 < W) ? vp[w + 1] : 0;
+            uint64_t const nxt_vn = (w + 1 < W) ? vn[w + 1] : 0;
+            vp[w] = (vp[w] >> 1) | (nxt_vp << 63);
+            vn[w] = (vn[w] >> 1) | (nxt_vn << 63);
+        }
+        vp[W - 1] |= BOT;
+        vn[W - 1] &= ~BOT;
+        s_bot += 1;
+
+        // Eq via funnel shift out of the full Peq of this text symbol
+        {
+            int const sym = ref[j - 1] < 6 ? ref[j - 1] : 5;
+            uint64_t const* base = peq.data() + static_cast<size_t>(sym) * vw;
+            int64_t const off = lo_of(j) - i_min;
+            int64_t const k = off / 64;
+            int const r = static_cast<int>(off % 64);
+            for (int64_t w = 0; w < W; w++) {
+                uint64_t const a = base[k + w];
+                uint64_t const b = base[k + w + 1];
+                eq[w] = r == 0 ? a : ((a >> r) | (b << (64 - r)));
+            }
+        }
+
+        // Myers column update with carry-rippled add
+        uint64_t add_carry = 0;
+        for (int64_t w = 0; w < W; w++) {
+            uint64_t const x = eq[w] | vn[w];
+            uint64_t const a = eq[w] & vp[w];
+            uint64_t t = a + vp[w];
+            uint64_t c1 = t < a;
+            uint64_t s = t + add_carry;
+            uint64_t c2 = s < t;
+            add_carry = c1 | c2;
+            uint64_t const xh = (s ^ vp[w]) | eq[w];
+            ph[w] = vn[w] | ~(xh | vp[w]);
+            mh[w] = vp[w] & xh;
+            eq[w] = x;  // reuse eq[] to hold XV for the second pass
+        }
+
+        // score tracking at the band bottom / row m
+        {
+            uint64_t const ph_bot = (ph[W - 1] & BOT) != 0;
+            uint64_t const mh_bot = (mh[W - 1] & BOT) != 0;
+            s_bot += (ph_bot ? 1 : 0) - (mh_bot ? 1 : 0);
+            if (j == j_star) {
+                s_m = s_bot;
+                s_m_live = true;
+            } else if (s_m_live) {
+                int64_t const p_m = m - lo_of(j);
+                if (p_m < 0 || p_m >= b_store) return 13;
+                uint64_t const bit = uint64_t(1) << (p_m % 64);
+                s_m += ((ph[p_m / 64] & bit) ? 1 : 0) -
+                       ((mh[p_m / 64] & bit) ? 1 : 0);
+            }
+        }
+
+        // store Δh, then horizontal shift + new Δv
+        std::memcpy(&ph_col[static_cast<size_t>(j) * W], ph.data(), W * 8);
+        std::memcpy(&mh_col[static_cast<size_t>(j) * W], mh.data(), W * 8);
+        uint64_t hp_carry = lo_of(j) >= 1 ? 1 : 0;  // boundary pessimism
+        uint64_t hn_carry = 0;
+        for (int64_t w = 0; w < W; w++) {
+            uint64_t const ph_sh = (ph[w] << 1) | hp_carry;
+            uint64_t const mh_sh = (mh[w] << 1) | hn_carry;
+            hp_carry = ph[w] >> 63;
+            hn_carry = mh[w] >> 63;
+            uint64_t const xv = eq[w];
+            vp[w] = mh_sh | ~(xv | ph_sh);
+            vn[w] = ph_sh & xv;
+        }
+        std::memcpy(&vp_col[static_cast<size_t>(j) * W], vp.data(), W * 8);
+        std::memcpy(&vn_col[static_cast<size_t>(j) * W], vn.data(), W * 8);
+    }
+
+    if (!s_m_live || s_m != distance) return 14;
+
+    // delta-decoding walk-back, identical decisions to the scalar trace
+    auto bit_of = [&](std::vector<uint64_t> const& arr, int64_t j, int64_t p) {
+        return (arr[static_cast<size_t>(j) * W + p / 64] >>
+                (p % 64)) & uint64_t(1);
+    };
+    std::vector<uint8_t> reversed_ops;
+    reversed_ops.reserve(m + half + 1);
+    int64_t i = m, j = end_col, v = distance;
+    while (i > 0) {
+        if (j < 0) return 15;
+        int64_t const p = i - lo_of(j);
+        if (p < pad || p >= b_store) return 16;
+        // insertion first: needs (i-1, j) inside the nominal band and an
+        // exact up == v, i.e. a +1 vertical delta at (i, j)
+        if (p - 1 >= pad && bit_of(vp_col, j, p)) {
+            reversed_ops.push_back(2);
+            i -= 1;
+            v -= 1;
+            continue;
+        }
+        if (j >= 1) {
+            // D(i-1, j-1) via whichever neighbour is in the nominal band
+            bool have_diag = false;
+            int64_t diag_prev = 0;
+            if (p - 1 >= pad) {
+                int64_t const dv =
+                    bit_of(vp_col, j, p) ? 1 : (bit_of(vn_col, j, p) ? -1 : 0);
+                int64_t const up_val = v - dv;  // D(i-1, j)
+                int64_t const dh = bit_of(ph_col, j, p - 1)
+                                       ? 1
+                                       : (bit_of(mh_col, j, p - 1) ? -1 : 0);
+                diag_prev = up_val - dh;
+                have_diag = true;
+            } else if (p + 1 < b_store) {
+                int64_t const dh =
+                    bit_of(ph_col, j, p) ? 1 : (bit_of(mh_col, j, p) ? -1 : 0);
+                int64_t const left_val = v - dh;  // D(i, j-1)
+                int64_t const dv = bit_of(vp_col, j - 1, p + 1)
+                                       ? 1
+                                       : (bit_of(vn_col, j - 1, p + 1) ? -1 : 0);
+                diag_prev = left_val - dv;
+                have_diag = true;
+            }
+            if (have_diag) {
+                int64_t const sub = ref[j - 1] != query[i - 1] ? 1 : 0;
+                if (diag_prev + sub == v) {
+                    reversed_ops.push_back(sub ? 1 : 0);
+                    i -= 1;
+                    j -= 1;
+                    v = diag_prev;
+                    continue;
+                }
+            }
+            // deletion: needs (i, j-1) in band and left == v
+            if (p + 1 < b_store && bit_of(ph_col, j, p)) {
+                reversed_ops.push_back(3);
+                j -= 1;
+                v -= 1;
+                continue;
+            }
+        }
+        return 17;
+    }
+
+    int64_t const num_ops = static_cast<int64_t>(reversed_ops.size());
+    if (num_ops > max_ops) return 3;
+    for (int64_t k = 0; k < num_ops; k++)
+        out_ops[k] = reversed_ops[num_ops - 1 - k];
+    *out_begin = j;
+    *out_num_ops = num_ops;
+    return 0;
+}
+
+}  // namespace
+
+int floxer_banded_traceback(const uint8_t* ref, int64_t n, const uint8_t* query,
+                            int64_t m, int64_t end_col, int64_t distance,
+                            int64_t* out_begin, uint8_t* out_ops,
+                            int64_t max_ops, int64_t* out_num_ops) {
+    int const status = banded_traceback_myers(
+        ref, n, query, m, end_col, distance, out_begin, out_ops, max_ops,
+        out_num_ops);
+    if (status == 0 || status == 3) return status;
+    return floxer_banded_traceback_scalar(
+        ref, n, query, m, end_col, distance, out_begin, out_ops, max_ops,
+        out_num_ops);
 }
 
 }  // extern "C"

@@ -36,3 +36,40 @@ def test_sais_repetitive(lib_available):
     got = native_suffix_array(text)
     want = _suffix_array_doubling(text)
     assert np.array_equal(got, want)
+
+
+def test_native_traceback_root_scale_matches_oracle():
+    """The Myers-fill fast path at a root-like shape (large pattern, high
+    distance) must emit byte-identical CIGARs to the python oracle."""
+    import floxer_tpu.native as nat
+    from floxer_tpu.native import native_banded_traceback
+    from floxer_tpu.ops import dp_reference
+
+    if nat.get_library() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(9)
+    m = 3000
+    n = m + 500
+    text = rng.integers(1, 5, size=n).astype(np.uint8)
+    pattern = text[200 : 200 + m].copy()
+    idx = rng.integers(0, m, size=120)
+    pattern[idx] = 1 + (pattern[idx] % 4)
+    dp = dp_reference.semi_global_dp_matrix(text, pattern)
+    last = dp[-1]
+    end = dp_reference._rightmost_argmin(last)
+    d = int(last[end])
+    assert d > 60  # exercises a multi-word band
+
+    saved = nat.native_banded_traceback
+    nat.native_banded_traceback = lambda *a: None
+    try:
+        want = dp_reference.banded_cigar_traceback(text, pattern, end, d)
+    finally:
+        nat.native_banded_traceback = saved
+    got = native_banded_traceback(text, pattern, end, d)
+    assert got is not None
+    assert got[0] == want[0]
+    assert list(got[1]) == list(want[1])
