@@ -70,6 +70,7 @@ class CommandLineInput:
     host_id: int = 0
     resume: bool = False
     device_search: bool = False
+    index_shards: int = 1
     profile_dir: Optional[str] = None
 
     def command_line_call(self) -> str:
@@ -393,6 +394,15 @@ def build_parser(advanced: bool = False) -> argparse.ArgumentParser:
               "traversal on the JAX backend instead of the native host DFS. "
               "Identical results while the anchor caps don't bind; when they "
               "do, the (heuristic) anchor choice may differ."),
+    )
+    parser.add_argument(
+        "--index-shards", dest="index_shards", default=1,
+        type=_ranged_int(1, 4096),
+        **adv(help="Row-shard the FM-index (BWT, occ checkpoints, SA "
+              "samples) across this many devices of an 'index' mesh axis "
+              "and run the device seed search with collective rank "
+              "queries — the configuration for references too large for "
+              "one chip's HBM (hg38 scale). Implies --device-search."),
     )
     return parser
 

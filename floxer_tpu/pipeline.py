@@ -164,6 +164,12 @@ def make_searcher(cli: CommandLineInput, index: FmIndex, num_references: int):
         ),
         num_threads=cli.num_threads,
     )
+    if getattr(cli, "index_shards", 1) > 1:
+        from .backend import ensure_backend
+        from .search_device import make_sharded_searcher
+
+        ensure_backend()
+        return make_sharded_searcher(searcher, index, cli.index_shards)
     if getattr(cli, "device_search", False):
         from .index.device_index import DeviceIndex
         from .search_device import DeviceSearcher

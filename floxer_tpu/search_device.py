@@ -61,6 +61,9 @@ class DeviceSearcher:
         self.num_reference_sequences = host_searcher.num_reference_sequences
         self.config = host_searcher.config
 
+    def _run_search(self, patterns, errors, expanded):
+        return search_seeds_device(self._device_index, patterns, errors, expanded)
+
     def search_seeds(self, seeds, query):
         from .schemes import expand_scheme
         from .search_host import (
@@ -85,8 +88,8 @@ class DeviceSearcher:
                 for i in indices
             ]
             expanded = expand_scheme(errors, length)
-            groups_per_seed, overflow = search_seeds_device(
-                self._device_index, patterns, errors, expanded
+            groups_per_seed, overflow = self._run_search(
+                patterns, errors, expanded
             )
             for slot, i in enumerate(indices):
                 if overflow[slot]:
@@ -424,6 +427,7 @@ def search_seeds_device(
     expanded_searches,
     frontier_capacity: int = 1 << 14,
     report_capacity: int = 1 << 12,
+    runner=None,
 ):
     """Run the frontier search for a batch of same-(length-class) seeds.
 
@@ -444,20 +448,25 @@ def search_seeds_device(
 
     max_iterations = max_len + max_errors + 2 * tables.num_parts + 2
 
-    reports, num_reports, overflow = _frontier_search(
-        index,
-        jnp.asarray(padded),
-        tables.start,
-        tables.end,
-        tables.direction,
-        tables.lower,
-        tables.upper,
-        tables.num_searches,
-        tables.num_parts,
-        frontier_capacity,
-        report_capacity,
-        max_iterations,
-    )
+    if runner is not None:
+        reports, num_reports, overflow = runner(
+            padded, tables, frontier_capacity, report_capacity, max_iterations
+        )
+    else:
+        reports, num_reports, overflow = _frontier_search(
+            index,
+            jnp.asarray(padded),
+            tables.start,
+            tables.end,
+            tables.direction,
+            tables.lower,
+            tables.upper,
+            tables.num_searches,
+            tables.num_parts,
+            frontier_capacity,
+            report_capacity,
+            max_iterations,
+        )
     reports = np.asarray(reports)[: int(num_reports)]
     overflow = np.asarray(overflow)
 
@@ -478,3 +487,50 @@ def search_seeds_device(
     for per_seed in groups:
         per_seed.sort(key=lambda g: (g[3], g[0], g[2]))
     return groups, overflow
+
+
+class ShardedDeviceSearcher(DeviceSearcher):
+    """DeviceSearcher whose frontier search runs against a row-sharded
+    index over an 'index' mesh axis (collective rank queries) — the
+    hg38-scale configuration where the occurrence table does not fit one
+    chip's HBM. Anchor post-processing and locate stay on the host path,
+    identical to DeviceSearcher."""
+
+    def __init__(self, host_searcher, mesh, sharded_host_index):
+        self._host = host_searcher
+        self._mesh = mesh
+        self._sh = sharded_host_index
+        self.index = host_searcher.index
+        self.num_reference_sequences = host_searcher.num_reference_sequences
+        self.config = host_searcher.config
+
+    def _run_search(self, patterns, errors, expanded):
+        from .parallel.sharded_index import sharded_frontier_search
+
+        def runner(padded, tables, frontier_cap, report_cap, max_iter):
+            return sharded_frontier_search(
+                self._mesh, self._sh, padded, tables,
+                frontier_cap, report_cap, max_iter,
+            )
+
+        return search_seeds_device(
+            None, patterns, errors, expanded, runner=runner
+        )
+
+
+def make_sharded_searcher(host_searcher, host_index, num_shards: int):
+    """Builds a ShardedDeviceSearcher over the first num_shards devices."""
+    import jax
+    from jax.sharding import Mesh
+
+    from .parallel.sharded_index import INDEX_AXIS, shard_full_index
+
+    devices = jax.devices()
+    if len(devices) < num_shards:
+        raise ValueError(
+            f"--index-shards {num_shards} needs {num_shards} devices, "
+            f"have {len(devices)}"
+        )
+    mesh = Mesh(np.asarray(devices[:num_shards]), (INDEX_AXIS,))
+    sh = shard_full_index(host_index, num_shards)
+    return ShardedDeviceSearcher(host_searcher, mesh, sh)

@@ -298,3 +298,38 @@ def test_stats_toml_output(tmp_path, data_dir):
     assert "completely_excluded_queries" in text
     assert "[query_lengths]" in text
     assert "num_values = 6" in text
+
+
+def test_sharded_index_search_e2e(tmp_path, data_dir):
+    """--index-shards 2 on the virtual CPU mesh: byte-identical SAM to the
+    default host search (the hg38-scale sharded-search configuration)."""
+    import os
+
+    base_proc, base_out = run_aligner(
+        tmp_path,
+        data_dir,
+        ["--query-errors", "2", "--seed-errors", "1",
+         "--extra-verification-ratio", "2"],
+        out_name="base.sam",
+    )
+    assert base_proc.returncode == 0, base_proc.stderr
+
+    output = tmp_path / "sharded.sam"
+    command = [
+        sys.executable, "-m", "floxer_tpu",
+        "--reference", str(data_dir / "reference.fasta"),
+        "--queries", str(data_dir / "queries.fastq"),
+        "--output", str(output),
+        "--interval-optimization", "--console-debug-logs",
+        "--query-errors", "2", "--seed-errors", "1",
+        "--extra-verification-ratio", "2",
+        "--index-shards", "2",
+    ]
+    env = dict(os.environ)
+    env["FLOXER_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    proc = subprocess.run(command, capture_output=True, text=True, env=env)
+    assert proc.returncode == 0, proc.stderr
+    assert open(base_out).read() == open(output).read()
