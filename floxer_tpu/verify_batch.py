@@ -413,60 +413,69 @@ class BatchVerifier:
         need_by_key = {}
         dirty = set(walks_by_key)
 
-        while True:
-            for key in dirty:
-                need_by_key[key] = self._simulate_key(
-                    walks, walks_by_key[key], computed
-                )
-            dirty.clear()
-            need = sorted(
-                walk_id
-                for ids in need_by_key.values()
-                for walk_id in ids
-            )
-            if not need:
-                break
-            waves += 1
-            need_total += len(need)
-            # cheap plausibility check first: the selected walks' first few
-            # (smallest) levels resolve junk anchors without computing
-            # their full-size upper levels
-            self._compute_walks_flat(
-                walks, items, need, max_depth=CHECK_DEPTH
-            )
-            failed = set(
-                walk_id
-                for walk_id in need
-                if not all(
-                    level.exists
-                    for level in walks[walk_id].levels[:CHECK_DEPTH]
-                )
-            )
-            survivors = [w for w in need if w not in failed]
-            if survivors:
-                # all levels as ONE flat batch: the early-exit is only a
-                # compute saving, never a dependency, and dispatch rounds
-                # cost more than the extra cells on a remote TPU
-                self._compute_walks_flat(walks, items, survivors)
-            computed.update(need)
-            for walk_id in need:
-                walk = walks[walk_id]
-                key = (
-                    walk.query_index,
-                    walk.orientation,
-                    walk.anchor.reference_id,
-                )
-                broken = False
-                for level in walk.levels:
+        def key_of(walk_id):
+            walk = walks[walk_id]
+            return (walk.query_index, walk.orientation, walk.anchor.reference_id)
+
+        def mark_broken(batch):
+            """Keys whose walks failed before reaching the root: their
+            optimistic root insertion never happened, so re-simulate."""
+            for walk_id in batch:
+                for level in walks[walk_id].levels:
                     if level.node.is_root:
                         break
                     if not level.exists:
-                        broken = True
+                        dirty.add(key_of(walk_id))
                         break
-                if broken:
-                    dirty.add(key)
-                elif key not in dirty:
-                    need_by_key[key] = []
+
+        # checked-OK walks whose full-size levels haven't run yet; the
+        # simulation treats them exactly like its optimistic assumption
+        pending_ok: set[int] = set()
+        while True:
+            # inner: stabilize junk anchors on the cheap first levels only
+            # (small batches, fast dispatches) before any full-size work
+            while True:
+                for key in dirty:
+                    need_by_key[key] = self._simulate_key(
+                        walks, walks_by_key[key], computed, pending_ok
+                    )
+                dirty.clear()
+                need = sorted(
+                    walk_id
+                    for ids in need_by_key.values()
+                    for walk_id in ids
+                    if walk_id not in computed and walk_id not in pending_ok
+                )
+                if not need:
+                    break
+                waves += 1
+                need_total += len(need)
+                self._compute_walks_flat(
+                    walks, items, need, max_depth=CHECK_DEPTH
+                )
+                failed = set(
+                    walk_id
+                    for walk_id in need
+                    if not all(
+                        level.exists
+                        for level in walks[walk_id].levels[:CHECK_DEPTH]
+                    )
+                )
+                pending_ok.update(w for w in need if w not in failed)
+                if not failed:
+                    break
+                computed.update(failed)
+                mark_broken(failed)
+            if not pending_ok:
+                break
+            # all levels of every checked-OK walk as ONE flat batch: the
+            # early-exit is only a compute saving, never a dependency, and
+            # dispatch rounds cost more than the extra cells on a remote TPU
+            batch = sorted(pending_ok)
+            self._compute_walks_flat(walks, items, batch)
+            computed.update(batch)
+            pending_ok.clear()
+            mark_broken(batch)
         t_waves = _time.monotonic()
 
         alignments = [QueryAlignments(len(self.references)) for _ in items]
@@ -497,10 +506,13 @@ class BatchVerifier:
         walks: list[_AnchorWalk],
         key_walk_ids: list[int],
         computed: set[int],
+        pending_ok: set[int] = frozenset(),
     ) -> list[int]:
         """Optimistic cache simulation for ONE (query, orientation,
         reference) key — the exact non-recording logic of _scan restricted
-        to the walks sharing one interval cache."""
+        to the walks sharing one interval cache. Walks in pending_ok have
+        passed the cheap check but not run their full levels yet; they get
+        the optimistic insertion without being re-listed as need."""
         cache = VerifiedIntervals(self.use_interval_optimization)
         need: list[int] = []
         for walk_id in key_walk_ids:
@@ -511,6 +523,9 @@ class BatchVerifier:
                 )
             )
             if cache.contains(trimmed):
+                continue
+            if walk_id in pending_ok:
+                cache.insert(walk.root_span.as_half_open_interval())
                 continue
             if walk_id not in computed:
                 need.append(walk_id)
