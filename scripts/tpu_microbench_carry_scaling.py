@@ -108,3 +108,70 @@ for n_carry, n_ops, n_rolls in [
         f"{best:.4f}s  {best/N*1e6:.2f}us/col",
         flush=True,
     )
+
+
+# variant: per-column [S,1] -> [S,BW] broadcast ops (the real kernel's
+# sliding/pessimism/char selects) — suspected Mosaic slow path
+def make_bcast_kernel(n_bcast):
+    def kernel(texts_ref, scal_ref, out_ref):
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (S, BW), 1)
+        jstar = scal_ref[:, :]  # [S, 1]
+
+        def step(j, chars, carry):
+            x, y = carry
+            for t in range(n_bcast):
+                cond = (j + t) <= jstar  # [S,1]
+                x = jnp.where(cond, x ^ y, x)  # [S,1] broadcast where
+            x = x + chars.astype(jnp.uint32)
+            return x, y + jnp.uint32(1)
+
+        def outer(b, carry):
+            start = pl.multiple_of(b * LANES, LANES)
+            block = texts_ref[:, pl.ds(start, LANES)]
+
+            def inner(k, ic):
+                blk, c = ic
+                c = step(b * LANES + k, blk[:, 0:1], c)
+                blk = pltpu.roll(blk, shift=LANES - 1, axis=1)
+                return blk, c
+
+            _, carry = jax.lax.fori_loop(0, LANES, inner, (block, carry))
+            return carry
+
+        init = (
+            jnp.ones((S, BW), dtype=jnp.uint32),
+            jnp.full((S, BW), 3, dtype=jnp.uint32),
+        )
+        x, _ = jax.lax.fori_loop(0, N // LANES, outer, init)
+        out_ref[:, :] = x
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_bcast",))
+def run_bcast(texts, scal, n_bcast):
+    return pl.pallas_call(
+        make_bcast_kernel(n_bcast),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((S, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (S, BW), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, BW), jnp.uint32),
+    )(texts, scal)
+
+
+scal = jnp.asarray(
+    np.random.default_rng(1).integers(0, N, size=(S, 1)).astype(np.int32)
+)
+for n_bcast in (0, 4, 10, 18):
+    np.asarray(run_bcast(texts, scal, n_bcast))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.monotonic()
+        np.asarray(run_bcast(texts, scal, n_bcast))
+        best = min(best, time.monotonic() - t0)
+    print(f"bcast={n_bcast:2d}: {best:.4f}s  {best/N*1e6:.2f}us/col", flush=True)
