@@ -56,15 +56,19 @@ def main():
     tlen = jnp.asarray(text_lengths)
     W = peq.shape[2]
 
-    # compile
+    # compile + backend warmup (first execution through the tunnel can be
+    # slow; it must not pollute the measurement)
     d, e = myers_batched(peq, plen, txt, tlen, num_words=W)
-    d.block_until_ready()
+    np.asarray(d)
 
+    # NOTE: block_until_ready() does not reliably synchronize on this
+    # backend (timings read absurdly fast); a value download is the only
+    # trustworthy sync point, so one is taken after the iteration loop.
     iters = 10
     started = time.perf_counter()
     for _ in range(iters):
         d, e = myers_batched(peq, plen, txt, tlen, num_words=W)
-    d.block_until_ready()
+    np.asarray(d)
     elapsed = time.perf_counter() - started
 
     cells = B * M * N * iters
