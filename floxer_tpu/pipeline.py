@@ -121,14 +121,34 @@ def initialize_logger(logfile_path, console_debug_logs: bool) -> None:
         logger.addHandler(file_handler)
 
 
+# (path, mtime, size) -> FmIndex; lets a long-lived server process (see
+# server.py) skip re-loading an index file across jobs. Bounded: big
+# indexes are the dominant memory object, keep at most two
+_INDEX_CACHE: dict = {}
+
+
+def _cache_index(cache_key, index) -> None:
+    while len(_INDEX_CACHE) >= 2:
+        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+    _INDEX_CACHE[cache_key] = index
+
+
 def build_or_load_index(cli: CommandLineInput, references: References) -> FmIndex:
     """floxer.cpp:62-107: load the index if the file exists, otherwise build
     (sampling rate 4) and save it when an index path was given."""
     import os
 
     if cli.index_path and os.path.exists(cli.index_path):
+        stat = os.stat(cli.index_path)
+        cache_key = (os.path.abspath(cli.index_path), stat.st_mtime, stat.st_size)
+        cached = _INDEX_CACHE.get(cache_key)
+        if cached is not None:
+            logger.info("reusing cached index for %s", cli.index_path)
+            return cached
         logger.info("loading index from %s", cli.index_path)
-        return FmIndex.load(cli.index_path)
+        index = FmIndex.load(cli.index_path)
+        _cache_index(cache_key, index)
+        return index
 
     logger.info("building index")
     started = time.monotonic()
@@ -141,6 +161,11 @@ def build_or_load_index(cli: CommandLineInput, references: References) -> FmInde
         logger.info("saving index to %s", cli.index_path)
         try:
             index.save(cli.index_path)
+            stat = os.stat(cli.index_path)
+            _cache_index(
+                (os.path.abspath(cli.index_path), stat.st_mtime, stat.st_size),
+                index,
+            )
         except Exception as error:  # noqa: BLE001 - parity: warn and continue
             logger.warning(
                 "An error occured while trying to write the index to the "
@@ -359,13 +384,18 @@ def verify_and_write_chunk(
         write_alignments_for_query(output, query, alignments, references.records)
 
 
-def run(cli: CommandLineInput) -> int:
-    """Main driver; mirrors src/main/floxer.cpp:35-195."""
+def run(cli: CommandLineInput, extra_log_handler=None) -> int:
+    """Main driver; mirrors src/main/floxer.cpp:35-195.
+
+    extra_log_handler: an optional logging.Handler attached for this run —
+    the server mode (server.py) uses it to mirror logs to the client."""
     if cli.engine == "device":
         from .backend import ensure_backend
 
         ensure_backend()
     initialize_logger(cli.logfile_path, cli.console_debug_logs)
+    if extra_log_handler is not None:
+        logger.addHandler(extra_log_handler)
     logger.info("successfully parsed CLI input ... starting")
     logger.debug("command line call: %s", cli.command_line_call())
 
