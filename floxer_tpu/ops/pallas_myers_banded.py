@@ -37,8 +37,16 @@ see scripts/tpu_microbench_column_loop.py):
 
 Host-side preparation (prepare_banded_batch) packs, per task: initial
 VP/plane band words, the entering-row char stream (pattern chars from row
-budget+1 on; 255 = matches nothing past the pattern end), and the scalars
+budget+1 on; 7 = matches nothing past the pattern end), and the scalars
 (text length, j_star, carry-pessimism thresholds).
+
+Wire format (the dominant end-to-end cost on this machine is the
+host->device transfer, ~18 MB/s through the axon tunnel — see
+scripts/tpu_banded_breakdown.py): text and stream chars travel as 4-bit
+nibbles, EIGHT per uint32 word, little-endian within the word. The kernel
+consumes one word per 8 columns and extracts nibbles with static shifts,
+so the packing also removes 7 of every 8 cross-lane rolls on the char
+streams.
 """
 
 from __future__ import annotations
@@ -67,8 +75,8 @@ TOP_BIT = np.uint32(0x80000000)
 def _kernel(
     vp0_ref,  # uint32 [S, BW]
     planes0_ref,  # uint32 [S, 4, BW]  char bit-planes 0..2 + all-match
-    texts_ref,  # int32 [S, Np]
-    stream_ref,  # int32 [S, Np]
+    texts_ref,  # uint32 [S, Np/8]  4-bit packed text chars
+    stream_ref,  # uint32 [S, Np/8]  4-bit packed pattern-row stream
     tlen_ref,  # int32 [S, 1]
     jstar_ref,  # int32 [S, 1]  m - budget
     topshift_ref,  # int32 [S, 1]  B_store - budget (shift-phase pessimism col)
@@ -225,16 +233,22 @@ def _kernel(
         best_end = jnp.where(improves, col, best_end)
         return vp, vn, p0, p1, p2, am, s_bot, s_m, best, best_end
 
-    num_blocks = num_text // LANES
+    num_blocks = num_text // (LANES * 8)
 
     def outer(b, carry):
         start = pl.multiple_of(b * LANES, LANES)
         tblock = texts_ref[:, pl.ds(start, LANES)]
         pblock = stream_ref[:, pl.ds(start, LANES)]
 
-        def inner(k, inner_carry):
+        def inner(kw, inner_carry):
             tb, pb, c = inner_carry
-            c = step(b * LANES + k, tb[:, 0:1], pb[:, 0:1], c)
+            tword = tb[:, 0:1]
+            pword = pb[:, 0:1]
+            base = (b * LANES + kw) * 8
+            for s in range(8):  # static nibble extraction per column
+                tch = (tword >> jnp.uint32(4 * s)) & jnp.uint32(0xF)
+                pch = (pword >> jnp.uint32(4 * s)) & jnp.uint32(0xF)
+                c = step(base + s, tch, pch, c)
             tb = pltpu.roll(tb, shift=LANES - 1, axis=1)
             pb = pltpu.roll(pb, shift=LANES - 1, axis=1)
             return tb, pb, c
@@ -285,8 +299,8 @@ def _pallas_banded_call(
         in_specs=[
             spec1((SUBLANES, band_words)),
             spec1((SUBLANES, 4, band_words)),
-            spec1((SUBLANES, num_text)),
-            spec1((SUBLANES, num_text)),
+            spec1((SUBLANES, num_text // 8)),
+            spec1((SUBLANES, num_text // 8)),
             spec1((SUBLANES, 1)),
             spec1((SUBLANES, 1)),
             spec1((SUBLANES, 1)),
@@ -303,6 +317,15 @@ def _pallas_banded_call(
     )(vp0, planes0, texts, stream, tlen, jstar, topshift, mfrozen, minit, binit)
 
 
+def pack_nibbles(chars: np.ndarray) -> np.ndarray:
+    """Chars [T, Np] with values 0..15 (Np % 8 == 0) -> uint32 [T, Np/8],
+    eight 4-bit nibbles per word, little-endian within the word."""
+    T, Np = chars.shape
+    arr = chars.reshape(T, Np // 8, 8).astype(np.uint32)
+    shifts = (4 * np.arange(8, dtype=np.uint32))[None, None, :]
+    return np.bitwise_or.reduce(arr << shifts, axis=2)
+
+
 def prepare_banded_batch(
     patterns: list[np.ndarray],
     budgets: np.ndarray,
@@ -312,12 +335,14 @@ def prepare_banded_batch(
     """Vectorized host packing of per-task banded state.
 
     band_words/num_text are the bucket's static shape (band_words a
-    multiple of 128 covering every task's nominal band)."""
+    multiple of 128 covering every task's nominal band; num_text a
+    multiple of 1024 — the kernel consumes chars 8-per-word over 128
+    lanes). The returned stream is nibble-packed (see module docstring)."""
     T = len(patterns)
     b_store = band_words * WORD
     vp0 = np.zeros((T, band_words), dtype=np.uint32)
     planes0 = np.zeros((T, 4, band_words), dtype=np.uint32)
-    stream = np.full((T, num_text), 255, dtype=np.int32)
+    stream = np.full((T, num_text), 7, dtype=np.uint8)
     tlen = np.zeros((T, 1), dtype=np.int32)
     jstar = np.zeros((T, 1), dtype=np.int32)
     topshift = np.zeros((T, 1), dtype=np.int32)
@@ -351,7 +376,10 @@ def prepare_banded_batch(
         mfrozen[t, 0] = 1 if m >= b_store else 0
         minit[t, 0] = m
         binit[t, 0] = k
-    return vp0, planes0, stream, (tlen, jstar, topshift, mfrozen, minit, binit)
+    packed_stream = pack_nibbles(stream)
+    return vp0, planes0, packed_stream, (
+        tlen, jstar, topshift, mfrozen, minit, binit
+    )
 
 
 def myers_pallas_banded(
@@ -373,12 +401,18 @@ def myers_pallas_banded(
     Tp = -(-T // SUBLANES) * SUBLANES
     Np = texts.shape[1]
     assert Np % LANES == 0
+    # the kernel consumes 8 packed chars per word over 128 lanes
+    Np2 = -(-Np // (LANES * 8)) * (LANES * 8)
 
     vp0, planes0, stream, scalars = prepare_banded_batch(
-        patterns, budgets, band_words, Np
+        patterns, budgets, band_words, Np2
     )
     tlen = scalars[0]
     tlen[:, 0] = text_lengths
+
+    texts_u8 = np.zeros((len(texts), Np2), dtype=np.uint8)
+    texts_u8[:, :Np] = texts
+    packed_texts = pack_nibbles(texts_u8)
 
     def pad(x, fill=0):
         if x.shape[0] == Tp:
@@ -389,18 +423,18 @@ def myers_pallas_banded(
 
     vp0 = pad(vp0)
     planes0 = pad(planes0)
-    stream = pad(stream, 255)
-    texts_padded = pad(np.asarray(texts, dtype=np.int32))
+    stream = pad(stream, np.uint32(0x77777777))
+    packed_texts = pad(packed_texts)
     scalars = tuple(pad(s, 1) for s in scalars)
 
     dist, end = _pallas_banded_call(
         jnp.asarray(vp0),
         jnp.asarray(planes0),
-        jnp.asarray(texts_padded),
+        jnp.asarray(packed_texts),
         jnp.asarray(stream),
         tuple(jnp.asarray(s) for s in scalars),
         band_words=band_words,
-        num_text=Np,
+        num_text=Np2,
         interpret=interpret,
     )
     if not sync:

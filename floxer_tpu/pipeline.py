@@ -525,7 +525,14 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
             return chunk
 
         def search_chunk(chunk):
-            return [search_query_pure(query, cli, searcher) for query in chunk]
+            started = time.monotonic()
+            result = [search_query_pure(query, cli, searcher) for query in chunk]
+            logger.debug(
+                "search chunk: %d queries in %.2fs",
+                len(chunk),
+                time.monotonic() - started,
+            )
+            return result
 
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = None

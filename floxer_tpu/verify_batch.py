@@ -293,6 +293,16 @@ class _TaskBatcher:
             )
 
         log = _logging.getLogger("floxer-tpu")
+        # start all device->host copies before waiting on any: each download
+        # is a full tunnel round trip (~30 ms) when issued serially
+        for *_rest, dist, end, _t in pending:
+            for arr in (dist, end):
+                copy_async = getattr(arr, "copy_to_host_async", None)
+                if copy_async is not None:
+                    try:
+                        copy_async()
+                    except Exception:  # noqa: BLE001 - best-effort prefetch
+                        pass
         for slots, b_bucket, m_bucket, n_bucket, dist, end, t_disp in pending:
             t1 = _time.monotonic()
             distances[slots] = np.asarray(dist)[: len(slots)]

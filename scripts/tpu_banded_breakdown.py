@@ -46,7 +46,7 @@ for _ in range(B):
 txt, tlen = pad_batch(wins)
 bud = np.full(B, budget)
 bw = -(-(-(-band_store_bits(m, n, budget) // 32)) // 128) * 128
-Np = txt.shape[1]
+Np = -(-txt.shape[1] // 1024) * 1024  # packed-kernel column padding
 print(f"B={B} m={m} n={n} band_words={bw} Np={Np} group={pmb.SUBLANES}")
 
 # full call (reference number)
@@ -67,8 +67,10 @@ for _ in range(3):
 scalars[0][:, 0] = tlen
 print(f"host pack: {best_pack:.3f}s", flush=True)
 
-# 2. transfer (per-call bytes: texts int32 + stream int32 + planes + vp0)
-texts_i32 = np.asarray(txt, dtype=np.int32)
+# 2. transfer (per-call bytes: packed texts + packed stream + planes + vp0)
+texts_u8 = np.zeros((B, Np), dtype=np.uint8)
+texts_u8[:, : txt.shape[1]] = txt
+texts_i32 = pmb.pack_nibbles(texts_u8)
 nbytes = (
     texts_i32.nbytes + stream.nbytes + planes0.nbytes + vp0.nbytes
     + sum(s.nbytes for s in scalars)
