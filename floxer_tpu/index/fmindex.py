@@ -268,6 +268,28 @@ class FmIndex:
         seq_id = int(np.searchsorted(self.seq_starts, pos, side="right")) - 1
         return seq_id, pos - int(self.seq_starts[seq_id])
 
+    def locate_batch(
+        self, rows: np.ndarray, num_threads: int = 1
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized locate: (reference_ids, positions) int64 arrays for a
+        batch of rows. The LF walks run in the native library when
+        available (one call instead of per-row Python occ queries); the
+        reference-id split is a vectorized searchsorted either way."""
+        rows = np.asarray(rows, dtype=np.int64)
+        if rows.size == 0:
+            return rows, rows
+        from ..native import native_locate_batch
+
+        positions = native_locate_batch(self, rows, num_threads)
+        if positions is None:
+            positions = np.fromiter(
+                (self.text_position(int(row)) for row in rows),
+                dtype=np.int64,
+                count=rows.shape[0],
+            )
+        seq_ids = np.searchsorted(self.seq_starts, positions, side="right") - 1
+        return seq_ids, positions - self.seq_starts[seq_ids]
+
     # ------------------------------------------------------------------
     # persistence (replaces the reference's cereal archive,
     # output.cpp:25-40 / input.cpp:150-157)

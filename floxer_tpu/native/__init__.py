@@ -92,6 +92,14 @@ def get_library():
             ctypes.c_int64,  # threads
         ]
         lib.floxer_search_seeds_batch.restype = ctypes.c_int
+        lib.floxer_locate_batch.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int64,  # fwd index
+            i64p, i64p, ctypes.c_int64,  # sampled SA
+            i64p, ctypes.c_int64,  # rows
+            i64p,  # out positions
+            ctypes.c_int64,  # threads
+        ]
+        lib.floxer_locate_batch.restype = ctypes.c_int
         _lib = lib
     except OSError as error:
         logger.debug("native library load failed: %s", error)
@@ -253,6 +261,32 @@ def native_search_seeds_batch(
         ].reshape(num_groups, 4)
         results.append((rows.copy(), total, bool(status & 1)))
     return results
+
+
+def native_locate_batch(
+    index, rows: np.ndarray, num_threads: int = 1
+) -> np.ndarray | None:
+    """Text positions for a batch of BWT rows (the FmIndex.text_position LF
+    walk, natively); None when the library is unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    out = np.empty(rows.shape[0], dtype=np.int64)
+    lib.floxer_locate_batch(
+        _as_u8p(np.ascontiguousarray(index.fwd.bwt)),
+        _as_i64p(np.ascontiguousarray(index.fwd.occ_checkpoints)),
+        _as_i64p(np.ascontiguousarray(index.C, dtype=np.int64)),
+        ctypes.c_int64(index.n),
+        _as_i64p(np.ascontiguousarray(index.sampled_rows)),
+        _as_i64p(np.ascontiguousarray(index.sampled_values)),
+        ctypes.c_int64(index.sampled_rows.shape[0]),
+        _as_i64p(rows),
+        ctypes.c_int64(rows.shape[0]),
+        _as_i64p(out),
+        ctypes.c_int64(num_threads),
+    )
+    return out
 
 
 _OP_CHARS = "=XID"

@@ -268,4 +268,55 @@ int floxer_search_seeds_batch(
     return 0;
 }
 
+// Batched SA lookup (parity: the Python FmIndex.text_position LF walk,
+// index/fmindex.py): each row walks LF until it hits a sampled row
+// (<= sampling_rate - 1 steps). Rows come from anchor selection, whose
+// choice loops never need positions — so a whole seed's picks resolve in
+// one call instead of per-row Python occ queries.
+int floxer_locate_batch(
+    const uint8_t* bwt_fwd, const int64_t* occ_fwd, const int64_t* C,
+    int64_t n, const int64_t* sampled_rows, const int64_t* sampled_values,
+    int64_t num_sampled, const int64_t* rows, int64_t num_rows,
+    int64_t* out_positions, int64_t num_threads) {
+    auto worker = [&](int64_t begin, int64_t end) {
+        for (int64_t i = begin; i < end; i++) {
+            int64_t row = rows[i];
+            int64_t steps = 0;
+            for (;;) {
+                const int64_t* it = std::lower_bound(
+                    sampled_rows, sampled_rows + num_sampled, row);
+                if (it != sampled_rows + num_sampled && *it == row) {
+                    int64_t const pos = sampled_values[it - sampled_rows] + steps;
+                    out_positions[i] = pos >= n ? pos - n : pos;
+                    break;
+                }
+                int const symbol = bwt_fwd[row];
+                int64_t const block = row / OCC_BLOCK;
+                int64_t count = occ_fwd[block * SIGMA + symbol];
+                for (int64_t j = block * OCC_BLOCK; j < row; j++)
+                    if (bwt_fwd[j] == symbol) count++;
+                row = C[symbol] + count;
+                steps++;
+            }
+        }
+    };
+
+    if (num_threads <= 1 || num_rows < 256) {
+        worker(0, num_rows);
+        return 0;
+    }
+    int64_t const threads = std::min<int64_t>(num_threads, num_rows);
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    int64_t const chunk = (num_rows + threads - 1) / threads;
+    for (int64_t t = 0; t < threads; t++) {
+        int64_t const begin = t * chunk;
+        int64_t const end = std::min(begin + chunk, num_rows);
+        if (begin >= end) break;
+        pool.emplace_back(worker, begin, end);
+    }
+    for (auto& th : pool) th.join();
+    return 0;
+}
+
 }  // extern "C"

@@ -257,11 +257,37 @@ class Searcher:
         # dispatch); the per-seed DFS is unchanged semantically
         group_results = self._search_all_groups(seeds, query)
 
+        # phase 1: choice loops (pure host bookkeeping, no positions needed)
+        chosen = [
+            self.choose_anchor_rows(seed, *group_results[i])
+            for i, seed in enumerate(seeds)
+        ]
+        # phase 2: ONE batched locate for every pick of every seed
+        all_rows = [row for _, rows, _, _ in chosen for row in rows]
+        reference_ids, positions = self.index.locate_batch(
+            np.asarray(all_rows, dtype=np.int64), self.num_threads
+        )
+        # phase 3: per-seed anchor construction + dominance sweep
+        offset = 0
         for i, seed in enumerate(seeds):
-            groups, total_raw = group_results[i]
-            result.anchors_by_seed[i] = self.process_seed_groups(
-                seed, groups, total_raw
+            excluded, rows, errors, num_kept_raw = chosen[i]
+            if excluded:
+                result.anchors_by_seed[i] = AnchorsOfSeed(
+                    anchors_by_reference=[
+                        [] for _ in range(self.num_reference_sequences)
+                    ]
+                )
+                continue
+            count = len(rows)
+            result.anchors_by_seed[i] = self.finalize_anchors(
+                seed,
+                errors,
+                reference_ids[offset : offset + count],
+                positions[offset : offset + count],
+                group_results[i][1],
+                num_kept_raw,
             )
+            offset += count
         return result
 
     def _search_all_groups(self, seeds: list[Seed], query: np.ndarray):
@@ -311,12 +337,14 @@ class Searcher:
                     out[i] = (groups, total)
         return out
 
-    def process_seed_groups(
+    def choose_anchor_rows(
         self, seed: Seed, groups: list[AnchorGroup], total_raw: int
-    ) -> AnchorsOfSeed:
-        """Group post-processing: hard cap, ordering, choice strategy,
-        dominance sweep (search.cpp:190-318). Shared by the host DFS and the
-        device frontier search."""
+    ) -> tuple[bool, list[int], list[int], int]:
+        """Hard-cap exclusion + group ordering + choice strategy
+        (search.cpp:190-299). Returns (excluded, picked_rows, picked_errors,
+        num_kept_raw). The choice loops never need anchor positions — only
+        cursor lengths and error counts — so picks are plain BWT rows,
+        located later in one batched (native) call per query."""
         config = self.config
 
         if (
@@ -324,11 +352,7 @@ class Searcher:
             and config.anchor_choice_strategy != AnchorChoiceStrategy.FIRST_REPORTED
         ):
             # seed fully excluded (search.cpp:190-202)
-            return AnchorsOfSeed(
-                anchors_by_reference=[
-                    [] for _ in range(self.num_reference_sequences)
-                ]
-            )
+            return True, [], [], 0
 
         if config.anchor_group_order == AnchorGroupOrder.COUNT_FIRST:
             groups.sort(key=lambda g: (g.cursor.length, g.num_errors))
@@ -338,23 +362,13 @@ class Searcher:
             # stable sort by count restricted to that predicate's effect
             groups.sort(key=lambda g: g.cursor.length)
 
-        anchors_by_reference: list[list[Anchor]] = [
-            [] for _ in range(self.num_reference_sequences)
-        ]
         num_kept_raw = 0
+        picked_rows: list[int] = []
+        picked_errors: list[int] = []
 
-        def emit(group: AnchorGroup, row_offset: int, leaf_index: int) -> None:
-            reference_id, position = self.index.locate(
-                group.cursor.lb + row_offset
-            )
-            anchors_by_reference[reference_id].append(
-                Anchor(
-                    pex_leaf_index=leaf_index,
-                    reference_id=reference_id,
-                    reference_position=position,
-                    num_errors=group.num_errors,
-                )
-            )
+        def emit(group: AnchorGroup, row_offset: int) -> None:
+            picked_rows.append(group.cursor.lb + row_offset)
+            picked_errors.append(group.num_errors)
 
         if config.anchor_choice_strategy == AnchorChoiceStrategy.ROUND_ROBIN:
             # rotate over the remaining groups, one anchor per group per
@@ -364,7 +378,7 @@ class Searcher:
             idx = 0
             while remaining and num_kept_raw != config.max_num_anchors_soft:
                 group = groups[remaining[idx]]
-                emit(group, round_no, seed.pex_leaf_index)
+                emit(group, round_no)
                 num_kept_raw += 1
                 if group.cursor.length == round_no + 1:
                     remaining.pop(idx)
@@ -378,14 +392,43 @@ class Searcher:
                 if num_kept_raw == config.max_num_anchors_soft:
                     break
                 for row in range(group.cursor.length):
-                    emit(group, row, seed.pex_leaf_index)
+                    emit(group, row)
                     num_kept_raw += 1
                     if num_kept_raw == config.max_num_anchors_soft:
                         break
 
+        return False, picked_rows, picked_errors, num_kept_raw
+
+    def finalize_anchors(
+        self,
+        seed: Seed,
+        picked_errors: list[int],
+        reference_ids,
+        positions,
+        total_raw: int,
+        num_kept_raw: int,
+    ) -> AnchorsOfSeed:
+        """Build per-reference anchor lists from located picks and run the
+        dominance sweep (search.cpp:300-318)."""
+        anchors_by_reference: list[list[Anchor]] = [
+            [] for _ in range(self.num_reference_sequences)
+        ]
+        leaf_index = seed.pex_leaf_index
+        for reference_id, position, errors in zip(
+            reference_ids, positions, picked_errors
+        ):
+            anchors_by_reference[reference_id].append(
+                Anchor(
+                    pex_leaf_index=leaf_index,
+                    reference_id=int(reference_id),
+                    reference_position=int(position),
+                    num_errors=errors,
+                )
+            )
+
         num_excluded_soft = total_raw - num_kept_raw
         num_kept_useful = num_kept_raw
-        if config.erase_useless_anchors:
+        if self.config.erase_useless_anchors:
             num_kept_useful = erase_useless_anchors(anchors_by_reference)
 
         return AnchorsOfSeed(
@@ -393,6 +436,30 @@ class Searcher:
             num_kept_raw_anchors=num_kept_raw,
             num_excluded_raw_anchors_by_soft_cap=num_excluded_soft,
             anchors_by_reference=anchors_by_reference,
+        )
+
+    def process_seed_groups(
+        self, seed: Seed, groups: list[AnchorGroup], total_raw: int
+    ) -> AnchorsOfSeed:
+        """Group post-processing: hard cap, ordering, choice strategy,
+        dominance sweep (search.cpp:190-318). Shared by the host DFS and the
+        device frontier search. Single-seed convenience wrapper around
+        choose_anchor_rows + locate_batch + finalize_anchors."""
+        excluded, picked_rows, picked_errors, num_kept_raw = (
+            self.choose_anchor_rows(seed, groups, total_raw)
+        )
+        if excluded:
+            return AnchorsOfSeed(
+                anchors_by_reference=[
+                    [] for _ in range(self.num_reference_sequences)
+                ]
+            )
+        reference_ids, positions = self.index.locate_batch(
+            np.asarray(picked_rows, dtype=np.int64)
+        )
+        return self.finalize_anchors(
+            seed, picked_errors, reference_ids, positions, total_raw,
+            num_kept_raw,
         )
 
 
