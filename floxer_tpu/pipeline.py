@@ -334,6 +334,7 @@ def verify_and_write_chunk(
     references: References,
     output: AlignmentOutput,
     stats: SearchAndAlignmentStatistics,
+    resident_ref=None,
 ) -> None:
     """Verification + output for a chunk whose search results are ready."""
     from .verify_batch import BatchVerifier, _QueryItem
@@ -362,6 +363,7 @@ def verify_and_write_chunk(
         use_device=(
             True if cli.engine == "device" else _accelerator_available
         ),
+        resident_ref=resident_ref,
     )
     all_alignments = verifier.process(items)
     verification_ms = int((time.monotonic() - verification_started) * 1000)
@@ -516,6 +518,15 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
         # property (parallelization.cpp:139-148), TPU-shaped
         from concurrent.futures import ThreadPoolExecutor
 
+        from .ops.resident import ResidentBank
+
+        # per-run device-resident reference bank: the packed upload happens
+        # lazily on the first resident bucket dispatch (ops/resident.py),
+        # so CPU-only or tiny runs never touch an accelerator here
+        resident_ref = ResidentBank(
+            [record.rank_sequence for record in references.records]
+        )
+
         def next_chunk():
             chunk = []
             for query in queries:
@@ -556,6 +567,7 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
                             references,
                             output,
                             stats,
+                            resident_ref=resident_ref,
                         )
                         num_processed += len(prev_chunk)
                         record_progress()
@@ -573,6 +585,9 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
                     "down. The output file is likely incomplete. Error "
                     "message: %s",
                     error,
+                )
+                logger.debug(
+                    "batched alignment failure traceback:", exc_info=True
                 )
                 failed = True
 

@@ -57,6 +57,11 @@ _FORCE_BANDED = bool(
     __import__("os").environ.get("FLOXER_TPU_FORCE_BANDED", "")
 )
 
+# kill switch for the device-resident gather path (A/B measurements)
+_NO_RESIDENT = bool(
+    __import__("os").environ.get("FLOXER_TPU_NO_RESIDENT", "")
+)
+
 
 @dataclass
 class _WalkLevel:
@@ -99,14 +104,20 @@ class _TaskBatcher:
     workloads (e.g. the e2e test data) never initialize an accelerator
     backend at all."""
 
-    def __init__(self, use_device):
+    def __init__(self, use_device, resident=None):
         self.use_device = use_device
+        # resident: (ref_bank, query_bank) ResidentBank pair enabling the
+        # on-device gather path (ops/resident.py) — per-task slice copies
+        # are replaced by offsets into device-resident packed banks
+        self.resident = resident
         self._device_resolved: bool | None = None
         self.keys: dict = {}
         self.patterns: list[np.ndarray] = []
         self.windows: list[np.ndarray] = []
         self.owners: list[list[int]] = []
         self.budgets: list[int] = []
+        self.pat_addrs: list[int] = []
+        self.win_addrs: list[int] = []
 
     def add(
         self,
@@ -115,6 +126,8 @@ class _TaskBatcher:
         window: np.ndarray,
         owner: int,
         budget: int = -1,
+        pat_addr: int = -1,
+        win_addr: int = -1,
     ):
         slot = self.keys.get(key)
         if slot is None:
@@ -123,6 +136,8 @@ class _TaskBatcher:
             self.patterns.append(pattern)
             self.windows.append(window)
             self.budgets.append(budget)
+            self.pat_addrs.append(pat_addr)
+            self.win_addrs.append(win_addr)
             self.owners.append([])
         self.owners[slot].append(owner)
         return slot
@@ -135,6 +150,57 @@ class _TaskBatcher:
                 else bool(self.use_device)
             )
         return self._device_resolved
+
+    def _try_resident(self, tag, m_bucket, n_bucket, slots, b_bucket):
+        """Dispatch one device bucket through the resident-gather path
+        (ops/resident.py): offsets into device-resident banks instead of
+        per-task host slice uploads. Returns (dist, end) device arrays of
+        length >= b_bucket, or None when the path does not apply (no banks,
+        or a slot without addresses, e.g. the reversed root batch)."""
+        if self.resident is None:
+            return None
+        if any(
+            self.pat_addrs[i] < 0 or self.win_addrs[i] < 0 for i in slots
+        ):
+            return None
+        from .ops.myers import MAX_UNROLLED_WORDS, WORD
+        from .ops.resident import myers_banded_resident, myers_full_resident
+
+        ref_bank, query_bank = self.resident
+        if tag == "banded":
+            group = 32  # pallas_myers_banded.SUBLANES padding requirement
+        elif -(-m_bucket // WORD) > MAX_UNROLLED_WORDS:
+            group = 8  # pallas_myers_large.SUBLANES
+        else:
+            group = 128  # pallas_myers.LANES
+        T = max(b_bucket, group)
+        T = -(-T // group) * group
+
+        win_starts = np.zeros(T, dtype=np.int64)
+        win_lens = np.ones(T, dtype=np.int64)
+        pat_starts = np.zeros(T, dtype=np.int64)
+        pat_lens = np.ones(T, dtype=np.int64)
+        for row, i in enumerate(slots):
+            win_starts[row] = self.win_addrs[i]
+            win_lens[row] = len(self.windows[i])
+            pat_starts[row] = self.pat_addrs[i]
+            pat_lens[row] = len(self.patterns[i])
+
+        if tag == "banded":
+            # pad rows: m=2, budget=1 satisfies 0 < budget < m
+            pat_lens[len(slots):] = 2
+            budgets = np.ones(T, dtype=np.int64)
+            budgets[: len(slots)] = [self.budgets[i] for i in slots]
+            return myers_banded_resident(
+                ref_bank, query_bank,
+                win_starts, win_lens, pat_starts, pat_lens, budgets,
+                band_words=m_bucket, num_text=n_bucket, sync=False,
+            )
+        return myers_full_resident(
+            ref_bank, query_bank,
+            win_starts, win_lens, pat_starts, pat_lens,
+            m_bucket=m_bucket, num_text=n_bucket, sync=False,
+        )
 
     def run(self) -> tuple[np.ndarray, np.ndarray]:
         """Returns (distances, end_cols) per unique slot.
@@ -251,6 +317,18 @@ class _TaskBatcher:
             b_bucket = 1
             while b_bucket < len(slots):
                 b_bucket *= 2
+            resident_result = self._try_resident(
+                tag, m_bucket, n_bucket, slots, b_bucket
+            )
+            if resident_result is not None:
+                t1 = _time.monotonic()
+                _BATCH_TIMERS["pack"] += t1 - t0
+                _BATCH_TIMERS["calls"] += 1
+                pending.append(
+                    (slots, b_bucket, m_bucket, n_bucket,
+                     resident_result[0], resident_result[1], t1 - t0)
+                )
+                continue
             dummy = np.zeros(1, dtype=np.uint8)
             batch_patterns = [self.patterns[i] for i in slots]
             batch_windows = [self.windows[i] for i in slots]
@@ -334,6 +412,7 @@ class BatchVerifier:
         without_cigar: bool,
         use_interval_optimization: bool,
         use_device: bool = True,
+        resident_ref=None,
     ):
         self.references = references
         self.kind = kind
@@ -341,6 +420,10 @@ class BatchVerifier:
         self.without_cigar = without_cigar
         self.use_interval_optimization = use_interval_optimization
         self.use_device = use_device
+        # per-run device-resident reference bank (ops/resident.py); the
+        # per-chunk query bank is built in process()
+        self.resident_ref = None if _NO_RESIDENT else resident_ref
+        self._resident = None
 
     # ------------------------------------------------------------------
 
@@ -379,6 +462,20 @@ class BatchVerifier:
         computed: set[int] = set()
         self._task_cache: dict = {}
         self._root_memo: dict = {}
+        if self.resident_ref is not None:
+            from .ops.resident import ResidentBank
+
+            # chunk query bank: forward and reverse-complement rank
+            # sequences of every read, addressed 2*query_index + strand.
+            # Layout is eager (cheap); the packed upload happens lazily on
+            # the first resident bucket dispatch.
+            seqs = []
+            for item in items:
+                seqs.append(item.query_record.rank_sequence)
+                seqs.append(
+                    item.query_record.reverse_complement_rank_sequence
+                )
+            self._resident = (self.resident_ref, ResidentBank(seqs))
         t_build = _time.monotonic()
 
         # prescreen: cheap batched passes over every walk's first few levels
@@ -673,6 +770,22 @@ class BatchVerifier:
             else item.query_record.reverse_complement_rank_sequence
         )
 
+    def _addrs(self, walk: _AnchorWalk, level: _WalkLevel) -> tuple[int, int]:
+        """Global char offsets of (pattern, window) in the resident banks,
+        or (-1, -1) when the resident path is off."""
+        if self._resident is None:
+            return -1, -1
+        ref_bank, query_bank = self._resident
+        strand = 0 if walk.orientation == Orientation.FORWARD else 1
+        pat_addr = (
+            query_bank.base(2 * walk.query_index + strand)
+            + level.node.query_index_from
+        )
+        win_addr = (
+            ref_bank.base(walk.anchor.reference_id) + level.span.offset
+        )
+        return pat_addr, win_addr
+
     def _compute_walks(
         self,
         walks: list[_AnchorWalk],
@@ -691,7 +804,7 @@ class BatchVerifier:
             cache = self._task_cache = {}
 
         for depth in range(limit):
-            batcher = _TaskBatcher(self.use_device)
+            batcher = _TaskBatcher(self.use_device, resident=self._resident)
             slot_of_walk = {}
             cached_of_walk = {}
             for walk_id in active:
@@ -721,10 +834,12 @@ class BatchVerifier:
                 window = reference.rank_sequence[
                     level.span.offset : level.span.offset + level.span.length
                 ]
+                pat_addr, win_addr = self._addrs(walk, level)
                 slot_of_walk[walk_id] = (
                     batcher.add(
                         key, pattern, window, walk_id,
                         budget=level.node.num_errors,
+                        pat_addr=pat_addr, win_addr=win_addr,
                     ),
                     key,
                 )
@@ -771,7 +886,7 @@ class BatchVerifier:
         if cache is None:
             cache = self._task_cache = {}
 
-        batcher = _TaskBatcher(self.use_device)
+        batcher = _TaskBatcher(self.use_device, resident=self._resident)
         pending = []  # (walk_id, depth, key, slot_or_None)
         for walk_id in subset:
             walk = walks[walk_id]
@@ -803,9 +918,11 @@ class BatchVerifier:
                 window = reference.rank_sequence[
                     level.span.offset : level.span.offset + level.span.length
                 ]
+                pat_addr, win_addr = self._addrs(walk, level)
                 slot = batcher.add(
                     key, pattern, window, walk_id,
                     budget=level.node.num_errors,
+                    pat_addr=pat_addr, win_addr=win_addr,
                 )
                 pending.append((walk_id, depth, key, slot))
 

@@ -54,6 +54,37 @@ VARIANTS = [
 ]
 
 
+def test_device_engine_resident_equivalence(workload, tmp_path):
+    """engine=device on the CPU backend (kernels in interpret mode) with
+    every eligible task forced through the banded kernel: this exercises
+    the device-resident gather path (ops/resident.py) end-to-end — the
+    pipeline uploads reference/read banks and the batcher dispatches
+    offsets, which must yield a byte-identical SAM."""
+    outputs = {}
+    for engine in ("reference", "device"):
+        out = tmp_path / f"{engine}.sam"
+        env = dict(os.environ)
+        env["FLOXER_TPU_PLATFORM"] = "cpu"
+        env["FLOXER_TPU_FORCE_BANDED"] = "1"
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "floxer_tpu",
+                "--reference", str(workload / "ref.fasta"),
+                "--queries", str(workload / "reads.fastq"),
+                "--output", str(out),
+                "--engine", engine,
+                "--error-probability", "0.05",
+                "--interval-optimization",
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+        assert proc.returncode == 0, proc.stderr
+        outputs[engine] = out.read_text()
+    assert outputs["reference"] == outputs["device"]
+
+
 @pytest.mark.parametrize("variant", range(len(VARIANTS)))
 def test_engine_equivalence_fuzz(workload, tmp_path, variant):
     args = VARIANTS[variant]
