@@ -88,9 +88,13 @@ class ResidentBank:
     @property
     def flat(self) -> jax.Array:
         if self._flat is None:
-            words = np.zeros(
-                self._num_words + TAIL_PAD_WORDS, dtype=np.uint32
-            )
+            # the flat length is part of every downstream jit cache key:
+            # quantize it (next power of two) so banks of similar size —
+            # e.g. successive read chunks — reuse compiled programs
+            # instead of recompiling every bucket shape per chunk
+            total = self._num_words + TAIL_PAD_WORDS
+            size = 1 << (total - 1).bit_length()
+            words = np.zeros(size, dtype=np.uint32)
             for base, seq in zip(self.base_chars, self._sequences):
                 packed = pack_nibbles_flat(np.asarray(seq, dtype=np.uint8))
                 start = base // CHARS_PER_WORD
