@@ -92,6 +92,19 @@ def get_library():
             ctypes.c_int64,  # threads
         ]
         lib.floxer_search_seeds_batch.restype = ctypes.c_int
+        lib.floxer_search_select_batch.argtypes = [
+            u8p, i64p, u8p, i64p, i64p, ctypes.c_int64,  # index
+            i64p, i64p, ctypes.c_int64,  # sampled SA
+            i64p, ctypes.c_int64,  # seq starts
+            u8p, ctypes.c_int64, ctypes.c_int64,  # patterns
+            i64p, ctypes.c_int64, ctypes.c_int64,  # scheme
+            ctypes.c_int64, ctypes.c_int64,  # max_total, max_groups
+            ctypes.c_int64, ctypes.c_int64,  # hard, soft
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # order/choice/erase
+            i64p, i64p,  # out anchors, counts
+            ctypes.c_int64,  # threads
+        ]
+        lib.floxer_search_select_batch.restype = ctypes.c_int
         lib.floxer_locate_batch.argtypes = [
             u8p, i64p, i64p, ctypes.c_int64,  # fwd index
             i64p, i64p, ctypes.c_int64,  # sampled SA
@@ -261,6 +274,69 @@ def native_search_seeds_batch(
         ].reshape(num_groups, 4)
         results.append((rows.copy(), total, bool(status & 1)))
     return results
+
+
+def native_search_select_batch(
+    index,
+    patterns: np.ndarray,  # uint8 [num_seeds, pattern_len], uniform length
+    expanded_searches,
+    max_total: int,
+    hard_cap: int,
+    soft_cap: int,
+    group_order: int,  # 0 count_first, 1 errors_first, 2 none
+    choice: int,  # 0 round_robin, 1 full_groups, 2 first_reported
+    erase_useless: bool,
+    num_threads: int = 1,
+):
+    """Combined native DFS + anchor selection (search.cpp:143-324 pipeline)
+    per seed; returns (anchors_int64 [num_seeds, soft_cap, 3],
+    counts_int64 [num_seeds, 5]) or None when the library is unavailable.
+    counts rows are (status, num_written, num_kept_raw, num_kept_useful,
+    total_raw); status bit 1 set means the caller must redo that seed."""
+    lib = get_library()
+    if lib is None:
+        return None
+
+    parts_flat, num_searches, num_parts = _pack_scheme(expanded_searches)
+    num_seeds, pattern_len = patterns.shape
+    max_groups = int(min(max_total, 1_000_000)) + 8
+    out_anchors = np.empty(num_seeds * soft_cap * 3, dtype=np.int64)
+    out_counts = np.zeros(num_seeds * 5, dtype=np.int64)
+    patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
+
+    lib.floxer_search_select_batch(
+        _as_u8p(np.ascontiguousarray(index.fwd.bwt)),
+        _as_i64p(np.ascontiguousarray(index.fwd.occ_checkpoints)),
+        _as_u8p(np.ascontiguousarray(index.rev.bwt)),
+        _as_i64p(np.ascontiguousarray(index.rev.occ_checkpoints)),
+        _as_i64p(np.ascontiguousarray(index.C, dtype=np.int64)),
+        ctypes.c_int64(index.n),
+        _as_i64p(np.ascontiguousarray(index.sampled_rows)),
+        _as_i64p(np.ascontiguousarray(index.sampled_values)),
+        ctypes.c_int64(index.sampled_rows.shape[0]),
+        _as_i64p(np.ascontiguousarray(index.seq_starts)),
+        ctypes.c_int64(index.seq_starts.shape[0]),
+        _as_u8p(patterns),
+        ctypes.c_int64(pattern_len),
+        ctypes.c_int64(num_seeds),
+        _as_i64p(parts_flat),
+        ctypes.c_int64(num_searches),
+        ctypes.c_int64(num_parts),
+        ctypes.c_int64(max_total),
+        ctypes.c_int64(max_groups),
+        ctypes.c_int64(hard_cap),
+        ctypes.c_int64(soft_cap),
+        ctypes.c_int64(group_order),
+        ctypes.c_int64(choice),
+        ctypes.c_int64(1 if erase_useless else 0),
+        _as_i64p(out_anchors),
+        _as_i64p(out_counts),
+        ctypes.c_int64(num_threads),
+    )
+    return (
+        out_anchors.reshape(num_seeds, soft_cap, 3),
+        out_counts.reshape(num_seeds, 5),
+    )
 
 
 def native_locate_batch(

@@ -212,6 +212,189 @@ int search_one(const BiIndex& index, const uint8_t* pattern,
 
 }  // namespace
 
+namespace {
+
+struct LocateCtx {
+    const int64_t* sampled_rows;
+    const int64_t* sampled_values;
+    int64_t num_sampled;
+    const int64_t* seq_starts;
+    int64_t num_seqs;
+};
+
+// FmIndex.text_position LF walk (index/fmindex.py): walk LF until a
+// sampled row (<= sampling_rate - 1 steps)
+inline int64_t locate_walk(const SingleIndex& fwd, const int64_t* C,
+                           int64_t n, const LocateCtx& loc, int64_t row) {
+    int64_t steps = 0;
+    for (;;) {
+        const int64_t* it = std::lower_bound(
+            loc.sampled_rows, loc.sampled_rows + loc.num_sampled, row);
+        if (it != loc.sampled_rows + loc.num_sampled && *it == row) {
+            int64_t const pos = loc.sampled_values[it - loc.sampled_rows] + steps;
+            return pos >= n ? pos - n : pos;
+        }
+        int const symbol = fwd.bwt[row];
+        int64_t const block = row / OCC_BLOCK;
+        int64_t count = fwd.occ[block * SIGMA + symbol];
+        for (int64_t j = block * OCC_BLOCK; j < row; j++)
+            if (fwd.bwt[j] == symbol) count++;
+        row = C[symbol] + count;
+        steps++;
+    }
+}
+
+struct SelParams {
+    int64_t hard_cap, soft_cap;
+    int64_t group_order;  // 0 count_first, 1 errors_first, 2 none
+    int64_t choice;       // 0 round_robin, 1 full_groups, 2 first_reported
+    int64_t erase_useless;
+};
+
+// Anchor selection for one seed: exact port of
+// search_host.choose_anchor_rows + finalize_anchors (themselves the
+// behavioral port of the reference's search.cpp:190-318). Writes up to
+// soft_cap anchors (reference_id, position, errors) in final iteration
+// order — reference ascending, per-reference sorted+filtered order when
+// erase_useless, emission order otherwise — and the AnchorsOfSeed counts.
+inline void select_one(const BiIndex& index, const LocateCtx& loc,
+                       const SelParams& sel, const int64_t* groups,
+                       int64_t num_groups, int64_t total, int status,
+                       int64_t* out_anchors, int64_t* out_counts) {
+    out_counts[0] = status;
+    out_counts[1] = 0;  // anchors written
+    out_counts[2] = 0;  // num_kept_raw
+    out_counts[3] = 0;  // num_kept_useful
+    out_counts[4] = total;
+    if (status & 2) return;  // overflow: Python redoes this seed
+    if (total > sel.hard_cap && sel.choice != 2) {
+        out_counts[0] |= 4;  // seed fully excluded (search.cpp:190-202)
+        return;
+    }
+
+    std::vector<int32_t> order(num_groups);
+    for (int64_t g = 0; g < num_groups; g++) order[g] = (int32_t)g;
+    if (sel.group_order == 0) {  // count_first: (len, errors)
+        std::stable_sort(order.begin(), order.end(),
+                         [&](int32_t a, int32_t b) {
+                             const int64_t* ga = groups + a * 4;
+                             const int64_t* gb = groups + b * 4;
+                             if (ga[2] != gb[2]) return ga[2] < gb[2];
+                             return ga[3] < gb[3];
+                         });
+    } else if (sel.group_order == 1) {  // errors_first (see search_host)
+        std::stable_sort(order.begin(), order.end(),
+                         [&](int32_t a, int32_t b) {
+                             return groups[a * 4 + 2] < groups[b * 4 + 2];
+                         });
+    }
+
+    struct A {
+        int64_t ref, pos, err;
+        bool marked;
+    };
+    std::vector<A> anchors;
+    anchors.reserve(std::min<int64_t>(sel.soft_cap, 64));
+    auto emit = [&](const int64_t* g, int64_t row_offset) {
+        int64_t const pos = locate_walk(index.fwd, index.C, index.n, loc,
+                                        g[0] + row_offset);
+        const int64_t* it = std::upper_bound(
+            loc.seq_starts, loc.seq_starts + loc.num_seqs, pos);
+        int64_t const ref = (it - loc.seq_starts) - 1;
+        anchors.push_back({ref, pos - loc.seq_starts[ref], g[3], false});
+    };
+
+    int64_t kept = 0;
+    if (sel.choice == 0) {  // round_robin rotation (search.cpp:239-272)
+        std::vector<int32_t> remaining = order;
+        int64_t round_no = 0;
+        size_t idx = 0;
+        while (!remaining.empty() && kept != sel.soft_cap) {
+            const int64_t* g = groups + remaining[idx] * 4;
+            emit(g, round_no);
+            kept++;
+            if (g[2] == round_no + 1)
+                remaining.erase(remaining.begin() + idx);
+            else
+                idx++;
+            if (idx >= remaining.size()) {
+                idx = 0;
+                round_no++;
+            }
+        }
+    } else {  // full_groups / first_reported (search.cpp:273-299)
+        for (int32_t gi : order) {
+            if (kept == sel.soft_cap) break;
+            const int64_t* g = groups + gi * 4;
+            for (int64_t row = 0; row < g[2]; row++) {
+                emit(g, row);
+                kept++;
+                if (kept == sel.soft_cap) break;
+            }
+        }
+    }
+
+    // group by reference preserving emission order within a reference
+    std::stable_sort(anchors.begin(), anchors.end(),
+                     [](const A& a, const A& b) { return a.ref < b.ref; });
+
+    int64_t kept_useful = kept;
+    if (sel.erase_useless) {
+        kept_useful = 0;
+        size_t seg = 0;
+        std::vector<A> filtered;
+        filtered.reserve(anchors.size());
+        while (seg < anchors.size()) {
+            size_t seg_end = seg;
+            while (seg_end < anchors.size() &&
+                   anchors[seg_end].ref == anchors[seg].ref)
+                seg_end++;
+            // stable sort by position (ties keep emission order), then the
+            // dominance sweep (search.cpp:352-389)
+            std::stable_sort(anchors.begin() + seg, anchors.begin() + seg_end,
+                             [](const A& a, const A& b) {
+                                 return a.pos < b.pos;
+                             });
+            auto better = [](const A& a, const A& b) {
+                int64_t const d =
+                    a.pos > b.pos ? a.pos - b.pos : b.pos - a.pos;
+                return a.err <= b.err && d <= b.err - a.err;
+            };
+            int64_t const cnt = (int64_t)(seg_end - seg);
+            A* arr = anchors.data() + seg;
+            int64_t current = 0;
+            while (current < cnt - 1) {
+                int64_t other = current + 1;
+                while (other < cnt && better(arr[current], arr[other])) {
+                    arr[other].marked = true;
+                    other++;
+                }
+                if (other < cnt && better(arr[other], arr[current]))
+                    arr[current].marked = true;
+                current = other;
+            }
+            for (int64_t i = 0; i < cnt; i++)
+                if (!arr[i].marked) {
+                    filtered.push_back(arr[i]);
+                    kept_useful++;
+                }
+            seg = seg_end;
+        }
+        anchors.swap(filtered);
+    }
+
+    for (size_t i = 0; i < anchors.size(); i++) {
+        out_anchors[i * 3] = anchors[i].ref;
+        out_anchors[i * 3 + 1] = anchors[i].pos;
+        out_anchors[i * 3 + 2] = anchors[i].err;
+    }
+    out_counts[1] = (int64_t)anchors.size();
+    out_counts[2] = kept;
+    out_counts[3] = kept_useful;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Returns: bit 0 = aborted (cap hit), bit 1 = group-buffer overflow.
@@ -254,6 +437,64 @@ int floxer_search_seeds_batch(
         return 0;
     }
 
+    int64_t const threads = std::min<int64_t>(num_threads, num_seeds);
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    int64_t const chunk = (num_seeds + threads - 1) / threads;
+    for (int64_t t = 0; t < threads; t++) {
+        int64_t const begin = t * chunk;
+        int64_t const end = std::min(begin + chunk, num_seeds);
+        if (begin >= end) break;
+        pool.emplace_back(worker, begin, end);
+    }
+    for (auto& th : pool) th.join();
+    return 0;
+}
+
+// Combined DFS + anchor selection, one call per uniform-length seed class:
+// the whole per-seed pipeline of the reference's search.cpp:143-324 (scheme
+// search, hard cap, group ordering, choice strategy, locate, dominance
+// sweep) runs in the worker threads with zero Python between the stages.
+// out_anchors: [num_seeds][soft_cap][3] (reference_id, position, errors) in
+// final iteration order. out_counts: [num_seeds][5] (status, num_written,
+// num_kept_raw, num_kept_useful, total_raw); status bit 0 = aborted,
+// bit 1 = overflow (caller falls back for that seed), bit 2 = hard-cap
+// excluded.
+int floxer_search_select_batch(
+    const uint8_t* bwt_fwd, const int64_t* occ_fwd, const uint8_t* bwt_rev,
+    const int64_t* occ_rev, const int64_t* C, int64_t n,
+    const int64_t* sampled_rows, const int64_t* sampled_values,
+    int64_t num_sampled, const int64_t* seq_starts, int64_t num_seqs,
+    const uint8_t* patterns, int64_t pattern_len, int64_t num_seeds,
+    const int64_t* parts_flat, int64_t num_searches, int64_t num_parts,
+    int64_t max_total, int64_t max_groups_per_seed, int64_t hard_cap,
+    int64_t soft_cap, int64_t group_order, int64_t choice,
+    int64_t erase_useless, int64_t* out_anchors, int64_t* out_counts,
+    int64_t num_threads) {
+    BiIndex const index{{bwt_fwd, occ_fwd}, {bwt_rev, occ_rev}, C, n};
+    LocateCtx const loc{sampled_rows, sampled_values, num_sampled,
+                        seq_starts, num_seqs};
+    SelParams const sel{hard_cap, soft_cap, group_order, choice,
+                        erase_useless};
+
+    auto worker = [&](int64_t begin, int64_t end) {
+        std::vector<int64_t> groups(max_groups_per_seed * 4);
+        int64_t meta[2];
+        for (int64_t i = begin; i < end; i++) {
+            int const status = search_one(
+                index, patterns + i * pattern_len, parts_flat, num_searches,
+                num_parts, max_total, max_groups_per_seed, groups.data(),
+                meta);
+            select_one(index, loc, sel, groups.data(), meta[0], meta[1],
+                       status, out_anchors + i * soft_cap * 3,
+                       out_counts + i * 5);
+        }
+    };
+
+    if (num_threads <= 1 || num_seeds < 2) {
+        worker(0, num_seeds);
+        return 0;
+    }
     int64_t const threads = std::min<int64_t>(num_threads, num_seeds);
     std::vector<std::thread> pool;
     pool.reserve(threads);

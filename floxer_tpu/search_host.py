@@ -249,6 +249,14 @@ class Searcher:
         return self.config.max_num_anchors_hard + 1
 
     def search_seeds(self, seeds: list[Seed], query: np.ndarray) -> SearchResult:
+        # primary path: the whole per-seed pipeline (DFS, caps, ordering,
+        # choice, locate, dominance sweep) in one native call per seed
+        # class — the Python stages below are GIL-bound and dominate the
+        # multi-threaded search otherwise
+        native = self._search_seeds_native_select(seeds, query)
+        if native is not None:
+            return native
+
         result = SearchResult()
         result.anchors_by_seed = [None] * len(seeds)
 
@@ -288,6 +296,104 @@ class Searcher:
                 num_kept_raw,
             )
             offset += count
+        return result
+
+    def _search_seeds_native_select(
+        self, seeds: list[Seed], query: np.ndarray
+    ) -> SearchResult | None:
+        """All seeds through floxer_search_select_batch (native DFS +
+        anchor selection per search.cpp:143-324), one call per uniform
+        (length, errors) class; None when the native library is missing
+        (or FLOXER_TPU_NO_NATIVE_SELECT is set, for A/B runs). Output
+        equality with the Python stages is asserted by
+        tests/test_native_search.py and the pipeline fuzz suite."""
+        import os
+
+        if os.environ.get("FLOXER_TPU_NO_NATIVE_SELECT"):
+            return None
+        from .native import native_search_select_batch
+
+        config = self.config
+        order_code = {
+            AnchorGroupOrder.COUNT_FIRST: 0,
+            AnchorGroupOrder.ERRORS_FIRST: 1,
+            AnchorGroupOrder.NONE: 2,
+        }[config.anchor_group_order]
+        choice_code = {
+            AnchorChoiceStrategy.ROUND_ROBIN: 0,
+            AnchorChoiceStrategy.FULL_GROUPS: 1,
+            AnchorChoiceStrategy.FIRST_REPORTED: 2,
+        }[config.anchor_choice_strategy]
+
+        result = SearchResult()
+        result.anchors_by_seed = [None] * len(seeds)
+        by_class: dict[tuple[int, int], list[int]] = {}
+        for i, seed in enumerate(seeds):
+            by_class.setdefault((seed.length, seed.num_errors), []).append(i)
+
+        for (length, errors), indices in by_class.items():
+            expanded = expand_scheme(errors, length)
+            patterns = np.stack(
+                [
+                    query[
+                        seeds[i].query_position : seeds[i].query_position
+                        + length
+                    ]
+                    for i in indices
+                ]
+            )
+            out = native_search_select_batch(
+                self.index,
+                patterns,
+                expanded,
+                self.search_cap(),
+                config.max_num_anchors_hard,
+                config.max_num_anchors_soft,
+                order_code,
+                choice_code,
+                config.erase_useless_anchors,
+                self.num_threads,
+            )
+            if out is None:
+                return None
+            anchors_arr, counts = out
+            for j, i in enumerate(indices):
+                status, num_written, kept_raw, kept_useful, total_raw = (
+                    int(v) for v in counts[j]
+                )
+                if status & 2:
+                    # group-buffer overflow: redo this seed in Python
+                    groups, total, _ = search_seed_groups(
+                        self.index, patterns[j], errors, self.search_cap()
+                    )
+                    result.anchors_by_seed[i] = self.process_seed_groups(
+                        seeds[i], groups, total
+                    )
+                    continue
+                anchors_by_reference: list[list[Anchor]] = [
+                    [] for _ in range(self.num_reference_sequences)
+                ]
+                if status & 4:  # hard-cap excluded: all counters zero
+                    result.anchors_by_seed[i] = AnchorsOfSeed(
+                        anchors_by_reference=anchors_by_reference
+                    )
+                    continue
+                leaf_index = seeds[i].pex_leaf_index
+                for ref, pos, err in anchors_arr[j, :num_written].tolist():
+                    anchors_by_reference[ref].append(
+                        Anchor(
+                            pex_leaf_index=leaf_index,
+                            reference_id=ref,
+                            reference_position=pos,
+                            num_errors=err,
+                        )
+                    )
+                result.anchors_by_seed[i] = AnchorsOfSeed(
+                    num_kept_useful_anchors=kept_useful,
+                    num_kept_raw_anchors=kept_raw,
+                    num_excluded_raw_anchors_by_soft_cap=total_raw - kept_raw,
+                    anchors_by_reference=anchors_by_reference,
+                )
         return result
 
     def _search_all_groups(self, seeds: list[Seed], query: np.ndarray):

@@ -70,3 +70,85 @@ def test_native_abort_matches(index):
     assert [
         (g.cursor.lb, g.cursor.length, g.num_errors) for g in native[0]
     ] == [(g.cursor.lb, g.cursor.length, g.num_errors) for g in python[0]]
+
+
+def _equal_results(a, b):
+    assert a.num_fully_excluded_seeds == b.num_fully_excluded_seeds
+    assert len(a.anchors_by_seed) == len(b.anchors_by_seed)
+    for sa, sb in zip(a.anchors_by_seed, b.anchors_by_seed):
+        assert sa.num_kept_useful_anchors == sb.num_kept_useful_anchors
+        assert sa.num_kept_raw_anchors == sb.num_kept_raw_anchors
+        assert (
+            sa.num_excluded_raw_anchors_by_soft_cap
+            == sb.num_excluded_raw_anchors_by_soft_cap
+        )
+        assert len(sa.anchors_by_reference) == len(sb.anchors_by_reference)
+        for ra, rb in zip(sa.anchors_by_reference, sb.anchors_by_reference):
+            assert [
+                (x.pex_leaf_index, x.reference_id,
+                 x.reference_position, x.num_errors)
+                for x in ra
+            ] == [
+                (x.pex_leaf_index, x.reference_id,
+                 x.reference_position, x.num_errors)
+                for x in rb
+            ]
+
+
+@pytest.mark.parametrize("order", ["count_first", "errors_first", "none"])
+@pytest.mark.parametrize(
+    "choice", ["round_robin", "full_groups", "first_reported"]
+)
+@pytest.mark.parametrize("erase", [True, False])
+def test_native_select_matches_python_pipeline(index, order, choice, erase):
+    """floxer_search_select_batch (DFS + caps + ordering + choice + locate +
+    dominance sweep in C++) vs the Python stage pipeline: identical
+    SearchResult for every config combination."""
+    import os
+    from unittest import mock
+
+    from floxer_tpu.pex import Seed
+    from floxer_tpu.search_host import (
+        AnchorChoiceStrategy,
+        AnchorGroupOrder,
+        SearchConfig,
+        Searcher,
+    )
+
+    idx, sequences = index
+    rng = np.random.default_rng(hash((order, choice, erase)) % 2**31)
+    query = np.concatenate(
+        [sequences[0][200:400], sequences[1][100:260]]
+    ).copy()
+    for _ in range(8):
+        pos = int(rng.integers(0, len(query)))
+        query[pos] = 1 + (query[pos] % 4)
+    seeds = []
+    cursor = 0
+    for li, (length, errors) in enumerate(
+        [(18, 1), (18, 1), (12, 0), (20, 2), (18, 1), (9, 1)]
+    ):
+        seeds.append(
+            Seed(
+                query_position=cursor,
+                length=length,
+                num_errors=errors,
+                pex_leaf_index=li,
+            )
+        )
+        cursor += length
+
+    config = SearchConfig(
+        max_num_anchors_hard=40,
+        max_num_anchors_soft=7,
+        anchor_group_order=AnchorGroupOrder(order),
+        anchor_choice_strategy=AnchorChoiceStrategy(choice),
+        erase_useless_anchors=erase,
+    )
+    searcher = Searcher(
+        index=idx, num_reference_sequences=2, config=config, num_threads=2
+    )
+    native_result = searcher.search_seeds(seeds, query)
+    with mock.patch.dict(os.environ, {"FLOXER_TPU_NO_NATIVE_SELECT": "1"}):
+        python_result = searcher.search_seeds(seeds, query)
+    _equal_results(native_result, python_result)
