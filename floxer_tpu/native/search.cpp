@@ -40,8 +40,22 @@ struct BiIndex {
 inline void occ_all(const SingleIndex& idx, int64_t pos, int64_t* out) {
     int64_t const block = pos / OCC_BLOCK;
     const int64_t* base = idx.occ + block * SIGMA;
-    for (int s = 0; s < SIGMA; s++) out[s] = base[s];
-    for (int64_t i = block * OCC_BLOCK; i < pos; i++) out[idx.bwt[i]]++;
+    int64_t const start = block * OCC_BLOCK;
+    int64_t const len = pos - start;
+    const uint8_t* p = idx.bwt + start;
+    // per-symbol equality counts vectorize (pcmpeqb+psadbw class codegen);
+    // the one-pass histogram (out[bwt[i]]++) does not
+    int32_t counts[SIGMA] = {0, 0, 0, 0, 0, 0};
+    for (int64_t i = 0; i < len; i++) {
+        uint8_t const c = p[i];
+        counts[0] += (c == 0);
+        counts[1] += (c == 1);
+        counts[2] += (c == 2);
+        counts[3] += (c == 3);
+        counts[4] += (c == 4);
+        counts[5] += (c == 5);
+    }
+    for (int s = 0; s < SIGMA; s++) out[s] = base[s] + counts[s];
 }
 
 struct Cursor {

@@ -357,9 +357,10 @@ class Searcher:
             if out is None:
                 return None
             anchors_arr, counts = out
+            counts_rows = counts.tolist()
             for j, i in enumerate(indices):
                 status, num_written, kept_raw, kept_useful, total_raw = (
-                    int(v) for v in counts[j]
+                    counts_rows[j]
                 )
                 if status & 2:
                     # group-buffer overflow: redo this seed in Python
