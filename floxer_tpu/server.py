@@ -124,8 +124,13 @@ def serve(socket_path: str) -> int:
             self._send({"exit": code})
 
         def _send(self, obj) -> None:
-            self.wfile.write((json.dumps(obj) + "\n").encode())
-            self.wfile.flush()
+            # a disconnected client must not kill or noisy-fail the job —
+            # the run completes and writes its output file regardless
+            try:
+                self.wfile.write((json.dumps(obj) + "\n").encode())
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError, ValueError):
+                pass
 
     if os.path.exists(socket_path):
         os.remove(socket_path)

@@ -89,6 +89,27 @@ def test_server_runs_jobs_with_identical_output(tmp_path, data_dir):
         assert proc.returncode == 0, proc.stderr
         assert _read_sam_body(out) == _read_sam_body(direct_out)
 
+        # a client that disconnects right after submitting must not kill
+        # the job or the daemon: the output file still gets written
+        import json
+        import socket as socket_mod
+
+        dropped_out = tmp_path / "dropped_client.sam"
+        with socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM) as c:
+            c.connect(sock)
+            request = {
+                "argv": [*base, "-o", str(dropped_out)],
+                "cwd": str(tmp_path),
+            }
+            c.sendall((json.dumps(request) + "\n").encode())
+            # disconnect immediately, without reading any response
+        for _ in range(300):
+            if dropped_out.exists() and _read_sam_body(dropped_out) == _read_sam_body(direct_out):
+                break
+            time.sleep(0.1)
+        assert _read_sam_body(dropped_out) == _read_sam_body(direct_out)
+        assert daemon.poll() is None, "daemon died after client disconnect"
+
         proc = subprocess.run(
             [sys.executable, "-m", "floxer_tpu", "--shutdown-server", sock],
             capture_output=True, text=True, env=env,
