@@ -30,6 +30,11 @@
 #include <limits>
 #include <vector>
 
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#include <immintrin.h>
+#define FLOXER_TB_AVX512 1
+#endif
+
 namespace {
 constexpr int32_t BIG = 1 << 28;
 
@@ -183,8 +188,21 @@ int banded_traceback_myers(const uint8_t* ref, int64_t n, const uint8_t* query,
     }
 
     size_t const cols = static_cast<size_t>(end_col) + 1;
-    std::vector<uint64_t> vp_col(cols * W), vn_col(cols * W),
-        ph_col(cols * W), mh_col(cols * W);
+    // the four delta planes are the dominant memory cost (~32 MB at root
+    // scale); a thread-local arena avoids the per-call zero-init + page
+    // faults of fresh vectors (the walk-back only reads columns the fill
+    // wrote, plus column 0, which is cleared explicitly below)
+    static thread_local std::vector<uint64_t> arena;
+    size_t const plane = cols * W;
+    if (arena.size() < 4 * plane) arena.resize(4 * plane);
+    uint64_t* const vp_col = arena.data();
+    uint64_t* const vn_col = arena.data() + plane;
+    uint64_t* const ph_col = arena.data() + 2 * plane;
+    uint64_t* const mh_col = arena.data() + 3 * plane;
+    std::memset(vp_col, 0, W * 8);
+    std::memset(vn_col, 0, W * 8);
+    std::memset(ph_col, 0, W * 8);
+    std::memset(mh_col, 0, W * 8);
 
     std::vector<uint64_t> vp(W), vn(W, 0);
     for (int64_t p = 0; p < b_store; p++) {
@@ -201,6 +219,173 @@ int banded_traceback_myers(const uint8_t* ref, int64_t n, const uint8_t* query,
     int64_t s_m = 0;
     bool s_m_live = false;
 
+#ifdef FLOXER_TB_AVX512
+    if (W >= 16) {
+        // vectorized column fill: identical bit patterns to the scalar loop
+        // below (the walk-back consumes the same vp/vn/ph/mh columns).
+        // State lives in zero-padded buffers with one guard word in front
+        // (index 0) so cross-word neighbours are plain unaligned loads.
+        int64_t const WV = (W + 7) / 8;
+        int64_t const WP = WV * 8;
+        std::vector<uint64_t> vp_b(WP + 9, 0), vn_b(WP + 9, 0),
+            eq_b(WP + 9, 0), t_b(WP + 9, 0), ph_b(WP + 9, 0), mh_b(WP + 9, 0);
+        uint64_t* vpd = vp_b.data() + 1;
+        uint64_t* vnd = vn_b.data() + 1;
+        uint64_t* eqd = eq_b.data() + 1;
+        uint64_t* td = t_b.data() + 1;
+        uint64_t* phd = ph_b.data() + 1;
+        uint64_t* mhd = mh_b.data() + 1;
+        std::memcpy(vpd, vp.data(), W * 8);
+
+        // peq with slack so funnel loads beyond W stay in bounds
+        std::vector<uint64_t> peq_pad(peq.size() + 16, 0);
+        std::memcpy(peq_pad.data(), peq.data(), peq.size() * 8);
+
+        __m512i const ones = _mm512_set1_epi64(-1);
+        for (int64_t j = 1; j <= end_col; j++) {
+            // band slide (>>1 across words, from higher words)
+            for (int64_t v = 0; v < WV; v++) {
+                __m512i cur = _mm512_loadu_si512(vpd + 8 * v);
+                __m512i nxt = _mm512_loadu_si512(vpd + 8 * v + 1);
+                _mm512_storeu_si512(
+                    vpd + 8 * v,
+                    _mm512_or_si512(_mm512_srli_epi64(cur, 1),
+                                    _mm512_slli_epi64(nxt, 63)));
+                cur = _mm512_loadu_si512(vnd + 8 * v);
+                nxt = _mm512_loadu_si512(vnd + 8 * v + 1);
+                _mm512_storeu_si512(
+                    vnd + 8 * v,
+                    _mm512_or_si512(_mm512_srli_epi64(cur, 1),
+                                    _mm512_slli_epi64(nxt, 63)));
+            }
+            vpd[W - 1] |= BOT;
+            vnd[W - 1] &= ~BOT;
+            s_bot += 1;
+
+            // Eq funnel shift out of the padded Peq
+            {
+                int const sym = ref[j - 1] < 6 ? ref[j - 1] : 5;
+                uint64_t const* base =
+                    peq_pad.data() + static_cast<size_t>(sym) * vw;
+                int64_t const off = lo_of(j) - i_min;
+                int64_t const k = off / 64;
+                int const r = static_cast<int>(off % 64);
+                if (r == 0) {
+                    std::memcpy(eqd, base + k, W * 8);
+                    for (int64_t w = W; w < WP; w++) eqd[w] = 0;
+                } else {
+                    for (int64_t v = 0; v < WV; v++) {
+                        __m512i const a = _mm512_loadu_si512(base + k + 8 * v);
+                        __m512i const b =
+                            _mm512_loadu_si512(base + k + 8 * v + 1);
+                        _mm512_storeu_si512(
+                            eqd + 8 * v,
+                            _mm512_or_si512(_mm512_srli_epi64(a, r),
+                                            _mm512_slli_epi64(b, 64 - r)));
+                    }
+                    for (int64_t w = W; w < WP; w++) eqd[w] = 0;
+                }
+            }
+
+            // t = (eq & vp) + vp with the carry chain resolved via the
+            // generate/propagate mask-addition trick (g and p are disjoint)
+            uint64_t g_mask = 0, p_mask = 0;
+            for (int64_t v = 0; v < WV; v++) {
+                __m512i const e = _mm512_loadu_si512(eqd + 8 * v);
+                __m512i const p = _mm512_loadu_si512(vpd + 8 * v);
+                __m512i const a = _mm512_and_si512(e, p);
+                __m512i const t = _mm512_add_epi64(a, p);
+                uint64_t const c = _mm512_cmplt_epu64_mask(t, a);
+                uint64_t const pr = _mm512_cmpeq_epi64_mask(t, ones);
+                g_mask |= c << (8 * v);
+                p_mask |= pr << (8 * v);
+                _mm512_storeu_si512(td + 8 * v, t);
+            }
+            {
+                // ripple the generate/propagate masks with one integer
+                // addition; flipped bits = limbs that receive a carry-in
+                uint64_t const x = g_mask << 1;
+                uint64_t const carries = p_mask ^ (p_mask + x);
+                for (int64_t v = 0; v < WV; v++) {
+                    __mmask8 const ci =
+                        static_cast<__mmask8>(carries >> (8 * v));
+                    __m512i const e = _mm512_loadu_si512(eqd + 8 * v);
+                    __m512i const p = _mm512_loadu_si512(vpd + 8 * v);
+                    __m512i const n = _mm512_loadu_si512(vnd + 8 * v);
+                    __m512i t = _mm512_loadu_si512(td + 8 * v);
+                    t = _mm512_mask_add_epi64(t, ci, t, _mm512_set1_epi64(1));
+                    __m512i const xh =
+                        _mm512_or_si512(_mm512_xor_si512(t, p), e);
+                    // ph = vn | ~(xh | vp) ; mh = vp & xh ; xv = eq | vn
+                    _mm512_storeu_si512(
+                        phd + 8 * v,
+                        _mm512_or_si512(
+                            n, _mm512_andnot_si512(_mm512_or_si512(xh, p),
+                                                   ones)));
+                    _mm512_storeu_si512(mhd + 8 * v, _mm512_and_si512(p, xh));
+                    _mm512_storeu_si512(eqd + 8 * v, _mm512_or_si512(e, n));
+                }
+                for (int64_t w = W; w < WP; w++) {
+                    phd[w] = 0;
+                    mhd[w] = 0;
+                    eqd[w] = 0;
+                }
+            }
+
+            // score tracking at the band bottom / row m
+            {
+                bool const ph_bot = (phd[W - 1] & BOT) != 0;
+                bool const mh_bot = (mhd[W - 1] & BOT) != 0;
+                s_bot += (ph_bot ? 1 : 0) - (mh_bot ? 1 : 0);
+                if (j == j_star) {
+                    s_m = s_bot;
+                    s_m_live = true;
+                } else if (s_m_live) {
+                    int64_t const p_m = m - lo_of(j);
+                    if (p_m < 0 || p_m >= b_store) return 13;
+                    uint64_t const bit = uint64_t(1) << (p_m % 64);
+                    s_m += ((phd[p_m / 64] & bit) ? 1 : 0) -
+                           ((mhd[p_m / 64] & bit) ? 1 : 0);
+                }
+            }
+
+            std::memcpy(&ph_col[static_cast<size_t>(j) * W], phd, W * 8);
+            std::memcpy(&mh_col[static_cast<size_t>(j) * W], mhd, W * 8);
+
+            // horizontal shift (<<1 across words) + new vertical deltas
+            ph_b[0] = lo_of(j) >= 1 ? BOT : 0;  // boundary pessimism carry
+            mh_b[0] = 0;
+            for (int64_t v = 0; v < WV; v++) {
+                __m512i const ph_c = _mm512_loadu_si512(phd + 8 * v);
+                __m512i const ph_p = _mm512_loadu_si512(phd + 8 * v - 1);
+                __m512i const mh_c = _mm512_loadu_si512(mhd + 8 * v);
+                __m512i const mh_p = _mm512_loadu_si512(mhd + 8 * v - 1);
+                __m512i const xv = _mm512_loadu_si512(eqd + 8 * v);
+                __m512i const ph_sh =
+                    _mm512_or_si512(_mm512_slli_epi64(ph_c, 1),
+                                    _mm512_srli_epi64(ph_p, 63));
+                __m512i const mh_sh =
+                    _mm512_or_si512(_mm512_slli_epi64(mh_c, 1),
+                                    _mm512_srli_epi64(mh_p, 63));
+                __m512i const vp_n = _mm512_or_si512(
+                    mh_sh,
+                    _mm512_andnot_si512(_mm512_or_si512(xv, ph_sh), ones));
+                __m512i const vn_n = _mm512_and_si512(ph_sh, xv);
+                _mm512_storeu_si512(vpd + 8 * v, vp_n);
+                _mm512_storeu_si512(vnd + 8 * v, vn_n);
+            }
+            for (int64_t w = W; w < WP; w++) {
+                vpd[w] = 0;
+                vnd[w] = 0;
+            }
+            std::memcpy(&vp_col[static_cast<size_t>(j) * W], vpd, W * 8);
+            std::memcpy(&vn_col[static_cast<size_t>(j) * W], vnd, W * 8);
+        }
+        if (!s_m_live || s_m != distance) return 14;
+        goto walkback;
+    }
+#endif
+    {
     std::vector<uint64_t> eq(W), ph(W), mh(W);
     for (int64_t j = 1; j <= end_col; j++) {
         // band slides one row down: shift VP/VN toward p=0, pessimistic
@@ -281,9 +466,13 @@ int banded_traceback_myers(const uint8_t* ref, int64_t n, const uint8_t* query,
     }
 
     if (!s_m_live || s_m != distance) return 14;
+    }
 
+#ifdef FLOXER_TB_AVX512
+walkback:
+#endif
     // delta-decoding walk-back, identical decisions to the scalar trace
-    auto bit_of = [&](std::vector<uint64_t> const& arr, int64_t j, int64_t p) {
+    auto bit_of = [&](const uint64_t* arr, int64_t j, int64_t p) {
         return (arr[static_cast<size_t>(j) * W + p / 64] >>
                 (p % 64)) & uint64_t(1);
     };

@@ -32,6 +32,22 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .intervals import VerifiedIntervals
+
+_TRACEBACK_POOL = None
+
+
+def _traceback_pool():
+    global _TRACEBACK_POOL
+    if _TRACEBACK_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        _TRACEBACK_POOL = ThreadPoolExecutor(
+            max_workers=min(8, os.cpu_count() or 1),
+            thread_name_prefix="traceback",
+        )
+    return _TRACEBACK_POOL
+
 from .ops import dp_reference
 from .ops.dp_reference import Orientation, QueryAlignment
 from .ops.myers import myers_distance
@@ -519,6 +535,8 @@ class BatchVerifier:
             walks_by_key.setdefault(key, []).append(walk_id)
         need_by_key = {}
         dirty = set(walks_by_key)
+        t_sim = 0.0  # host time inside the cache simulation
+        t_flat = 0.0  # host+device time inside _compute_walks_flat
 
         def key_of(walk_id):
             walk = walks[walk_id]
@@ -542,6 +560,7 @@ class BatchVerifier:
             # inner: stabilize junk anchors on the cheap first levels only
             # (small batches, fast dispatches) before any full-size work
             while True:
+                t0_sim = _time.monotonic()
                 for key in dirty:
                     need_by_key[key] = self._simulate_key(
                         walks, walks_by_key[key], computed, pending_ok
@@ -553,13 +572,16 @@ class BatchVerifier:
                     for walk_id in ids
                     if walk_id not in computed and walk_id not in pending_ok
                 )
+                t_sim += _time.monotonic() - t0_sim
                 if not need:
                     break
                 waves += 1
                 need_total += len(need)
+                t0_flat = _time.monotonic()
                 self._compute_walks_flat(
                     walks, items, need, max_depth=CHECK_DEPTH
                 )
+                t_flat += _time.monotonic() - t0_flat
                 failed = set(
                     walk_id
                     for walk_id in need
@@ -579,7 +601,9 @@ class BatchVerifier:
             # early-exit is only a compute saving, never a dependency, and
             # dispatch rounds cost more than the extra cells on a remote TPU
             batch = sorted(pending_ok)
+            t0_flat = _time.monotonic()
             self._compute_walks_flat(walks, items, batch)
+            t_flat += _time.monotonic() - t0_flat
             computed.update(batch)
             pending_ok.clear()
             mark_broken(batch)
@@ -597,13 +621,16 @@ class BatchVerifier:
         )
         log.debug(
             "verify batch: %d walks, %d waves (%d walks computed); "
-            "build %.2fs prescreen %.2fs waves %.2fs record %.2fs",
+            "build %.2fs prescreen %.2fs waves %.2fs (sim %.2fs flat %.2fs) "
+            "record %.2fs",
             len(walks),
             waves,
             need_total,
             t_build - t0,
             t_prescreen - t_build,
             t_waves - t_prescreen,
+            t_sim,
+            t_flat,
             _time.monotonic() - t_waves,
         )
         return alignments
@@ -941,7 +968,17 @@ class BatchVerifier:
             if level.node.is_root and level.exists:
                 root_tasks.append((walk_id, level, distance, end))
 
+        import logging
+        import time as _time
+
+        t0_roots = _time.monotonic()
         self._finalize_roots(root_tasks, walks, items)
+        if root_tasks:
+            logging.getLogger("floxer-tpu").debug(
+                "finalize roots: %d tasks in %.2fs",
+                len(root_tasks),
+                _time.monotonic() - t0_roots,
+            )
 
     def _finalize_roots(self, root_tasks, walks, items):
         """Begin/CIGAR for accepted roots; memoized per unique task."""
@@ -1022,20 +1059,18 @@ class BatchVerifier:
             if key not in memo and key not in todo:
                 todo[key] = (window, pattern, end, distance)
         if len(todo) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            import os as _os
-
-            with ThreadPoolExecutor(
-                max_workers=min(8, _os.cpu_count() or 1)
-            ) as pool:
-                results = pool.map(
-                    lambda kv: (
-                        kv[0],
-                        dp_reference.banded_cigar_traceback(*kv[1]),
-                    ),
-                    todo.items(),
-                )
-                memo.update(results)
+            # persistent pool: the native traceback keeps a per-thread
+            # scratch arena (traceback.cpp), so reusing threads across
+            # chunks avoids re-faulting ~32 MB per thread per chunk
+            pool = _traceback_pool()
+            results = pool.map(
+                lambda kv: (
+                    kv[0],
+                    dp_reference.banded_cigar_traceback(*kv[1]),
+                ),
+                todo.items(),
+            )
+            memo.update(results)
         else:
             for key, args in todo.items():
                 memo[key] = dp_reference.banded_cigar_traceback(*args)

@@ -38,7 +38,17 @@ def test_sais_repetitive(lib_available):
     assert np.array_equal(got, want)
 
 
-def test_native_traceback_root_scale_matches_oracle():
+@pytest.mark.parametrize(
+    "seed,m,num_errors",
+    [
+        # multi-word band, below the vectorized fill's W >= 16 threshold
+        (9, 3000, 120),
+        # wide band (distance ~600 -> ~19 words): exercises the AVX-512
+        # column fill when the host supports it
+        (11, 4000, 700),
+    ],
+)
+def test_native_traceback_root_scale_matches_oracle(seed, m, num_errors):
     """The Myers-fill fast path at a root-like shape (large pattern, high
     distance) must emit byte-identical CIGARs to the python oracle."""
     import floxer_tpu.native as nat
@@ -50,12 +60,11 @@ def test_native_traceback_root_scale_matches_oracle():
 
         pytest.skip("native library unavailable")
 
-    rng = np.random.default_rng(9)
-    m = 3000
+    rng = np.random.default_rng(seed)
     n = m + 500
     text = rng.integers(1, 5, size=n).astype(np.uint8)
     pattern = text[200 : 200 + m].copy()
-    idx = rng.integers(0, m, size=120)
+    idx = rng.integers(0, m, size=num_errors)
     pattern[idx] = 1 + (pattern[idx] % 4)
     dp = dp_reference.semi_global_dp_matrix(text, pattern)
     last = dp[-1]
