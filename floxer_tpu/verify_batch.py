@@ -747,26 +747,53 @@ class BatchVerifier:
         simulation for ALL walks) but defers per-level span construction
         to _ensure_levels — only the few percent of walks that actually
         compute ever need their inner levels."""
+        from .utils.mathutils import float_aware_ceil
+
+        ref_lengths = [len(r.rank_sequence) for r in self.references]
         walks = []
         for query_index, item in enumerate(items):
+            # per-tree invariants of the root span math
+            # (verification.cpp:157-184): base length and extra depend only
+            # on the root node, the leaf offset term only on the leaf
+            root = item.pex_tree.root
+            base_length = (
+                root.length_of_query_span + 2 * root.num_errors + 1
+            )
+            extra = float_aware_ceil(
+                base_length * self.extra_verification_ratio
+            )
+            full_length = base_length + 2 * extra
+            chains = {}
+            leaf_offsets = {}
+            for leaf_index, leaf in enumerate(item.pex_tree.leaves):
+                chains[leaf_index] = self._chain_for(item.pex_tree, leaf)
+                leaf_offsets[leaf_index] = (
+                    leaf.query_index_from
+                    - root.query_index_from
+                    + root.num_errors
+                    + extra
+                )
             for orientation, result in (
                 (Orientation.FORWARD, item.forward_result),
                 (Orientation.REVERSE_COMPLEMENT, item.rc_result),
             ):
                 for anchor in result.iter_anchors():
-                    leaf = item.pex_tree.leaves[anchor.pex_leaf_index]
-                    chain = self._chain_for(item.pex_tree, leaf)
-                    reference = self.references[anchor.reference_id]
-                    root_span = compute_reference_span(
-                        anchor,
-                        item.pex_tree.root,
-                        leaf.query_index_from,
-                        len(reference.rank_sequence),
-                        self.extra_verification_ratio,
-                    )
+                    start = anchor.reference_position - leaf_offsets[
+                        anchor.pex_leaf_index
+                    ]
+                    if start < 0:
+                        start = 0
+                    ref_len = ref_lengths[anchor.reference_id]
+                    length = full_length
+                    if length > ref_len - start:
+                        length = ref_len - start
                     walks.append(
                         _AnchorWalk(
-                            query_index, orientation, anchor, chain, root_span
+                            query_index,
+                            orientation,
+                            anchor,
+                            chains[anchor.pex_leaf_index],
+                            SpanConfig(start, length, extra),
                         )
                     )
         return walks
