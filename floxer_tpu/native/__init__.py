@@ -23,6 +23,7 @@ _SOURCES = [
     _NATIVE_DIR / "sais.cpp",
     _NATIVE_DIR / "search.cpp",
     _NATIVE_DIR / "traceback.cpp",
+    _NATIVE_DIR / "cachescan.cpp",
 ]
 
 _lib = None
@@ -113,6 +114,13 @@ def get_library():
             ctypes.c_int64,  # threads
         ]
         lib.floxer_locate_batch.restype = ctypes.c_int
+        lib.floxer_cache_scan.argtypes = [
+            i64p, i64p, ctypes.c_int64,  # segments
+            i64p,  # sorted walk ids
+            i64p, i64p, i64p, i64p,  # trim lo/hi, insert lo/hi
+            u8p, ctypes.c_int64, u8p,  # state, enabled, out flags
+        ]
+        lib.floxer_cache_scan.restype = ctypes.c_int64
         _lib = lib
     except OSError as error:
         logger.debug("native library load failed: %s", error)
@@ -423,3 +431,43 @@ def native_suffix_array(text: np.ndarray) -> np.ndarray | None:
     if status != 0:
         return None
     return sa
+
+
+def native_cache_scan(
+    seg_begin: np.ndarray,
+    seg_end: np.ndarray,
+    sorted_ids: np.ndarray,
+    trim_lo: np.ndarray,
+    trim_hi: np.ndarray,
+    ins_lo: np.ndarray,
+    ins_hi: np.ndarray,
+    state: np.ndarray,
+    enabled: bool,
+):
+    """Verified-interval cache scan (cachescan.cpp) over walk arrays.
+
+    Returns (need_count, out_flags) where out_flags is a per-walk uint8
+    array (0 avoided, 1 needed, 2 passed); None when the library is
+    unavailable. Semantics are asserted against the Python
+    VerifiedIntervals mirror by tests/test_cachescan.py."""
+    lib = get_library()
+    if lib is None:
+        return None
+    num_walks = state.shape[0]
+    out_flags = np.full(num_walks, 255, dtype=np.uint8)
+    need = lib.floxer_cache_scan(
+        _as_i64p(np.ascontiguousarray(seg_begin, dtype=np.int64)),
+        _as_i64p(np.ascontiguousarray(seg_end, dtype=np.int64)),
+        ctypes.c_int64(seg_begin.shape[0]),
+        _as_i64p(np.ascontiguousarray(sorted_ids, dtype=np.int64)),
+        _as_i64p(np.ascontiguousarray(trim_lo, dtype=np.int64)),
+        _as_i64p(np.ascontiguousarray(trim_hi, dtype=np.int64)),
+        _as_i64p(np.ascontiguousarray(ins_lo, dtype=np.int64)),
+        _as_i64p(np.ascontiguousarray(ins_hi, dtype=np.int64)),
+        _as_u8p(np.ascontiguousarray(state, dtype=np.uint8)),
+        ctypes.c_int64(1 if enabled else 0),
+        _as_u8p(out_flags),
+    )
+    if need < 0:
+        return None
+    return int(need), out_flags

@@ -375,6 +375,10 @@ def verify_and_write_chunk(
             stats.add_reference_span_size_aligned_inner_node(value)
         elif kind == "avoided_root":
             stats.add_reference_span_size_avoided_root(value)
+    # the SoA verifier reports avoided-root span lengths as one array
+    stats.add_reference_span_sizes_avoided_root_many(
+        verifier.last_avoided_lengths
+    )
 
     per_query_ms = verification_ms // max(len(chunk), 1)
     for query, alignments in zip(chunk, all_alignments):

@@ -89,6 +89,13 @@ class AnchorsOfSeed:
     num_kept_raw_anchors: int = 0
     num_excluded_raw_anchors_by_soft_cap: int = 0
     anchors_by_reference: list[list[Anchor]] = field(default_factory=list)
+    # array form (native select path): int64 [k, 3] rows of (reference_id,
+    # position, num_errors) in final iteration order — reference ascending,
+    # so the flat row order equals the anchors_by_reference iteration order.
+    # When set, anchors_by_reference stays empty and Anchor objects are only
+    # materialized on demand (iter_anchors).
+    rows: np.ndarray | None = None
+    leaf_index: int = -1
 
 
 @dataclass
@@ -99,8 +106,58 @@ class SearchResult:
     def iter_anchors(self):
         """Flattened (seed, reference, anchor) order (search.cpp:78-109)."""
         for anchors_of_seed in self.anchors_by_seed:
+            if anchors_of_seed.rows is not None:
+                leaf_index = anchors_of_seed.leaf_index
+                for ref, pos, err in anchors_of_seed.rows.tolist():
+                    yield Anchor(
+                        pex_leaf_index=leaf_index,
+                        reference_id=ref,
+                        reference_position=pos,
+                        num_errors=err,
+                    )
+                continue
             for anchors in anchors_of_seed.anchors_by_reference:
                 yield from anchors
+
+    def flat_arrays(self):
+        """(leaf_index[N] i64, reference_id[N] i64, position[N] i64) over
+        all anchors in iter_anchors order, without materializing Anchor
+        objects for seeds that carry array rows."""
+        leaves: list[np.ndarray] = []
+        rows: list[np.ndarray] = []
+        for anchors_of_seed in self.anchors_by_seed:
+            if anchors_of_seed.rows is not None:
+                k = anchors_of_seed.rows.shape[0]
+                if k:
+                    leaves.append(
+                        np.full(k, anchors_of_seed.leaf_index, dtype=np.int64)
+                    )
+                    rows.append(anchors_of_seed.rows)
+                continue
+            for anchors in anchors_of_seed.anchors_by_reference:
+                if anchors:
+                    leaves.append(
+                        np.fromiter(
+                            (a.pex_leaf_index for a in anchors),
+                            count=len(anchors),
+                            dtype=np.int64,
+                        )
+                    )
+                    rows.append(
+                        np.array(
+                            [
+                                (a.reference_id, a.reference_position, 0)
+                                for a in anchors
+                            ],
+                            dtype=np.int64,
+                        ).reshape(len(anchors), 3)
+                    )
+        if not rows:
+            empty = np.zeros(0, dtype=np.int64)
+            return empty, empty, empty
+        leaf = np.concatenate(leaves)
+        merged = np.concatenate(rows)
+        return leaf, merged[:, 0], merged[:, 1]
 
 
 class _SearchAborted(Exception):
@@ -371,29 +428,17 @@ class Searcher:
                         seeds[i], groups, total
                     )
                     continue
-                anchors_by_reference: list[list[Anchor]] = [
-                    [] for _ in range(self.num_reference_sequences)
-                ]
                 if status & 4:  # hard-cap excluded: all counters zero
                     result.anchors_by_seed[i] = AnchorsOfSeed(
-                        anchors_by_reference=anchors_by_reference
+                        rows=anchors_arr[j, :0], leaf_index=seeds[i].pex_leaf_index
                     )
                     continue
-                leaf_index = seeds[i].pex_leaf_index
-                for ref, pos, err in anchors_arr[j, :num_written].tolist():
-                    anchors_by_reference[ref].append(
-                        Anchor(
-                            pex_leaf_index=leaf_index,
-                            reference_id=ref,
-                            reference_position=pos,
-                            num_errors=err,
-                        )
-                    )
                 result.anchors_by_seed[i] = AnchorsOfSeed(
                     num_kept_useful_anchors=kept_useful,
                     num_kept_raw_anchors=kept_raw,
                     num_excluded_raw_anchors_by_soft_cap=total_raw - kept_raw,
-                    anchors_by_reference=anchors_by_reference,
+                    rows=anchors_arr[j, :num_written],
+                    leaf_index=seeds[i].pex_leaf_index,
                 )
         return result
 

@@ -68,6 +68,23 @@ class Histogram:
                 return
         self.data[-1] += 1
 
+    def add_values(self, values) -> None:
+        """Vectorized add_value over a numpy array (same bucketing: the
+        first threshold with value <= threshold)."""
+        import numpy as np
+
+        values = np.asarray(values)
+        if values.size == 0:
+            return
+        self.num_values += int(values.size)
+        self.min_value = min(self.min_value, int(values.min()))
+        self.max_value = max(self.max_value, int(values.max()))
+        self.total += int(values.sum())
+        bins = np.searchsorted(np.asarray(self.thresholds), values, "left")
+        counts = np.bincount(bins, minlength=len(self.data))
+        for i, c in enumerate(counts.tolist()):
+            self.data[i] += c
+
     def merge_with(self, other: "Histogram") -> None:
         assert self.thresholds == other.thresholds
         self.num_values += other.num_values
@@ -192,6 +209,13 @@ class SearchAndAlignmentStatistics:
 
     def add_reference_span_size_avoided_root(self, v):
         self._add("reference span sizes avoided root", v)
+
+    def add_reference_span_sizes_avoided_root_many(self, values):
+        """Vectorized bulk add (the batch verifier's avoided-root span
+        lengths arrive as one numpy array per chunk)."""
+        self.histograms["reference span sizes avoided root"].add_values(
+            values
+        )
 
     def add_num_alignments(self, v):
         self._add("alignments per query", v)

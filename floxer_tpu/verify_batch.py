@@ -108,6 +108,77 @@ class _QueryItem:
     rc_result: SearchResult
 
 
+class _WalkTable:
+    """SoA walk storage: per-walk scalars in numpy arrays, walk objects
+    materialized lazily via __getitem__ (only walks that actually compute
+    ever need Python objects/levels). Indexing-compatible with the walks
+    list the legacy path uses."""
+
+    def __init__(
+        self,
+        query_index: np.ndarray,  # int64 [n]
+        orientation: np.ndarray,  # uint8 [n] (0 fwd, 1 rc)
+        ref_id: np.ndarray,  # int64 [n]
+        position: np.ndarray,  # int64 [n]
+        leaf_index: np.ndarray,  # int64 [n]
+        root_start: np.ndarray,  # int64 [n]
+        root_len: np.ndarray,  # int64 [n]
+        extra: np.ndarray,  # int64 [n]
+        chains_per_item: list,  # per item: list of chains by leaf index
+    ):
+        self.query_index = query_index
+        self.orientation = orientation
+        self.ref_id = ref_id
+        self.position = position
+        self.leaf_index = leaf_index
+        self.root_start = root_start
+        self.root_len = root_len
+        self.extra = extra
+        self.chains_per_item = chains_per_item
+        self._objs: dict[int, _AnchorWalk] = {}
+
+        # trimmed root intervals (trim_from_both_sides semantics: shrink by
+        # extra on both ends, keep >= 1 element — intervals.cpp:48-58)
+        ins_lo = root_start
+        ins_hi = root_start + root_len
+        he = np.where(extra > ins_hi, 0, ins_hi - extra)
+        self.trim_hi = np.maximum(ins_lo + 1, he)
+        self.trim_lo = np.minimum(self.trim_hi - 1, ins_lo + extra)
+        self.ins_lo = ins_lo
+        self.ins_hi = ins_hi
+
+    def __len__(self) -> int:
+        return self.query_index.shape[0]
+
+    def __getitem__(self, walk_id: int) -> _AnchorWalk:
+        walk = self._objs.get(walk_id)
+        if walk is None:
+            item_index = int(self.query_index[walk_id])
+            leaf = int(self.leaf_index[walk_id])
+            walk = _AnchorWalk(
+                item_index,
+                (
+                    Orientation.FORWARD
+                    if self.orientation[walk_id] == 0
+                    else Orientation.REVERSE_COMPLEMENT
+                ),
+                Anchor(
+                    pex_leaf_index=leaf,
+                    reference_id=int(self.ref_id[walk_id]),
+                    reference_position=int(self.position[walk_id]),
+                    num_errors=0,  # unused downstream of search
+                ),
+                self.chains_per_item[item_index][leaf],
+                SpanConfig(
+                    int(self.root_start[walk_id]),
+                    int(self.root_len[walk_id]),
+                    int(self.extra[walk_id]),
+                ),
+            )
+            self._objs[walk_id] = walk
+        return walk
+
+
 _BATCH_TIMERS = {"pack": 0.0, "kernel": 0.0, "numpy": 0.0, "calls": 0}
 
 
@@ -467,7 +538,274 @@ class BatchVerifier:
         level failed). The final bookkeeping pass is the authoritative exact
         replay — output is byte-identical to the sequential verifier, but
         with --interval-optimization the device computes ~one walk per
-        distinct locus instead of one per anchor."""
+        distinct locus instead of one per anchor.
+
+        Two implementations: the SoA path keeps all per-walk scalars in
+        numpy arrays, runs the cache simulation natively (cachescan.cpp),
+        and materializes walk objects only for the few walks that actually
+        compute; the legacy object path remains as the semantics oracle and
+        the fallback without the native library."""
+        import os
+
+        from .native import get_library
+
+        if get_library() is not None and not os.environ.get(
+            "FLOXER_TPU_LEGACY_VERIFY"
+        ):
+            return self._process_soa(items)
+        return self._process_legacy(items)
+
+    def _setup_chunk_state(self, items: list[_QueryItem]) -> None:
+        self._task_cache = {}
+        self._root_memo = {}
+        if self.resident_ref is not None:
+            from .ops.resident import ResidentBank
+
+            # chunk query bank: forward and reverse-complement rank
+            # sequences of every read, addressed 2*query_index + strand
+            seqs = []
+            for item in items:
+                seqs.append(item.query_record.rank_sequence)
+                seqs.append(
+                    item.query_record.reverse_complement_rank_sequence
+                )
+            self._resident = (self.resident_ref, ResidentBank(seqs))
+
+    def _build_walk_table(self, items: list[_QueryItem]) -> _WalkTable:
+        from .utils.mathutils import float_aware_ceil
+
+        ref_lengths = np.array(
+            [len(r.rank_sequence) for r in self.references], dtype=np.int64
+        )
+        cols: dict[str, list] = {
+            k: []
+            for k in ("qi", "ori", "ref", "pos", "leaf", "start", "len", "ex")
+        }
+        chains_per_item = []
+        for query_index, item in enumerate(items):
+            root = item.pex_tree.root
+            base_length = (
+                root.length_of_query_span + 2 * root.num_errors + 1
+            )
+            extra = float_aware_ceil(
+                base_length * self.extra_verification_ratio
+            )
+            full_length = base_length + 2 * extra
+            leaves = item.pex_tree.leaves
+            chains_per_item.append(
+                [self._chain_for(item.pex_tree, leaf) for leaf in leaves]
+            )
+            leaf_offsets = np.array(
+                [
+                    leaf.query_index_from
+                    - root.query_index_from
+                    + root.num_errors
+                    + extra
+                    for leaf in leaves
+                ],
+                dtype=np.int64,
+            )
+            for ori_code, result in (
+                (0, item.forward_result),
+                (1, item.rc_result),
+            ):
+                leaf_arr, ref_arr, pos_arr = result.flat_arrays()
+                count = leaf_arr.shape[0]
+                if not count:
+                    continue
+                starts = pos_arr - leaf_offsets[leaf_arr]
+                np.maximum(starts, 0, out=starts)
+                lens = np.minimum(full_length, ref_lengths[ref_arr] - starts)
+                cols["qi"].append(np.full(count, query_index, np.int64))
+                cols["ori"].append(np.full(count, ori_code, np.uint8))
+                cols["ref"].append(ref_arr.astype(np.int64, copy=False))
+                cols["pos"].append(pos_arr.astype(np.int64, copy=False))
+                cols["leaf"].append(leaf_arr.astype(np.int64, copy=False))
+                cols["start"].append(starts)
+                cols["len"].append(lens)
+                cols["ex"].append(np.full(count, extra, np.int64))
+
+        def cat(name, dtype):
+            parts = cols[name]
+            if not parts:
+                return np.zeros(0, dtype=dtype)
+            return np.concatenate(parts)
+
+        return _WalkTable(
+            cat("qi", np.int64),
+            cat("ori", np.uint8),
+            cat("ref", np.int64),
+            cat("pos", np.int64),
+            cat("leaf", np.int64),
+            cat("start", np.int64),
+            cat("len", np.int64),
+            cat("ex", np.int64),
+            chains_per_item,
+        )
+
+    def _walk_is_broken(self, walk: _AnchorWalk, depth=None) -> bool:
+        """A pre-root level failed (its optimistic root insertion never
+        happened in the sequential replay)."""
+        levels = walk.levels if depth is None else walk.levels[:depth]
+        for level in levels:
+            if level.node.is_root:
+                return False
+            if not level.exists:
+                return True
+        return False
+
+    def _process_soa(self, items: list[_QueryItem]) -> list[QueryAlignments]:
+        import logging
+        import time as _time
+
+        from .native import native_cache_scan
+
+        log = logging.getLogger("floxer-tpu")
+        t0 = _time.monotonic()
+        self._setup_chunk_state(items)
+        table = self._build_walk_table(items)
+        n = len(table)
+        alignments = [QueryAlignments(len(self.references)) for _ in items]
+        self.last_stats_events = []
+        self.last_avoided_lengths = np.zeros(0, dtype=np.int64)
+        if n == 0:
+            return alignments
+
+        enabled = self.use_interval_optimization
+        num_refs = len(self.references)
+        kcode = (
+            table.query_index * 2 + table.orientation
+        ) * num_refs + table.ref_id
+        order = np.argsort(kcode, kind="stable").astype(np.int64)
+        sorted_codes = kcode[order]
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        np.not_equal(sorted_codes[1:], sorted_codes[:-1], out=boundary[1:])
+        key_begin = np.nonzero(boundary)[0].astype(np.int64)
+        key_end = np.append(key_begin[1:], n).astype(np.int64)
+        num_keys = key_begin.shape[0]
+        key_of_sorted = np.cumsum(boundary) - 1
+        key_of_walk = np.empty(n, dtype=np.int64)
+        key_of_walk[order] = key_of_sorted
+
+        state = np.zeros(n, dtype=np.uint8)
+        sim_flag = np.full(n, 2, dtype=np.uint8)
+        dirty = np.ones(num_keys, dtype=bool)
+        t_build = _time.monotonic()
+
+        waves = 0
+        need_total = 0
+        CHECK_DEPTH = 3
+        t_sim = 0.0
+        t_flat = 0.0
+        while True:
+            while True:
+                t0_sim = _time.monotonic()
+                if dirty.any():
+                    segs = np.nonzero(dirty)[0]
+                    scan = native_cache_scan(
+                        key_begin[segs], key_end[segs], order,
+                        table.trim_lo, table.trim_hi,
+                        table.ins_lo, table.ins_hi, state, enabled,
+                    )
+                    assert scan is not None
+                    _, flags = scan
+                    scanned = flags != 255
+                    sim_flag[scanned] = flags[scanned]
+                    dirty[:] = False
+                need_ids = np.nonzero((sim_flag == 1) & (state == 0))[0]
+                t_sim += _time.monotonic() - t0_sim
+                if need_ids.size == 0:
+                    break
+                waves += 1
+                need_total += need_ids.size
+                need_list = [int(w) for w in need_ids]
+                t0_flat = _time.monotonic()
+                self._compute_walks_flat(
+                    table, items, need_list, max_depth=CHECK_DEPTH
+                )
+                t_flat += _time.monotonic() - t0_flat
+                any_failed = False
+                for wid in need_list:
+                    walk = table[wid]
+                    if all(
+                        level.exists
+                        for level in walk.levels[:CHECK_DEPTH]
+                    ):
+                        state[wid] = 1  # pending-ok
+                        continue
+                    any_failed = True
+                    if self._walk_is_broken(walk, depth=CHECK_DEPTH):
+                        state[wid] = 3
+                        dirty[key_of_walk[wid]] = True
+                    else:
+                        state[wid] = 2
+                if not any_failed:
+                    break
+            pending_ids = np.nonzero(state == 1)[0]
+            if pending_ids.size == 0:
+                break
+            batch_list = [int(w) for w in pending_ids]
+            t0_flat = _time.monotonic()
+            self._compute_walks_flat(table, items, batch_list)
+            t_flat += _time.monotonic() - t0_flat
+            for wid in batch_list:
+                if self._walk_is_broken(table[wid]):
+                    state[wid] = 3
+                    dirty[key_of_walk[wid]] = True
+                else:
+                    state[wid] = 2
+        t_waves = _time.monotonic()
+
+        # final authoritative replay: the native scan settles which walks
+        # the sequential verifier would have cache-skipped; only computed
+        # walks are replayed in Python (stats events + alignment records)
+        scan = native_cache_scan(
+            key_begin, key_end, order,
+            table.trim_lo, table.trim_hi,
+            table.ins_lo, table.ins_hi, state, enabled,
+        )
+        assert scan is not None
+        leftover, flags = scan
+        assert not leftover, "uncomputed walks survived the wave loop"
+        avoided = flags == 0
+        self.last_avoided_lengths = table.root_len[avoided]
+        stats_events = []
+        for wid in np.nonzero(~avoided)[0]:
+            walk = table[int(wid)]
+            for level in walk.levels:
+                if level.node.is_root:
+                    stats_events.append(("aligned_root", level.span.length))
+                    if level.exists:
+                        alignments[walk.query_index].insert(
+                            QueryAlignment(
+                                start_in_reference=level.begin,
+                                num_errors=level.distance,
+                                orientation=walk.orientation,
+                                cigar=list(level.cigar),
+                            ),
+                            walk.anchor.reference_id,
+                        )
+                    break
+                stats_events.append(("aligned_inner", level.span.length))
+                if not level.exists:
+                    break
+        self.last_stats_events = stats_events
+        log.debug(
+            "verify batch (soa): %d walks, %d waves (%d walks computed); "
+            "build %.2fs waves %.2fs (sim %.2fs flat %.2fs) record %.2fs",
+            n,
+            waves,
+            need_total,
+            t_build - t0,
+            t_waves - t_build,
+            t_sim,
+            t_flat,
+            _time.monotonic() - t_waves,
+        )
+        return alignments
+
+    def _process_legacy(self, items: list[_QueryItem]) -> list[QueryAlignments]:
         import logging
         import time as _time
 
@@ -1110,3 +1448,4 @@ class BatchVerifier:
             level.cigar = cigar
 
     last_stats_events: list = []
+    last_avoided_lengths = np.zeros(0, dtype=np.int64)

@@ -72,6 +72,22 @@ def test_native_abort_matches(index):
     ] == [(g.cursor.lb, g.cursor.length, g.num_errors) for g in python[0]]
 
 
+def _seed_anchor_list(anchors_of_seed):
+    """Normalized per-seed anchor tuples regardless of storage form (the
+    native path keeps int64 rows; the Python path keeps Anchor objects)."""
+    if anchors_of_seed.rows is not None:
+        leaf = anchors_of_seed.leaf_index
+        return [
+            (leaf, ref, pos, err)
+            for ref, pos, err in anchors_of_seed.rows.tolist()
+        ]
+    return [
+        (x.pex_leaf_index, x.reference_id, x.reference_position, x.num_errors)
+        for anchors in anchors_of_seed.anchors_by_reference
+        for x in anchors
+    ]
+
+
 def _equal_results(a, b):
     assert a.num_fully_excluded_seeds == b.num_fully_excluded_seeds
     assert len(a.anchors_by_seed) == len(b.anchors_by_seed)
@@ -82,17 +98,7 @@ def _equal_results(a, b):
             sa.num_excluded_raw_anchors_by_soft_cap
             == sb.num_excluded_raw_anchors_by_soft_cap
         )
-        assert len(sa.anchors_by_reference) == len(sb.anchors_by_reference)
-        for ra, rb in zip(sa.anchors_by_reference, sb.anchors_by_reference):
-            assert [
-                (x.pex_leaf_index, x.reference_id,
-                 x.reference_position, x.num_errors)
-                for x in ra
-            ] == [
-                (x.pex_leaf_index, x.reference_id,
-                 x.reference_position, x.num_errors)
-                for x in rb
-            ]
+        assert _seed_anchor_list(sa) == _seed_anchor_list(sb)
 
 
 @pytest.mark.parametrize("order", ["count_first", "errors_first", "none"])

@@ -109,3 +109,42 @@ def test_engine_equivalence_fuzz(workload, tmp_path, variant):
         assert proc.returncode == 0, proc.stderr
         outputs[engine] = out.read_text()
     assert outputs["reference"] == outputs["batched"], f"variant {args}"
+
+
+def test_soa_legacy_verify_equivalence(workload, tmp_path):
+    """The SoA wave loop (native cache scan, array walks) and the legacy
+    object wave loop must produce byte-identical SAM AND identical stats
+    TOML (the avoided-root histogram arrives via the vectorized path)."""
+    outputs = {}
+    for mode in ("soa", "legacy"):
+        out = tmp_path / f"{mode}.sam"
+        stats = tmp_path / f"{mode}.toml"
+        env = dict(os.environ)
+        env["FLOXER_TPU_PLATFORM"] = "cpu"
+        if mode == "legacy":
+            env["FLOXER_TPU_LEGACY_VERIFY"] = "1"
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "floxer_tpu",
+                "--reference", str(workload / "ref.fasta"),
+                "--queries", str(workload / "reads.fastq"),
+                "--output", str(out),
+                "--stats", str(stats),
+                "--error-probability", "0.05",
+                "--interval-optimization",
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+        assert proc.returncode == 0, proc.stderr
+
+        def strip_time_sections(toml: str) -> str:
+            # the milliseconds_* histograms are wall-clock and vary run to
+            # run; every content-derived histogram must match exactly
+            head, _, _ = toml.partition("[milliseconds_spent_in_search")
+            return head
+
+        outputs[mode] = (out.read_text(), strip_time_sections(stats.read_text()))
+    assert outputs["soa"][0] == outputs["legacy"][0]
+    assert outputs["soa"][1] == outputs["legacy"][1]

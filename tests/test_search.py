@@ -52,6 +52,22 @@ SEEDS = [
 ]
 
 
+def _anchors_for(anchors_of_seed, reference_id):
+    """Per-reference anchors regardless of storage form (array rows on the
+    native path, Anchor lists on the Python path)."""
+    from floxer_tpu.search_host import Anchor
+
+    if anchors_of_seed.rows is not None:
+        return [
+            Anchor(anchors_of_seed.leaf_index, ref, pos, err)
+            for ref, pos, err in anchors_of_seed.rows.tolist()
+            if ref == reference_id
+        ]
+    if reference_id >= len(anchors_of_seed.anchors_by_reference):
+        return []
+    return anchors_of_seed.anchors_by_reference[reference_id]
+
+
 def test_search_seeds():
     searcher, _ = _make_searcher()
     result = searcher.search_seeds(SEEDS, QUERY)
@@ -63,31 +79,31 @@ def test_search_seeds():
     seed0 = result.anchors_by_seed[0]
     positions0 = [
         (a.reference_id, a.reference_position, a.num_errors)
-        for a in seed0.anchors_by_reference[0]
+        for a in _anchors_for(seed0, 0)
     ]
     assert (0, 0, 0) in positions0
-    assert not seed0.anchors_by_reference[1]
+    assert not _anchors_for(seed0, 1)
 
     # seed 1: 1-mismatch match around (ref 0, pos 6)
     seed1 = result.anchors_by_seed[1]
     assert any(
         a.reference_position == 6 and a.num_errors == 1
-        for a in seed1.anchors_by_reference[0]
+        for a in _anchors_for(seed1, 0)
     )
-    assert not seed1.anchors_by_reference[1]
+    assert not _anchors_for(seed1, 1)
 
     # seed 2: 1-deletion match around (ref 1, pos 0)
     seed2 = result.anchors_by_seed[2]
-    assert not seed2.anchors_by_reference[0]
+    assert not _anchors_for(seed2, 0)
     assert any(
         a.reference_position <= 1 and a.num_errors == 1
-        for a in seed2.anchors_by_reference[1]
+        for a in _anchors_for(seed2, 1)
     )
 
     # seed 3: no match anywhere
     seed3 = result.anchors_by_seed[3]
     assert seed3.num_kept_useful_anchors == 0
-    assert all(not anchors for anchors in seed3.anchors_by_reference)
+    assert not _anchors_for(seed3, 0) and not _anchors_for(seed3, 1)
 
 
 def test_hard_cap_excludes_seed():
