@@ -106,6 +106,19 @@ def get_library():
             ctypes.c_int64,  # threads
         ]
         lib.floxer_search_select_batch.restype = ctypes.c_int
+        lib.floxer_search_select_batch_offsets.argtypes = [
+            u8p, i64p, u8p, i64p, i64p, ctypes.c_int64,  # index
+            i64p, i64p, ctypes.c_int64,  # sampled SA
+            i64p, ctypes.c_int64,  # seq starts
+            u8p, i64p, ctypes.c_int64,  # pattern buffer/offsets/count
+            i64p, ctypes.c_int64, ctypes.c_int64,  # scheme
+            ctypes.c_int64, ctypes.c_int64,  # max_total, max_groups
+            ctypes.c_int64, ctypes.c_int64,  # hard, soft
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # order/choice/erase
+            i64p, i64p,  # out anchors, counts
+            ctypes.c_int64,  # threads
+        ]
+        lib.floxer_search_select_batch_offsets.restype = ctypes.c_int
         lib.floxer_locate_batch.argtypes = [
             u8p, i64p, i64p, ctypes.c_int64,  # fwd index
             i64p, i64p, ctypes.c_int64,  # sampled SA
@@ -471,3 +484,67 @@ def native_cache_scan(
     if need < 0:
         return None
     return int(need), out_flags
+
+
+def native_search_select_batch_offsets(
+    index,
+    pattern_buffer: np.ndarray,  # uint8, chunk's concatenated sequences
+    pattern_offsets: np.ndarray,  # int64 [num_seeds], byte offsets
+    expanded_searches,
+    max_total: int,
+    hard_cap: int,
+    soft_cap: int,
+    group_order: int,
+    choice: int,
+    erase_useless: bool,
+    num_threads: int = 1,
+):
+    """floxer_search_select_batch over buffer-offset patterns: all seeds of
+    one (length, errors) class across a whole chunk in a single call.
+    Returns (anchors_int64 [num_seeds, soft_cap, 3], counts_int64
+    [num_seeds, 5]) or None when the library is unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+
+    parts_flat, num_searches, num_parts = _pack_scheme(expanded_searches)
+    num_seeds = pattern_offsets.shape[0]
+    max_groups = int(min(max_total, 1_000_000)) + 8
+    out_anchors = np.empty(num_seeds * soft_cap * 3, dtype=np.int64)
+    out_counts = np.zeros(num_seeds * 5, dtype=np.int64)
+    pattern_buffer = np.ascontiguousarray(pattern_buffer, dtype=np.uint8)
+    pattern_offsets = np.ascontiguousarray(pattern_offsets, dtype=np.int64)
+
+    lib.floxer_search_select_batch_offsets(
+        _as_u8p(np.ascontiguousarray(index.fwd.bwt)),
+        _as_i64p(np.ascontiguousarray(index.fwd.occ_checkpoints)),
+        _as_u8p(np.ascontiguousarray(index.rev.bwt)),
+        _as_i64p(np.ascontiguousarray(index.rev.occ_checkpoints)),
+        _as_i64p(np.ascontiguousarray(index.C, dtype=np.int64)),
+        ctypes.c_int64(index.n),
+        _as_i64p(np.ascontiguousarray(index.sampled_rows)),
+        _as_i64p(np.ascontiguousarray(index.sampled_values)),
+        ctypes.c_int64(index.sampled_rows.shape[0]),
+        _as_i64p(np.ascontiguousarray(index.seq_starts)),
+        ctypes.c_int64(index.seq_starts.shape[0]),
+        _as_u8p(pattern_buffer),
+        _as_i64p(pattern_offsets),
+        ctypes.c_int64(num_seeds),
+        _as_i64p(parts_flat),
+        ctypes.c_int64(num_searches),
+        ctypes.c_int64(num_parts),
+        ctypes.c_int64(max_total),
+        ctypes.c_int64(max_groups),
+        ctypes.c_int64(hard_cap),
+        ctypes.c_int64(soft_cap),
+        ctypes.c_int64(group_order),
+        ctypes.c_int64(choice),
+        ctypes.c_int64(1 if erase_useless else 0),
+        _as_i64p(out_anchors),
+        _as_i64p(out_counts),
+        ctypes.c_int64(num_threads),
+    )
+    return (
+        out_anchors.reshape(num_seeds, soft_cap, 3),
+        out_counts.reshape(num_seeds, 5),
+    )

@@ -592,29 +592,23 @@ int floxer_search_seeds_batch(
 // num_kept_raw, num_kept_useful, total_raw); status bit 0 = aborted,
 // bit 1 = overflow (caller falls back for that seed), bit 2 = hard-cap
 // excluded.
-int floxer_search_select_batch(
-    const uint8_t* bwt_fwd, const int64_t* occ_fwd, const uint8_t* bwt_rev,
-    const int64_t* occ_rev, const int64_t* C, int64_t n,
-    const int64_t* sampled_rows, const int64_t* sampled_values,
-    int64_t num_sampled, const int64_t* seq_starts, int64_t num_seqs,
-    const uint8_t* patterns, int64_t pattern_len, int64_t num_seeds,
-    const int64_t* parts_flat, int64_t num_searches, int64_t num_parts,
-    int64_t max_total, int64_t max_groups_per_seed, int64_t hard_cap,
-    int64_t soft_cap, int64_t group_order, int64_t choice,
-    int64_t erase_useless, int64_t* out_anchors, int64_t* out_counts,
-    int64_t num_threads) {
-    BiIndex const index{{bwt_fwd, occ_fwd}, {bwt_rev, occ_rev}, C, n};
-    LocateCtx const loc{sampled_rows, sampled_values, num_sampled,
-                        seq_starts, num_seqs};
-    SelParams const sel{hard_cap, soft_cap, group_order, choice,
-                        erase_useless};
-
+static int run_select_batch(
+    const BiIndex& index, const LocateCtx& loc, const SelParams& sel,
+    const uint8_t* pattern_base, const int64_t* pattern_offsets,
+    int64_t pattern_stride, int64_t num_seeds, const int64_t* parts_flat,
+    int64_t num_searches, int64_t num_parts, int64_t max_total,
+    int64_t max_groups_per_seed, int64_t soft_cap, int64_t* out_anchors,
+    int64_t* out_counts, int64_t num_threads) {
+    auto pattern_of = [&](int64_t i) {
+        return pattern_offsets != nullptr ? pattern_base + pattern_offsets[i]
+                                          : pattern_base + i * pattern_stride;
+    };
     auto worker = [&](int64_t begin, int64_t end) {
         std::vector<int64_t> groups(max_groups_per_seed * 4);
         int64_t meta[2];
         for (int64_t i = begin; i < end; i++) {
             int const status = search_one(
-                index, patterns + i * pattern_len, parts_flat, num_searches,
+                index, pattern_of(i), parts_flat, num_searches,
                 num_parts, max_total, max_groups_per_seed, groups.data(),
                 meta);
             select_one(index, loc, sel, groups.data(), meta[0], meta[1],
@@ -639,6 +633,55 @@ int floxer_search_select_batch(
     }
     for (auto& th : pool) th.join();
     return 0;
+}
+
+int floxer_search_select_batch(
+    const uint8_t* bwt_fwd, const int64_t* occ_fwd, const uint8_t* bwt_rev,
+    const int64_t* occ_rev, const int64_t* C, int64_t n,
+    const int64_t* sampled_rows, const int64_t* sampled_values,
+    int64_t num_sampled, const int64_t* seq_starts, int64_t num_seqs,
+    const uint8_t* patterns, int64_t pattern_len, int64_t num_seeds,
+    const int64_t* parts_flat, int64_t num_searches, int64_t num_parts,
+    int64_t max_total, int64_t max_groups_per_seed, int64_t hard_cap,
+    int64_t soft_cap, int64_t group_order, int64_t choice,
+    int64_t erase_useless, int64_t* out_anchors, int64_t* out_counts,
+    int64_t num_threads) {
+    BiIndex const index{{bwt_fwd, occ_fwd}, {bwt_rev, occ_rev}, C, n};
+    LocateCtx const loc{sampled_rows, sampled_values, num_sampled,
+                        seq_starts, num_seqs};
+    SelParams const sel{hard_cap, soft_cap, group_order, choice,
+                        erase_useless};
+    return run_select_batch(index, loc, sel, patterns, nullptr, pattern_len,
+                            num_seeds, parts_flat, num_searches, num_parts,
+                            max_total, max_groups_per_seed, soft_cap,
+                            out_anchors, out_counts, num_threads);
+}
+
+// Offsets variant: patterns are slices of one shared buffer (the chunk's
+// concatenated query sequences) at per-seed byte offsets — the chunk-level
+// search batches every query's seeds of one (length, errors) class into a
+// single call with no per-pattern copies on the Python side.
+int floxer_search_select_batch_offsets(
+    const uint8_t* bwt_fwd, const int64_t* occ_fwd, const uint8_t* bwt_rev,
+    const int64_t* occ_rev, const int64_t* C, int64_t n,
+    const int64_t* sampled_rows, const int64_t* sampled_values,
+    int64_t num_sampled, const int64_t* seq_starts, int64_t num_seqs,
+    const uint8_t* pattern_buffer, const int64_t* pattern_offsets,
+    int64_t num_seeds,
+    const int64_t* parts_flat, int64_t num_searches, int64_t num_parts,
+    int64_t max_total, int64_t max_groups_per_seed, int64_t hard_cap,
+    int64_t soft_cap, int64_t group_order, int64_t choice,
+    int64_t erase_useless, int64_t* out_anchors, int64_t* out_counts,
+    int64_t num_threads) {
+    BiIndex const index{{bwt_fwd, occ_fwd}, {bwt_rev, occ_rev}, C, n};
+    LocateCtx const loc{sampled_rows, sampled_values, num_sampled,
+                        seq_starts, num_seqs};
+    SelParams const sel{hard_cap, soft_cap, group_order, choice,
+                        erase_useless};
+    return run_select_batch(index, loc, sel, pattern_buffer, pattern_offsets,
+                            0, num_seeds, parts_flat, num_searches, num_parts,
+                            max_total, max_groups_per_seed, soft_cap,
+                            out_anchors, out_counts, num_threads);
 }
 
 // Batched SA lookup (parity: the Python FmIndex.text_position LF walk,

@@ -79,17 +79,26 @@ class PexTree:
         return self.inner_nodes[child.parent_id]
 
     def generate_seeds(self, seed_sampling_step_size: int = 1) -> list[Seed]:
-        """One seed per (sampled) leaf, in leaf order (pex.cpp:258-277)."""
-        return [
-            Seed(
-                query_position=leaf.query_index_from,
-                length=leaf.length_of_query_span,
-                num_errors=leaf.num_errors,
-                pex_leaf_index=i,
-            )
-            for i in range(0, len(self.leaves), seed_sampling_step_size)
-            for leaf in (self.leaves[i],)
-        ]
+        """One seed per (sampled) leaf, in leaf order (pex.cpp:258-277).
+        Seeds are a pure function of the tree, so the list is memoized —
+        trees are shared across same-length queries via cached_pex_tree."""
+        cache = getattr(self, "_seed_cache", None)
+        if cache is None:
+            cache = self._seed_cache = {}
+        seeds = cache.get(seed_sampling_step_size)
+        if seeds is None:
+            seeds = [
+                Seed(
+                    query_position=leaf.query_index_from,
+                    length=leaf.length_of_query_span,
+                    num_errors=leaf.num_errors,
+                    pex_leaf_index=i,
+                )
+                for i in range(0, len(self.leaves), seed_sampling_step_size)
+                for leaf in (self.leaves[i],)
+            ]
+            cache[seed_sampling_step_size] = seeds
+        return seeds
 
     def dot_statement(self, leaf_max_num_errors: int) -> str:
         """Graphviz DOT export (pex.cpp:281-324)."""

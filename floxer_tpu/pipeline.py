@@ -203,15 +203,8 @@ def make_searcher(cli: CommandLineInput, index: FmIndex, num_references: int):
     return searcher
 
 
-def search_query_pure(
-    query: QueryRecord, cli: CommandLineInput, searcher: Searcher
-):
-    """Search stage for one query without stats side effects: PEX tree,
-    seeds, fwd+rc FM search (parallelization.cpp:91-101). Thread-safe — the
-    native search releases the GIL, so chunks parallelize across
-    --threads host workers."""
-    search_started = time.monotonic()
-
+def prepare_query_tree(query: QueryRecord, cli: CommandLineInput):
+    """PEX tree + seeds for one query (pure function of length/config)."""
     query_num_errors = sequence_io.num_errors_from_config(
         len(query.rank_sequence),
         cli.query_num_errors,
@@ -228,8 +221,20 @@ def search_query_pure(
         cli.pex_seed_num_errors,
         strategy,
     )
-
     seeds = pex_tree.generate_seeds(cli.seed_sampling_step_size)
+    return pex_tree, seeds
+
+
+def search_query_pure(
+    query: QueryRecord, cli: CommandLineInput, searcher: Searcher
+):
+    """Search stage for one query without stats side effects: PEX tree,
+    seeds, fwd+rc FM search (parallelization.cpp:91-101). Thread-safe — the
+    native search releases the GIL, so chunks parallelize across
+    --threads host workers."""
+    search_started = time.monotonic()
+
+    pex_tree, seeds = prepare_query_tree(query, cli)
 
     forward_result = searcher.search_seeds(seeds, query.rank_sequence)
     rc_result = searcher.search_seeds(
@@ -541,7 +546,39 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
 
         def search_chunk(chunk):
             started = time.monotonic()
-            result = [search_query_pure(query, cli, searcher) for query in chunk]
+            many = getattr(searcher, "search_seeds_many", None)
+            if many is None:
+                result = [
+                    search_query_pure(query, cli, searcher) for query in chunk
+                ]
+            else:
+                # chunk-level batched search: every query's fwd+rc seeds in
+                # one native call per seed class; per-query search ms is
+                # chunk-averaged (a per-query timing does not exist in a
+                # batched search, see docs/ARCHITECTURE.md deviations)
+                prepared = []
+                jobs = []
+                for query in chunk:
+                    pex_tree, seeds = prepare_query_tree(query, cli)
+                    prepared.append((pex_tree, seeds))
+                    jobs.append((seeds, query.rank_sequence))
+                    jobs.append(
+                        (seeds, query.reverse_complement_rank_sequence)
+                    )
+                searched = many(jobs)
+                elapsed_ms = int((time.monotonic() - started) * 1000) // max(
+                    len(chunk), 1
+                )
+                result = [
+                    (
+                        pex_tree,
+                        seeds,
+                        searched[2 * i],
+                        searched[2 * i + 1],
+                        elapsed_ms,
+                    )
+                    for i, (pex_tree, seeds) in enumerate(prepared)
+                ]
             logger.debug(
                 "search chunk: %d queries in %.2fs",
                 len(chunk),

@@ -305,6 +305,111 @@ class Searcher:
             return self.config.max_num_anchors_soft
         return self.config.max_num_anchors_hard + 1
 
+    def search_seeds_many(
+        self, jobs: list[tuple[list[Seed], np.ndarray]]
+    ) -> list[SearchResult]:
+        """Chunk-level search: all jobs' seeds of one (length, errors)
+        class go through a single native call with buffer-offset patterns
+        (no per-pattern copies, one worker-thread spawn set per class
+        instead of one per query). Per-job results are identical to
+        search_seeds; falls back to the per-job path without the native
+        library."""
+        import os
+
+        from .native import get_library, native_search_select_batch_offsets
+
+        if os.environ.get("FLOXER_TPU_NO_NATIVE_SELECT") or (
+            get_library() is None
+        ):
+            return [self.search_seeds(s, q) for s, q in jobs]
+
+        config = self.config
+        order_code = {
+            AnchorGroupOrder.COUNT_FIRST: 0,
+            AnchorGroupOrder.ERRORS_FIRST: 1,
+            AnchorGroupOrder.NONE: 2,
+        }[config.anchor_group_order]
+        choice_code = {
+            AnchorChoiceStrategy.ROUND_ROBIN: 0,
+            AnchorChoiceStrategy.FULL_GROUPS: 1,
+            AnchorChoiceStrategy.FIRST_REPORTED: 2,
+        }[config.anchor_choice_strategy]
+
+        bases = np.zeros(len(jobs) + 1, dtype=np.int64)
+        np.cumsum([q.shape[0] for _, q in jobs], out=bases[1:])
+        buffer = (
+            np.concatenate([q for _, q in jobs])
+            if jobs
+            else np.zeros(0, dtype=np.uint8)
+        )
+
+        results = []
+        by_class: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+        for job_idx, (seeds, _) in enumerate(jobs):
+            result = SearchResult()
+            result.anchors_by_seed = [None] * len(seeds)
+            results.append(result)
+            for i, seed in enumerate(seeds):
+                by_class.setdefault((seed.length, seed.num_errors), []).append(
+                    (job_idx, i, seed.query_position)
+                )
+
+        for (length, errors), entries in by_class.items():
+            expanded = expand_scheme(errors, length)
+            offsets = np.fromiter(
+                (bases[j] + pos for j, _, pos in entries),
+                count=len(entries),
+                dtype=np.int64,
+            )
+            out = native_search_select_batch_offsets(
+                self.index,
+                buffer,
+                offsets,
+                expanded,
+                self.search_cap(),
+                config.max_num_anchors_hard,
+                config.max_num_anchors_soft,
+                order_code,
+                choice_code,
+                config.erase_useless_anchors,
+                self.num_threads,
+            )
+            if out is None:
+                return [self.search_seeds(s, q) for s, q in jobs]
+            anchors_arr, counts = out
+            counts_rows = counts.tolist()
+            for slot, (job_idx, i, qpos) in enumerate(entries):
+                status, num_written, kept_raw, kept_useful, total_raw = (
+                    counts_rows[slot]
+                )
+                seeds, query = jobs[job_idx]
+                if status & 2:
+                    # group-buffer overflow: redo this seed in Python
+                    groups, total, _ = search_seed_groups(
+                        self.index,
+                        query[qpos : qpos + length],
+                        errors,
+                        self.search_cap(),
+                    )
+                    results[job_idx].anchors_by_seed[i] = (
+                        self.process_seed_groups(seeds[i], groups, total)
+                    )
+                    continue
+                if status & 4:  # hard-cap excluded: all counters zero
+                    results[job_idx].anchors_by_seed[i] = AnchorsOfSeed(
+                        rows=anchors_arr[slot, :0],
+                        leaf_index=seeds[i].pex_leaf_index,
+                    )
+                    continue
+                results[job_idx].anchors_by_seed[i] = AnchorsOfSeed(
+                    num_kept_useful_anchors=kept_useful,
+                    num_kept_raw_anchors=kept_raw,
+                    num_excluded_raw_anchors_by_soft_cap=total_raw - kept_raw,
+                    rows=anchors_arr[slot, :num_written],
+                    leaf_index=seeds[i].pex_leaf_index,
+                )
+        return results
+
     def search_seeds(self, seeds: list[Seed], query: np.ndarray) -> SearchResult:
         # primary path: the whole per-seed pipeline (DFS, caps, ordering,
         # choice, locate, dominance sweep) in one native call per seed
