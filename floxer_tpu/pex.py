@@ -126,6 +126,34 @@ class PexTree:
         return "\n".join(lines) + "\n"
 
 
+# seeds-list -> (length, num_errors, query_position, pex_leaf_index) int64
+# arrays, keyed by list identity. Seed lists are memoized per tree
+# (generate_seeds), so all queries of one length share a single entry; the
+# stored reference to the list keeps its id from being reused. Used by the
+# chunk-batched search and the vectorized stats adders.
+_SEED_ARRAY_CACHE: dict[int, tuple] = {}
+
+
+def seed_stat_arrays(seeds: list[Seed]):
+    import numpy as np
+
+    key = id(seeds)
+    hit = _SEED_ARRAY_CACHE.get(key)
+    if hit is not None and hit[0] is seeds:
+        return hit[1]
+    n = len(seeds)
+    arrays = (
+        np.fromiter((s.length for s in seeds), count=n, dtype=np.int64),
+        np.fromiter((s.num_errors for s in seeds), count=n, dtype=np.int64),
+        np.fromiter((s.query_position for s in seeds), count=n, dtype=np.int64),
+        np.fromiter((s.pex_leaf_index for s in seeds), count=n, dtype=np.int64),
+    )
+    if len(_SEED_ARRAY_CACHE) >= 8192:
+        _SEED_ARRAY_CACHE.clear()
+    _SEED_ARRAY_CACHE[key] = (seeds, arrays)
+    return arrays
+
+
 def build_pex_tree(
     total_query_length: int,
     query_num_errors: int,

@@ -160,6 +160,71 @@ class SearchResult:
         return leaf, merged[:, 0], merged[:, 1]
 
 
+class SearchResultSoA:
+    """Array-form search result produced by the chunk-batched native path:
+    per-seed counters and a seed-major flat anchor table instead of one
+    AnchorsOfSeed object per seed (a 250-read chunk has ~250k seeds — the
+    object forms cost more than the FM search itself). Duck-type compatible
+    with SearchResult for every consumer on the batched engine; the legacy
+    object view is materialized lazily via the anchors_by_seed property."""
+
+    __slots__ = (
+        "leaf",  # int64 [n_seeds] pex leaf index per seed
+        "kept_useful",  # int64 [n_seeds]
+        "kept_raw",  # int64 [n_seeds]
+        "excluded_soft",  # int64 [n_seeds]
+        "seed_starts",  # int64 [n_seeds + 1] offsets into rows_flat
+        "rows_flat",  # int64 [K, 3] (reference_id, position, num_errors)
+        "num_fully_excluded_seeds",
+    )
+
+    def __init__(
+        self, leaf, kept_useful, kept_raw, excluded_soft, seed_starts,
+        rows_flat,
+    ):
+        self.leaf = leaf
+        self.kept_useful = kept_useful
+        self.kept_raw = kept_raw
+        self.excluded_soft = excluded_soft
+        self.seed_starts = seed_starts
+        self.rows_flat = rows_flat
+        self.num_fully_excluded_seeds = 0
+
+    @property
+    def anchors_by_seed(self) -> list[AnchorsOfSeed]:
+        starts = self.seed_starts
+        return [
+            AnchorsOfSeed(
+                num_kept_useful_anchors=int(self.kept_useful[i]),
+                num_kept_raw_anchors=int(self.kept_raw[i]),
+                num_excluded_raw_anchors_by_soft_cap=int(self.excluded_soft[i]),
+                rows=self.rows_flat[starts[i] : starts[i + 1]],
+                leaf_index=int(self.leaf[i]),
+            )
+            for i in range(self.leaf.shape[0])
+        ]
+
+    def iter_anchors(self):
+        """Flattened (seed, reference, anchor) order (search.cpp:78-109)."""
+        counts = np.diff(self.seed_starts)
+        leaf_rep = np.repeat(self.leaf, counts)
+        for lf, (ref, pos, err) in zip(
+            leaf_rep.tolist(), self.rows_flat.tolist()
+        ):
+            yield Anchor(
+                pex_leaf_index=lf,
+                reference_id=ref,
+                reference_position=pos,
+                num_errors=err,
+            )
+
+    def flat_arrays(self):
+        """(leaf_index[N], reference_id[N], position[N]) in iteration order."""
+        counts = np.diff(self.seed_starts)
+        leaf_rep = np.repeat(self.leaf, counts)
+        return leaf_rep, self.rows_flat[:, 0], self.rows_flat[:, 1]
+
+
 class _SearchAborted(Exception):
     pass
 
@@ -343,28 +408,48 @@ class Searcher:
             else np.zeros(0, dtype=np.uint8)
         )
 
-        results = []
-        by_class: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
-        for job_idx, (seeds, _) in enumerate(jobs):
-            result = SearchResult()
-            result.anchors_by_seed = [None] * len(seeds)
-            results.append(result)
-            for i, seed in enumerate(seeds):
-                by_class.setdefault((seed.length, seed.num_errors), []).append(
-                    (job_idx, i, seed.query_position)
-                )
+        # fully vectorized assembly: per-seed arrays are concatenated over
+        # all jobs (seed lists are memoized per PEX tree, so their array
+        # forms come from a cache), classed by (length, errors), searched
+        # with ONE native call per class, and scattered back into per-seed
+        # global counter arrays. No per-seed Python objects are built —
+        # results are SearchResultSoA slices of the global arrays.
+        from .pex import seed_stat_arrays
 
-        for (length, errors), entries in by_class.items():
+        n_jobs = len(jobs)
+        if n_jobs == 0:
+            return []
+        per_job = [seed_stat_arrays(seeds) for seeds, _ in jobs]
+        job_seed_base = np.zeros(n_jobs + 1, dtype=np.int64)
+        np.cumsum([a[0].shape[0] for a in per_job], out=job_seed_base[1:])
+        total_seeds = int(job_seed_base[-1])
+        length_g = np.concatenate([a[0] for a in per_job])
+        errors_g = np.concatenate([a[1] for a in per_job])
+        qpos_g = np.concatenate([a[2] for a in per_job])
+        leaf_g = np.concatenate([a[3] for a in per_job])
+        job_g = np.repeat(
+            np.arange(n_jobs, dtype=np.int64), np.diff(job_seed_base)
+        )
+        offsets_g = bases[job_g] + qpos_g
+
+        nw_g = np.zeros(total_seeds, dtype=np.int64)
+        kept_raw_g = np.zeros(total_seeds, dtype=np.int64)
+        kept_useful_g = np.zeros(total_seeds, dtype=np.int64)
+        excluded_soft_g = np.zeros(total_seeds, dtype=np.int64)
+        rows_parts: list[np.ndarray] = []
+        gid_parts: list[np.ndarray] = []
+        redo_gids: list[int] = []
+
+        class_key = length_g * 4096 + errors_g  # errors < 4096 (CLI bound)
+        unique_keys, inverse = np.unique(class_key, return_inverse=True)
+        for c, key in enumerate(unique_keys.tolist()):
+            sel = np.flatnonzero(inverse == c)  # ascending == seed order
+            length, errors = key // 4096, key % 4096
             expanded = expand_scheme(errors, length)
-            offsets = np.fromiter(
-                (bases[j] + pos for j, _, pos in entries),
-                count=len(entries),
-                dtype=np.int64,
-            )
             out = native_search_select_batch_offsets(
                 self.index,
                 buffer,
-                offsets,
+                offsets_g[sel],
                 expanded,
                 self.search_cap(),
                 config.max_num_anchors_hard,
@@ -377,37 +462,81 @@ class Searcher:
             if out is None:
                 return [self.search_seeds(s, q) for s, q in jobs]
             anchors_arr, counts = out
-            counts_rows = counts.tolist()
-            for slot, (job_idx, i, qpos) in enumerate(entries):
-                status, num_written, kept_raw, kept_useful, total_raw = (
-                    counts_rows[slot]
+            status = counts[:, 0]
+            nw = counts[:, 1]
+            # status&2 = group-buffer overflow (redo in Python below);
+            # status&4 = hard-cap excluded (all counters stay zero)
+            special = (status & 6) != 0
+            ok = ~special
+            if special.any():
+                redo_gids.extend(
+                    sel[np.flatnonzero(status & 2)].tolist()
                 )
-                seeds, query = jobs[job_idx]
-                if status & 2:
-                    # group-buffer overflow: redo this seed in Python
-                    groups, total, _ = search_seed_groups(
-                        self.index,
-                        query[qpos : qpos + length],
-                        errors,
-                        self.search_cap(),
-                    )
-                    results[job_idx].anchors_by_seed[i] = (
-                        self.process_seed_groups(seeds[i], groups, total)
-                    )
-                    continue
-                if status & 4:  # hard-cap excluded: all counters zero
-                    results[job_idx].anchors_by_seed[i] = AnchorsOfSeed(
-                        rows=anchors_arr[slot, :0],
-                        leaf_index=seeds[i].pex_leaf_index,
-                    )
-                    continue
-                results[job_idx].anchors_by_seed[i] = AnchorsOfSeed(
-                    num_kept_useful_anchors=kept_useful,
-                    num_kept_raw_anchors=kept_raw,
-                    num_excluded_raw_anchors_by_soft_cap=total_raw - kept_raw,
-                    rows=anchors_arr[slot, :num_written],
-                    leaf_index=seeds[i].pex_leaf_index,
+                nw = np.where(ok, nw, 0)
+            sub = sel[ok] if special.any() else sel
+            nw_g[sub] = nw[ok] if special.any() else nw
+            kept_raw_g[sub] = counts[ok, 2]
+            kept_useful_g[sub] = counts[ok, 3]
+            excluded_soft_g[sub] = counts[ok, 4] - counts[ok, 2]
+            valid = (
+                np.arange(anchors_arr.shape[1], dtype=np.int64)[None, :]
+                < nw[:, None]
+            )
+            rows_parts.append(anchors_arr[valid])
+            gid_parts.append(np.repeat(sel, nw))
+
+        for gid in redo_gids:
+            job_idx = int(job_g[gid])
+            i = gid - int(job_seed_base[job_idx])
+            seeds, query = jobs[job_idx]
+            qpos = int(qpos_g[gid])
+            length = int(length_g[gid])
+            groups, total, _ = search_seed_groups(
+                self.index,
+                query[qpos : qpos + length],
+                int(errors_g[gid]),
+                self.search_cap(),
+            )
+            aos = self.process_seed_groups(seeds[i], groups, total)
+            rows = np.array(
+                [
+                    (a.reference_id, a.reference_position, a.num_errors)
+                    for anchors in aos.anchors_by_reference
+                    for a in anchors
+                ],
+                dtype=np.int64,
+            ).reshape(-1, 3)
+            nw_g[gid] = rows.shape[0]
+            kept_raw_g[gid] = aos.num_kept_raw_anchors
+            kept_useful_g[gid] = aos.num_kept_useful_anchors
+            excluded_soft_g[gid] = aos.num_excluded_raw_anchors_by_soft_cap
+            rows_parts.append(rows)
+            gid_parts.append(np.full(rows.shape[0], gid, dtype=np.int64))
+
+        if rows_parts:
+            rows_all = np.concatenate(rows_parts)
+            gid_all = np.concatenate(gid_parts)
+            order = np.argsort(gid_all, kind="stable")
+            rows_flat = rows_all[order]
+        else:
+            rows_flat = np.zeros((0, 3), dtype=np.int64)
+        seed_starts_g = np.zeros(total_seeds + 1, dtype=np.int64)
+        np.cumsum(nw_g, out=seed_starts_g[1:])
+
+        results: list[SearchResultSoA] = []
+        for j in range(n_jobs):
+            a, b = int(job_seed_base[j]), int(job_seed_base[j + 1])
+            ra = int(seed_starts_g[a])
+            results.append(
+                SearchResultSoA(
+                    leaf=leaf_g[a:b],
+                    kept_useful=kept_useful_g[a:b],
+                    kept_raw=kept_raw_g[a:b],
+                    excluded_soft=excluded_soft_g[a:b],
+                    seed_starts=seed_starts_g[a : b + 1] - ra,
+                    rows_flat=rows_flat[ra : int(seed_starts_g[b])],
                 )
+            )
         return results
 
     def search_seeds(self, seeds: list[Seed], query: np.ndarray) -> SearchResult:

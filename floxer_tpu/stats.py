@@ -234,11 +234,20 @@ class SearchAndAlignmentStatistics:
         self.add_num_seeds_per_query(
             len(forward_seeds) + len(reverse_complement_seeds)
         )
-        for seed in list(forward_seeds) + list(reverse_complement_seeds):
-            self.add_num_errors_per_seed(seed.num_errors)
-            self.add_seed_length(seed.length)
+        from .pex import seed_stat_arrays
+
+        for seeds in (forward_seeds, reverse_complement_seeds):
+            lengths, errors, _, _ = seed_stat_arrays(seeds)
+            self.histograms["errors per seed"].add_values(errors)
+            self.histograms["seed lengths"].add_values(lengths)
 
     def add_statistics_for_search_result(self, forward_result, rc_result):
+        if hasattr(forward_result, "kept_useful") and hasattr(
+            rc_result, "kept_useful"
+        ):
+            return self._add_statistics_for_search_result_soa(
+                forward_result, rc_result
+            )
         num_fully_excluded = 0
         num_kept = 0
         num_excluded_soft = 0
@@ -275,6 +284,42 @@ class SearchAndAlignmentStatistics:
             num_excluded_useless
         )
         if all_excluded:
+            self.increment_num_completely_excluded_queries()
+
+    def _add_statistics_for_search_result_soa(self, forward_result, rc_result):
+        """Array fast path for SearchResultSoA results (chunk-batched
+        search): identical histogram updates to the object loop above,
+        computed with numpy reductions instead of ~1k per-seed calls."""
+        import numpy as np
+
+        kept_useful = np.concatenate(
+            [forward_result.kept_useful, rc_result.kept_useful]
+        )
+        kept_raw = np.concatenate([forward_result.kept_raw, rc_result.kept_raw])
+        excluded_soft = np.concatenate(
+            [forward_result.excluded_soft, rc_result.excluded_soft]
+        )
+        kept_mask = kept_useful > 0
+        num_fully_excluded = int(kept_useful.shape[0] - kept_mask.sum())
+        kept = kept_useful[kept_mask]
+        soft_kept = excluded_soft[kept_mask]
+        useless_kept = (kept_raw - kept_useful)[kept_mask]
+        self.histograms["kept anchors per kept seed"].add_values(kept)
+        self.histograms[
+            "excluded raw anchors by soft cap per kept seed"
+        ].add_values(soft_kept)
+        self.histograms[
+            "excluded raw anchors by erase useless per kept seed"
+        ].add_values(useless_kept)
+        self.add_num_fully_excluded_seeds_per_query(num_fully_excluded)
+        self.add_num_kept_anchors_per_query(int(kept.sum()))
+        self.add_num_excluded_raw_anchors_by_soft_cap_per_query(
+            int(soft_kept.sum())
+        )
+        self.add_num_excluded_raw_anchors_by_erase_useless_per_query(
+            int(useless_kept.sum())
+        )
+        if not kept_mask.any():
             self.increment_num_completely_excluded_queries()
 
     # -- output ----------------------------------------------------------
