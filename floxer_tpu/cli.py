@@ -72,6 +72,7 @@ class CommandLineInput:
     device_search: bool = False
     index_shards: int = 1
     profile_dir: Optional[str] = None
+    cprofile_path: Optional[str] = None
 
     def command_line_call(self) -> str:
         """Sanitized canonical echo for logs (floxer_cli.cpp:134-171)."""
@@ -387,6 +388,12 @@ def build_parser(advanced: bool = False) -> argparse.ArgumentParser:
         "--profile", dest="profile_dir", default=None,
         **adv(help="Write a jax.profiler trace of the alignment phase to "
               "this directory (view with TensorBoard/Perfetto)."),
+    )
+    parser.add_argument(
+        "--cprofile", dest="cprofile_path", default=None,
+        **adv(help="Write a host-side cProfile of the whole run to this "
+              ".pstats file (works inside the persistent server, so warm "
+              "steady-state chunks can be profiled)."),
     )
     parser.add_argument(
         "--device-search", dest="device_search", action="store_true",

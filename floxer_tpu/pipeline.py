@@ -400,6 +400,20 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
 
     extra_log_handler: an optional logging.Handler attached for this run —
     the server mode (server.py) uses it to mirror logs to the client."""
+    if getattr(cli, "cprofile_path", None):
+        # host-side cProfile of the whole run; usable through the warm
+        # server so steady-state chunks are what gets profiled
+        import cProfile
+
+        path = cli.cprofile_path
+        cli.cprofile_path = None
+        profiler = cProfile.Profile()
+        try:
+            return profiler.runcall(run, cli, extra_log_handler)
+        finally:
+            cli.cprofile_path = path
+            profiler.dump_stats(path)
+            logger.info("cProfile written to %s", path)
     if cli.engine == "device":
         from .backend import ensure_backend
 

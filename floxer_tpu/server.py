@@ -86,8 +86,23 @@ def serve(socket_path: str) -> int:
     try:
         backend = ensure_backend()
         print(f"floxer-tpu server: backend {backend}", file=sys.stderr)
+        # the axon plugin occasionally registers but cannot execute
+        # (startup race); a server in that state fails every job, so probe
+        # with a real execution and report loudly
+        if backend == "tpu":
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            probe = float(np.asarray(jnp.ones((8, 128)).sum()))
+            assert probe == 8 * 128
+            print("floxer-tpu server: backend probe ok", file=sys.stderr)
     except Exception as error:  # noqa: BLE001 - CPU-only hosts still serve
-        print(f"floxer-tpu server: backend init failed ({error})", file=sys.stderr)
+        print(
+            f"floxer-tpu server: BACKEND UNHEALTHY, restart the server "
+            f"before trusting jobs ({error})",
+            file=sys.stderr,
+        )
 
     # begin the one-time device warmup now, not at the first job
     from .pipeline import _start_device_warmup

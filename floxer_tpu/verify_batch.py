@@ -529,6 +529,42 @@ class BatchVerifier:
                 return chain
             node = tree.parent_of(node)
 
+    def _chains_for_tree(self, tree: PexTree) -> list[list[PexNode]]:
+        """Per-leaf walk chains, memoized on the tree (trees are shared
+        across same-length queries via cached_pex_tree, so a chunk touches
+        only ~one tree per distinct read length)."""
+        cache = getattr(tree, "_chain_cache", None)
+        if cache is None:
+            cache = tree._chain_cache = {}
+        chains = cache.get(self.kind)
+        if chains is None:
+            chains = [self._chain_for(tree, leaf) for leaf in tree.leaves]
+            cache[self.kind] = chains
+        return chains
+
+    @staticmethod
+    def _leaf_offsets_for_tree(tree: PexTree, extra: int) -> np.ndarray:
+        """leaf anchor -> root-span start offset per leaf, memoized on the
+        tree (pure function of the tree shape and the extra margin)."""
+        cache = getattr(tree, "_leaf_offset_cache", None)
+        if cache is None:
+            cache = tree._leaf_offset_cache = {}
+        offsets = cache.get(extra)
+        if offsets is None:
+            root = tree.root
+            offsets = np.array(
+                [
+                    leaf.query_index_from
+                    - root.query_index_from
+                    + root.num_errors
+                    + extra
+                    for leaf in tree.leaves
+                ],
+                dtype=np.int64,
+            )
+            cache[extra] = offsets
+        return offsets
+
     def process(self, items: list[_QueryItem]) -> list[QueryAlignments]:
         """Wave loop: an optimistic cache simulation picks the anchors the
         sequential reference would actually verify (everything else is
@@ -591,20 +627,8 @@ class BatchVerifier:
                 base_length * self.extra_verification_ratio
             )
             full_length = base_length + 2 * extra
-            leaves = item.pex_tree.leaves
-            chains_per_item.append(
-                [self._chain_for(item.pex_tree, leaf) for leaf in leaves]
-            )
-            leaf_offsets = np.array(
-                [
-                    leaf.query_index_from
-                    - root.query_index_from
-                    + root.num_errors
-                    + extra
-                    for leaf in leaves
-                ],
-                dtype=np.int64,
-            )
+            chains_per_item.append(self._chains_for_tree(item.pex_tree))
+            leaf_offsets = self._leaf_offsets_for_tree(item.pex_tree, extra)
             for ori_code, result in (
                 (0, item.forward_result),
                 (1, item.rc_result),
