@@ -340,15 +340,23 @@ def verify_and_write_chunk(
     output: AlignmentOutput,
     stats: SearchAndAlignmentStatistics,
     resident_ref=None,
-) -> None:
-    """Verification + output for a chunk whose search results are ready."""
+    defer_finalize: bool = False,
+):
+    """Verification + output for a chunk whose search results are ready.
+
+    With defer_finalize=True the heavy synchronous part (wave loop, device
+    kernels) runs here, but root CIGAR tracebacks stay in flight on the
+    traceback pool and ALL stats/output writing is packaged into the
+    returned zero-arg closure — the caller runs closures in chunk order on
+    a single finalize thread, overlapping tracebacks + SAM writing of chunk
+    N with the verification of chunk N+1. Stats and the output file are
+    then touched only by that finalize thread."""
     from .verify_batch import BatchVerifier, _QueryItem
 
     items = []
     for query, (pex_tree, seeds, forward_result, rc_result, ms) in zip(
         chunk, searched
     ):
-        _apply_search_stats(query, seeds, forward_result, rc_result, ms, stats)
         items.append(_QueryItem(query, pex_tree, forward_result, rc_result))
 
     verification_started = time.monotonic()
@@ -369,30 +377,48 @@ def verify_and_write_chunk(
             True if cli.engine == "device" else _accelerator_available
         ),
         resident_ref=resident_ref,
+        defer_finalize=defer_finalize,
     )
     all_alignments = verifier.process(items)
     verification_ms = int((time.monotonic() - verification_started) * 1000)
 
-    for kind, value in verifier.last_stats_events:
-        if kind == "aligned_root":
-            stats.add_reference_span_size_aligned_root(value)
-        elif kind == "aligned_inner":
-            stats.add_reference_span_size_aligned_inner_node(value)
-        elif kind == "avoided_root":
-            stats.add_reference_span_size_avoided_root(value)
-    # the SoA verifier reports avoided-root span lengths as one array
-    stats.add_reference_span_sizes_avoided_root_many(
-        verifier.last_avoided_lengths
-    )
+    def complete() -> None:
+        verifier.resolve_deferred()
+        for query, (pex_tree, seeds, forward_result, rc_result, ms) in zip(
+            chunk, searched
+        ):
+            _apply_search_stats(
+                query, seeds, forward_result, rc_result, ms, stats
+            )
+        for kind, value in verifier.last_stats_events:
+            if kind == "aligned_root":
+                stats.add_reference_span_size_aligned_root(value)
+            elif kind == "aligned_inner":
+                stats.add_reference_span_size_aligned_inner_node(value)
+            elif kind == "avoided_root":
+                stats.add_reference_span_size_avoided_root(value)
+        # the SoA verifier reports avoided-root span lengths as one array
+        stats.add_reference_span_sizes_avoided_root_many(
+            verifier.last_avoided_lengths
+        )
 
-    per_query_ms = verification_ms // max(len(chunk), 1)
-    for query, alignments in zip(chunk, all_alignments):
-        stats.add_num_alignments(alignments.size())
-        stats.add_milliseconds_spent_in_verification_per_query(per_query_ms)
-        for per_reference in alignments.per_reference:
-            for alignment in per_reference:
-                stats.add_alignment_edit_distance(alignment.num_errors)
-        write_alignments_for_query(output, query, alignments, references.records)
+        per_query_ms = verification_ms // max(len(chunk), 1)
+        for query, alignments in zip(chunk, all_alignments):
+            stats.add_num_alignments(alignments.size())
+            stats.add_milliseconds_spent_in_verification_per_query(
+                per_query_ms
+            )
+            for per_reference in alignments.per_reference:
+                for alignment in per_reference:
+                    stats.add_alignment_edit_distance(alignment.num_errors)
+            write_alignments_for_query(
+                output, query, alignments, references.records
+            )
+
+    if defer_finalize:
+        return complete
+    complete()
+    return None
 
 
 def run(cli: CommandLineInput, extra_log_handler=None) -> int:
@@ -600,8 +626,17 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
             )
             return result
 
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        # three overlapped stages per chunk, mirroring the reference's
+        # streaming task runtime (parallelization.cpp:139-148) TPU-shaped:
+        #   search pool:    host FM search of chunk N+1
+        #   main thread:    wave loop + device kernels of chunk N
+        #   finalize pool:  root tracebacks + stats + SAM writing of chunk
+        #                   N-1 (single worker => output stays in order)
+        with ThreadPoolExecutor(max_workers=1) as pool, ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="finalize"
+        ) as finalize_pool:
             pending = None
+            finalizing = None  # (chunk_len, future)
             try:
                 while not timed_out:
                     chunk = next_chunk()
@@ -615,7 +650,7 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
                     )
                     if pending is not None:
                         prev_chunk, prev_future = pending
-                        verify_and_write_chunk(
+                        complete = verify_and_write_chunk(
                             prev_chunk,
                             prev_future.result(),
                             cli,
@@ -623,9 +658,17 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
                             output,
                             stats,
                             resident_ref=resident_ref,
+                            defer_finalize=True,
                         )
-                        num_processed += len(prev_chunk)
-                        record_progress()
+                        if finalizing is not None:
+                            done_len, done_future = finalizing
+                            done_future.result()
+                            num_processed += done_len
+                            record_progress()
+                        finalizing = (
+                            len(prev_chunk),
+                            finalize_pool.submit(complete),
+                        )
                     if not chunk:
                         break
                     if hit_timeout():
@@ -633,6 +676,12 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
                         future.cancel()
                         break
                     pending = (chunk, future)
+                if finalizing is not None:
+                    done_len, done_future = finalizing
+                    done_future.result()
+                    num_processed += done_len
+                    record_progress()
+                    finalizing = None
             except Exception as error:  # noqa: BLE001 - see reference-engine
                 # branch above
                 logger.error(

@@ -500,8 +500,14 @@ class BatchVerifier:
         use_interval_optimization: bool,
         use_device: bool = True,
         resident_ref=None,
+        defer_finalize: bool = False,
     ):
         self.references = references
+        # defer_finalize=True: process() may return alignments whose root
+        # begin/CIGAR are still being computed on the traceback pool; the
+        # caller must call resolve_deferred() before consuming them (the
+        # pipeline overlaps that wait with the next chunk's verification)
+        self.defer_finalize = defer_finalize
         self.kind = kind
         self.extra_verification_ratio = extra_verification_ratio
         self.without_cigar = without_cigar
@@ -511,6 +517,11 @@ class BatchVerifier:
         # per-chunk query bank is built in process()
         self.resident_ref = None if _NO_RESIDENT else resident_ref
         self._resident = None
+        # deferred root tracebacks: futures submitted during the wave loop;
+        # resolve_deferred() (cheap, callable from a later pipeline stage)
+        # patches begin/cigar into the affected levels and alignment records
+        self._deferred: list = []  # (future, level)
+        self._patches: list = []  # (QueryAlignment, level)
 
     # ------------------------------------------------------------------
 
@@ -588,8 +599,12 @@ class BatchVerifier:
         if get_library() is not None and not os.environ.get(
             "FLOXER_TPU_LEGACY_VERIFY"
         ):
-            return self._process_soa(items)
-        return self._process_legacy(items)
+            result = self._process_soa(items)
+        else:
+            result = self._process_legacy(items)
+        if not self.defer_finalize:
+            self.resolve_deferred()
+        return result
 
     def _setup_chunk_state(self, items: list[_QueryItem]) -> None:
         self._task_cache = {}
@@ -744,14 +759,28 @@ class BatchVerifier:
                 waves += 1
                 need_total += need_ids.size
                 need_list = [int(w) for w in need_ids]
+                # small re-verify cascades (walks whose cache-skip turned
+                # out wrong) are computed at FULL depth right away: each
+                # extra wave costs tunnel round trips, which beat the cells
+                # saved by 3-level prescreening at this size
+                full = need_ids.size <= 64
                 t0_flat = _time.monotonic()
                 self._compute_walks_flat(
-                    table, items, need_list, max_depth=CHECK_DEPTH
+                    table, items, need_list,
+                    max_depth=None if full else CHECK_DEPTH,
                 )
                 t_flat += _time.monotonic() - t0_flat
                 any_failed = False
                 for wid in need_list:
                     walk = table[wid]
+                    if full:
+                        if self._walk_is_broken(walk):
+                            state[wid] = 3
+                            dirty[key_of_walk[wid]] = True
+                            any_failed = True
+                        else:
+                            state[wid] = 2
+                        continue
                     if all(
                         level.exists
                         for level in walk.levels[:CHECK_DEPTH]
@@ -801,13 +830,21 @@ class BatchVerifier:
                 if level.node.is_root:
                     stats_events.append(("aligned_root", level.span.length))
                     if level.exists:
-                        alignments[walk.query_index].insert(
-                            QueryAlignment(
-                                start_in_reference=level.begin,
-                                num_errors=level.distance,
-                                orientation=walk.orientation,
-                                cigar=list(level.cigar),
+                        pending = level.begin is None
+                        alignment = QueryAlignment(
+                            start_in_reference=level.begin,
+                            num_errors=level.distance,
+                            orientation=walk.orientation,
+                            cigar=(
+                                None if pending else list(level.cigar)
                             ),
+                        )
+                        if pending:
+                            # traceback still in flight (deferred); filled
+                            # in by resolve_deferred()
+                            self._patches.append((alignment, level))
+                        alignments[walk.query_index].insert(
+                            alignment,
                             walk.anchor.reference_id,
                         )
                     break
@@ -1083,13 +1120,19 @@ class BatchVerifier:
                         stats_events.append(("aligned_root", level.span.length))
                     cache.insert(level.span.as_half_open_interval())
                     if level.exists and record is not None:
-                        record[walk.query_index].insert(
-                            QueryAlignment(
-                                start_in_reference=level.begin,
-                                num_errors=level.distance,
-                                orientation=walk.orientation,
-                                cigar=list(level.cigar),
+                        pending = level.begin is None
+                        alignment = QueryAlignment(
+                            start_in_reference=level.begin,
+                            num_errors=level.distance,
+                            orientation=walk.orientation,
+                            cigar=(
+                                None if pending else list(level.cigar)
                             ),
+                        )
+                        if pending:
+                            self._patches.append((alignment, level))
+                        record[walk.query_index].insert(
+                            alignment,
                             walk.anchor.reference_id,
                         )
                     break
@@ -1441,35 +1484,50 @@ class BatchVerifier:
             return key, pattern, window
 
         # the banded tracebacks run in the native library (ctypes drops the
-        # GIL), so unique roots fan out across host threads
-        todo = {}
+        # GIL), so unique roots fan out across host threads. They are
+        # SUBMITTED here but not awaited: resolve_deferred() collects them,
+        # so a pipeline stage downstream of the wave loop (or of the whole
+        # chunk) can overlap them with other work. memo values are either
+        # (begin, cigar) tuples or still-pending futures.
+        pool = _traceback_pool()
         for walk_id, level, distance, end in root_tasks:
             key, pattern, window = key_and_slices(walk_id, level)
-            if key not in memo and key not in todo:
-                todo[key] = (window, pattern, end, distance)
-        if len(todo) > 1:
-            # persistent pool: the native traceback keeps a per-thread
-            # scratch arena (traceback.cpp), so reusing threads across
-            # chunks avoids re-faulting ~32 MB per thread per chunk
-            pool = _traceback_pool()
-            results = pool.map(
-                lambda kv: (
-                    kv[0],
-                    dp_reference.banded_cigar_traceback(*kv[1]),
-                ),
-                todo.items(),
-            )
-            memo.update(results)
-        else:
-            for key, args in todo.items():
-                memo[key] = dp_reference.banded_cigar_traceback(*args)
+            if key not in memo:
+                memo[key] = pool.submit(
+                    dp_reference.banded_cigar_traceback,
+                    window, pattern, end, distance,
+                )
 
         for walk_id, level, distance, end in root_tasks:
             key, _, _ = key_and_slices(walk_id, level)
-            begin, cigar = memo[key]
             level.distance = distance
+            entry = memo[key]
+            if isinstance(entry, tuple):
+                begin, cigar = entry
+                level.begin = level.span.offset + begin
+                level.cigar = cigar
+            else:
+                level.begin = None
+                level.cigar = None
+                self._deferred.append((entry, level))
+
+    def resolve_deferred(self) -> None:
+        """Await the deferred root tracebacks and patch begin/CIGAR into
+        their levels and the alignment records built from them."""
+        memo = getattr(self, "_root_memo", None)
+        for future, level in self._deferred:
+            begin, cigar = future.result()
             level.begin = level.span.offset + begin
             level.cigar = cigar
+        self._deferred = []
+        if memo:
+            for key, entry in list(memo.items()):
+                if not isinstance(entry, tuple):
+                    memo[key] = entry.result()
+        for alignment, level in self._patches:
+            alignment.start_in_reference = level.begin
+            alignment.cigar = list(level.cigar)
+        self._patches = []
 
     last_stats_events: list = []
     last_avoided_lengths = np.zeros(0, dtype=np.int64)
