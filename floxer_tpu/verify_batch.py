@@ -695,6 +695,7 @@ class BatchVerifier:
 
     def _process_soa(self, items: list[_QueryItem]) -> list[QueryAlignments]:
         import logging
+        import os
         import time as _time
 
         from .native import native_cache_scan
@@ -737,6 +738,32 @@ class BatchVerifier:
         CHECK_DEPTH = 3
         t_sim = 0.0
         t_flat = 0.0
+
+        # targeted cascade speculation: when a walk breaks, the walks its
+        # optimistic root insertion was covering become needed — and they
+        # are the next uncomputed walks of the same segment in scan order.
+        # Pre-computing the next CHAIN_K of them per break advances a
+        # dependency chain of depth D in ~D/CHAIN_K waves instead of D
+        # (each wave costs tunnel round trips; chr21 repetitive loci showed
+        # chains 35-50 deep). Bulk-speculating ALL at-risk walks instead
+        # was measured slower — the at-risk pool is ~100x the true chain.
+        inv_order = np.empty(n, dtype=np.int64)
+        inv_order[order] = np.arange(n, dtype=np.int64)
+        CHAIN_K = int(os.environ.get("FLOXER_TPU_CHAIN_K", "8"))
+        spec_pending: list[int] = []
+
+        def chain_victims(wid: int) -> None:
+            key = int(key_of_walk[wid])
+            p = int(inv_order[wid]) + 1
+            end = int(key_end[key])
+            found = 0
+            while p < end and found < CHAIN_K:
+                w2 = int(order[p])
+                if state[w2] == 0:
+                    spec_pending.append(w2)
+                    found += 1
+                p += 1
+
         while True:
             while True:
                 t0_sim = _time.monotonic()
@@ -764,6 +791,14 @@ class BatchVerifier:
                 # extra wave costs tunnel round trips, which beat the cells
                 # saved by 3-level prescreening at this size
                 full = need_ids.size <= 64
+                if spec_pending:
+                    spec = [w for w in dict.fromkeys(spec_pending)
+                            if state[w] == 0]
+                    spec_pending.clear()
+                    if spec:
+                        full = True
+                        need_total += len(spec)
+                        need_list = list(dict.fromkeys(need_list + spec))
                 t0_flat = _time.monotonic()
                 self._compute_walks_flat(
                     table, items, need_list,
@@ -778,6 +813,7 @@ class BatchVerifier:
                             state[wid] = 3
                             dirty[key_of_walk[wid]] = True
                             any_failed = True
+                            chain_victims(wid)
                         else:
                             state[wid] = 2
                         continue
@@ -791,6 +827,7 @@ class BatchVerifier:
                     if self._walk_is_broken(walk, depth=CHECK_DEPTH):
                         state[wid] = 3
                         dirty[key_of_walk[wid]] = True
+                        chain_victims(wid)
                     else:
                         state[wid] = 2
                 if not any_failed:
@@ -806,6 +843,7 @@ class BatchVerifier:
                 if self._walk_is_broken(table[wid]):
                     state[wid] = 3
                     dirty[key_of_walk[wid]] = True
+                    chain_victims(wid)
                 else:
                     state[wid] = 2
         t_waves = _time.monotonic()

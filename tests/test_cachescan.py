@@ -14,24 +14,36 @@ from floxer_tpu.intervals import HalfOpenInterval, VerifiedIntervals
 
 
 def _python_scan(seg_slices, sorted_ids, trim, ins, state, enabled):
+    """Mirror of the native contract: two caches distinguish coverage by
+    CONFIRMED intervals (from computed walks, state 2) from coverage that
+    rests only on optimistic insertions (states 0/1) — the latter marks
+    still-uncomputed walks as at-risk (flag 4) for cascade speculation."""
     flags = np.full(state.shape[0], 255, dtype=np.uint8)
     need = 0
     for begin, end in seg_slices:
-        cache = VerifiedIntervals(enabled)
+        all_cache = VerifiedIntervals(enabled)
+        conf_cache = VerifiedIntervals(enabled)
         for k in range(begin, end):
             w = int(sorted_ids[k])
             target = HalfOpenInterval(int(trim[0][w]), int(trim[1][w]))
-            if cache.contains(target):
+            if conf_cache.contains(target):
                 flags[w] = 0
+                continue
+            if all_cache.contains(target):
+                flags[w] = 4 if state[w] == 0 else 0
                 continue
             interval = HalfOpenInterval(int(ins[0][w]), int(ins[1][w]))
             if state[w] == 0:
                 flags[w] = 1
                 need += 1
-                cache.insert(interval)
-            elif state[w] in (1, 2):
+                all_cache.insert(interval)
+            elif state[w] == 1:
                 flags[w] = 2
-                cache.insert(interval)
+                all_cache.insert(interval)
+            elif state[w] == 2:
+                flags[w] = 2
+                all_cache.insert(interval)
+                conf_cache.insert(interval)
             else:
                 flags[w] = 2
     return need, flags
