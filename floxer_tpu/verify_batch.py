@@ -88,6 +88,7 @@ class _WalkLevel:
     distance: int = -1
     begin: int = -1
     cigar: list = field(default_factory=list)
+    end_col: int = -1  # DP end column (lazy-traceback input)
 
 
 @dataclass
@@ -868,6 +869,9 @@ class BatchVerifier:
                 if level.node.is_root:
                     stats_events.append(("aligned_root", level.span.length))
                     if level.exists:
+                        if level.begin is None and not self.without_cigar:
+                            # lazy traceback: only recorded walks get one
+                            self._submit_traceback(walk, level, items)
                         pending = level.begin is None
                         alignment = QueryAlignment(
                             start_in_reference=level.begin,
@@ -1158,6 +1162,9 @@ class BatchVerifier:
                         stats_events.append(("aligned_root", level.span.length))
                     cache.insert(level.span.as_half_open_interval())
                     if level.exists and record is not None:
+                        if level.begin is None and not self.without_cigar:
+                            # lazy traceback: only recorded walks get one
+                            self._submit_traceback(walk, level, items)
                         pending = level.begin is None
                         alignment = QueryAlignment(
                             start_in_reference=level.begin,
@@ -1442,7 +1449,7 @@ class BatchVerifier:
         import time as _time
 
         t0_roots = _time.monotonic()
-        self._finalize_roots(root_tasks, walks, items)
+        self._finalize_roots(root_tasks, walks, items, lazy_tracebacks=True)
         if root_tasks:
             logging.getLogger("floxer-tpu").debug(
                 "finalize roots: %d tasks in %.2fs",
@@ -1450,7 +1457,7 @@ class BatchVerifier:
                 _time.monotonic() - t0_roots,
             )
 
-    def _finalize_roots(self, root_tasks, walks, items):
+    def _finalize_roots(self, root_tasks, walks, items, lazy_tracebacks=False):
         """Begin/CIGAR for accepted roots; memoized per unique task."""
         if not root_tasks:
             return
@@ -1521,12 +1528,24 @@ class BatchVerifier:
             ]
             return key, pattern, window
 
-        # the banded tracebacks run in the native library (ctypes drops the
-        # GIL), so unique roots fan out across host threads. They are
-        # SUBMITTED here but not awaited: resolve_deferred() collects them,
-        # so a pipeline stage downstream of the wave loop (or of the whole
-        # chunk) can overlap them with other work. memo values are either
-        # (begin, cigar) tuples or still-pending futures.
+        if lazy_tracebacks:
+            # SoA path: tracebacks are only consumed for walks the final
+            # authoritative scan actually records — speculatively computed
+            # or later-cache-avoided walks never need one. Stash the DP
+            # result; the record pass submits tracebacks for recorded
+            # walks only (_submit_traceback).
+            for walk_id, level, distance, end in root_tasks:
+                level.distance = distance
+                level.end_col = end
+                level.begin = None
+                level.cigar = None
+            return
+
+        # legacy/oracle path: submit eagerly for every accepted root. The
+        # banded tracebacks run in the native library (ctypes drops the
+        # GIL), so unique roots fan out across host threads; they are not
+        # awaited here — resolve_deferred() collects them. memo values are
+        # either (begin, cigar) tuples or still-pending futures.
         pool = _traceback_pool()
         for walk_id, level, distance, end in root_tasks:
             key, pattern, window = key_and_slices(walk_id, level)
@@ -1548,6 +1567,42 @@ class BatchVerifier:
                 level.begin = None
                 level.cigar = None
                 self._deferred.append((entry, level))
+
+    def _submit_traceback(self, walk, level, items) -> None:
+        """Submit the banded CIGAR traceback for one recorded root level
+        (lazy mode); begin/cigar resolve in resolve_deferred()."""
+        memo = getattr(self, "_root_memo", None)
+        if memo is None:
+            memo = self._root_memo = {}
+        key = (
+            walk.query_index,
+            walk.orientation,
+            walk.anchor.reference_id,
+            level.node.query_index_from,
+            level.span.offset,
+            level.span.length,
+        )
+        entry = memo.get(key)
+        if entry is None:
+            item = items[walk.query_index]
+            query = self._oriented_query(item, walk.orientation)
+            reference = self.references[walk.anchor.reference_id]
+            pattern = query[
+                level.node.query_index_from : level.node.query_index_to + 1
+            ]
+            window = reference.rank_sequence[
+                level.span.offset : level.span.offset + level.span.length
+            ]
+            entry = memo[key] = _traceback_pool().submit(
+                dp_reference.banded_cigar_traceback,
+                window, pattern, level.end_col, level.distance,
+            )
+        if isinstance(entry, tuple):
+            begin, cigar = entry
+            level.begin = level.span.offset + begin
+            level.cigar = cigar
+        else:
+            self._deferred.append((entry, level))
 
     def resolve_deferred(self) -> None:
         """Await the deferred root tracebacks and patch begin/CIGAR into
