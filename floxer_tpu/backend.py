@@ -18,6 +18,28 @@ logger = logging.getLogger("floxer-tpu")
 _ensured = False
 
 
+def _tunnel_reachable(ports=(8113, 8093, 8082), timeout=2.0) -> bool:
+    """True if the local TPU tunnel relay accepts on any known port.
+
+    When the relay process dies, the plugin's first device use retries
+    the dial forever — jax.devices() hangs instead of raising. A refused
+    TCP connect is instant, so probing first lets a dead tunnel degrade
+    to the CPU backend in milliseconds instead of hanging the process."""
+    import socket
+
+    for port in ports:
+        sock = socket.socket()
+        sock.settimeout(timeout)
+        try:
+            if sock.connect_ex(("127.0.0.1", port)) == 0:
+                return True
+        except OSError:
+            pass
+        finally:
+            sock.close()
+    return False
+
+
 def ensure_backend() -> str:
     """Initialize a working JAX backend; returns the backend name."""
     global _ensured
@@ -26,6 +48,18 @@ def ensure_backend() -> str:
     override = os.environ.get("FLOXER_TPU_PLATFORM")
     if override and not _ensured:
         jax.config.update("jax_platforms", override)
+
+    if not _ensured and not override:
+        platforms = os.environ.get("JAX_PLATFORMS", "")
+        wants_tunnel = ("axon" in platforms or platforms == "") and (
+            os.environ.get("PALLAS_AXON_POOL_IPS")
+        )
+        if wants_tunnel and not _tunnel_reachable():
+            logger.warning(
+                "TPU tunnel relay unreachable; falling back to the CPU "
+                "backend for this process"
+            )
+            jax.config.update("jax_platforms", "cpu")
 
     if not _ensured:
         # persistent compilation cache: kernel shapes recur across runs, and
