@@ -50,11 +50,11 @@ def ensure_backend() -> str:
         jax.config.update("jax_platforms", override)
 
     if not _ensured and not override:
-        platforms = os.environ.get("JAX_PLATFORMS", "")
-        wants_tunnel = ("axon" in platforms or platforms == "") and (
-            os.environ.get("PALLAS_AXON_POOL_IPS")
-        )
-        if wants_tunnel and not _tunnel_reachable():
+        # with the axon pool configured, a dead tunnel hangs jax.devices()
+        # in the plugin's dial-retry EVEN when JAX_PLATFORMS=cpu is set in
+        # the env (only a config-level platform selection avoids the
+        # plugin path) — so probe first and force cpu via config
+        if os.environ.get("PALLAS_AXON_POOL_IPS") and not _tunnel_reachable():
             logger.warning(
                 "TPU tunnel relay unreachable; falling back to the CPU "
                 "backend for this process"
