@@ -31,11 +31,9 @@ def main():
 
     # the TPU tunnel occasionally fails to register its platform on startup;
     # retry a few times before settling for whatever backend is available
-    backend = None
     for _ in range(3):
         try:
-            backend = ensure_backend()
-            if backend == "tpu":
+            if ensure_backend() == "tpu":
                 break
         except Exception:  # noqa: BLE001
             pass
@@ -102,6 +100,10 @@ def main():
                 "value": round(gcups, 3),
                 "unit": "GCUPS",
                 "vs_baseline": round(gcups / baseline_gcups, 3),
+                # provenance: a CPU interpret-mode smoke number must never
+                # be mistaken for a TPU measurement
+                "backend": jax.default_backend(),
+                "shape": f"T={T} M={M} N={N} k={K} band_words={band_words}",
             }
         )
     )

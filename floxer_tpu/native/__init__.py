@@ -460,9 +460,13 @@ def native_cache_scan(
     """Verified-interval cache scan (cachescan.cpp) over walk arrays.
 
     Returns (need_count, out_flags) where out_flags is a per-walk uint8
-    array (0 avoided, 1 needed, 2 passed); None when the library is
-    unavailable. Semantics are asserted against the Python
-    VerifiedIntervals mirror by tests/test_cachescan.py."""
+    array: 0 avoided (covered by a CONFIRMED interval, or covered at all
+    for already-computed walks), 1 needed, 2 passed through, 4 avoided but
+    AT RISK (an uncomputed walk whose coverage rests only on optimistic
+    insertions — it becomes needed if those walks break; used for cascade
+    speculation). None when the library is unavailable. Semantics are
+    asserted against the Python two-cache mirror by
+    tests/test_cachescan.py."""
     lib = get_library()
     if lib is None:
         return None

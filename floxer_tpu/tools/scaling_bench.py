@@ -9,8 +9,8 @@ Two modes:
   sequential (default): shards run one after another, each getting the
     whole machine — the faithful single-machine proxy for N pod hosts
     that each own their cores/chip. The pod wall-clock estimate is the
-    SLOWEST shard's align phase; efficiency =
-    (single_align / N) / max(shard_align).
+    SLOWEST shard's align phase plus the merge; efficiency =
+    (single_align / N) / (max(shard_align) + merge_seconds).
   concurrent: shards run simultaneously on this one machine — measures
     that nothing serializes in the sharding/merge path, but the N
     processes contend for the same cores, so the efficiency number
@@ -36,7 +36,13 @@ _ALIGN_RE = re.compile(r"finished aligning successfully in ([0-9.]+) seconds")
 
 
 def _spawn(base_args, output, num_hosts, host_id):
-    return subprocess.Popen(
+    # stderr goes to a tempfile, NOT a pipe: in concurrent mode a pipe
+    # would fill at 64 KB while earlier shards are being awaited, stalling
+    # the shard mid-align and corrupting its self-reported timing
+    import tempfile
+
+    log = tempfile.TemporaryFile(mode="w+")
+    proc = subprocess.Popen(
         [
             sys.executable, "-m", "floxer_tpu",
             *base_args,
@@ -45,14 +51,20 @@ def _spawn(base_args, output, num_hosts, host_id):
             "--host-id", str(host_id),
         ],
         stdout=subprocess.DEVNULL,
-        stderr=subprocess.PIPE,
+        stderr=log,
         text=True,
     )
+    proc._shard_log = log  # type: ignore[attr-defined]
+    return proc
 
 
 def _finish(proc) -> float:
     """Wait for a shard; return its align-phase seconds."""
-    _, stderr = proc.communicate()
+    proc.wait()
+    log = proc._shard_log  # type: ignore[attr-defined]
+    log.seek(0)
+    stderr = log.read()
+    log.close()
     if proc.returncode != 0:
         raise RuntimeError(
             f"shard failed with {proc.returncode}:\n{stderr[-2000:]}"
@@ -100,6 +112,11 @@ def main(argv=None) -> int:
         default="--interval-optimization",
         help="extra aligner arguments as one space-separated string",
     )
+    parser.add_argument(
+        "--no-warmup", dest="warmup", action="store_false", default=True,
+        help="skip the discarded warmup run that pre-fills the kernel "
+        "compilation cache before the timed single-host baseline",
+    )
     args = parser.parse_args(argv)
 
     base = [
@@ -118,6 +135,13 @@ def main(argv=None) -> int:
     num_queries = sum(
         1 for line in open(args.queries) if line.startswith("@")
     )
+
+    if args.warmup:
+        # one discarded single run first: JAX kernel compiles persist in
+        # the on-disk compilation cache, so without this the FIRST timed
+        # run (the single-host baseline) pays all compiles while the later
+        # shard runs hit the cache warm — inflating efficiency
+        run_shards(1, base, args.output_prefix + ".warmup")
 
     _, single_times = run_shards(1, base, args.output_prefix + ".single")
     single_align = single_times[0]

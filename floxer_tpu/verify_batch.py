@@ -792,21 +792,38 @@ class BatchVerifier:
                 # extra wave costs tunnel round trips, which beat the cells
                 # saved by 3-level prescreening at this size
                 full = need_ids.size <= 64
+                spec = []
                 if spec_pending:
                     spec = [w for w in dict.fromkeys(spec_pending)
                             if state[w] == 0]
                     spec_pending.clear()
                     if spec:
-                        full = True
                         need_total += len(spec)
-                        need_list = list(dict.fromkeys(need_list + spec))
+                        if full:
+                            need_list = list(dict.fromkeys(need_list + spec))
+                        else:
+                            # large wave: keep the 3-level prescreen for the
+                            # genuinely-needed walks, full depth only for
+                            # the (small) speculation set
+                            spec = [w for w in spec if w not in set(need_list)]
                 t0_flat = _time.monotonic()
                 self._compute_walks_flat(
                     table, items, need_list,
                     max_depth=None if full else CHECK_DEPTH,
                 )
+                if spec and not full:
+                    self._compute_walks_flat(table, items, spec)
                 t_flat += _time.monotonic() - t0_flat
                 any_failed = False
+                if spec and not full:
+                    for wid in spec:
+                        if self._walk_is_broken(table[wid]):
+                            state[wid] = 3
+                            dirty[key_of_walk[wid]] = True
+                            any_failed = True
+                            chain_victims(wid)
+                        else:
+                            state[wid] = 2
                 for wid in need_list:
                     walk = table[wid]
                     if full:
