@@ -158,3 +158,73 @@ def test_native_select_matches_python_pipeline(index, order, choice, erase):
     with mock.patch.dict(os.environ, {"FLOXER_TPU_NO_NATIVE_SELECT": "1"}):
         python_result = searcher.search_seeds(seeds, query)
     _equal_results(native_result, python_result)
+
+
+@pytest.mark.parametrize("order", ["count_first", "errors_first", "none"])
+@pytest.mark.parametrize(
+    "choice", ["round_robin", "full_groups", "first_reported"]
+)
+def test_search_seeds_many_matches_per_job(index, order, choice):
+    """The chunk-batched SoA path (one native call per seed class, array
+    scatter assembly, SearchResultSoA slices) must reproduce search_seeds
+    job for job: counters, anchors, and iteration order."""
+    import os
+    from unittest import mock
+
+    from floxer_tpu.pex import Seed
+    from floxer_tpu.search_host import (
+        AnchorChoiceStrategy,
+        AnchorGroupOrder,
+        SearchConfig,
+        Searcher,
+    )
+
+    idx, sequences = index
+    rng = np.random.default_rng(hash((order, choice)) % 2**31)
+    config = SearchConfig(
+        max_num_anchors_hard=40,
+        max_num_anchors_soft=7,
+        anchor_group_order=AnchorGroupOrder(order),
+        anchor_choice_strategy=AnchorChoiceStrategy(choice),
+        erase_useless_anchors=True,
+    )
+    searcher = Searcher(
+        index=idx, num_reference_sequences=2, config=config, num_threads=2
+    )
+
+    jobs = []
+    for trial in range(5):
+        source = sequences[trial % 2]
+        qlen = int(rng.integers(60, 140))
+        start = int(rng.integers(0, len(source) - qlen))
+        query = source[start : start + qlen].copy()
+        for _ in range(4):
+            pos = int(rng.integers(0, qlen))
+            query[pos] = 1 + (query[pos] % 4)
+        seeds = []
+        cursor = 0
+        while cursor + 8 < qlen and len(seeds) < 6:
+            length = int(rng.integers(8, min(22, qlen - cursor)))
+            seeds.append(
+                Seed(
+                    query_position=cursor,
+                    length=length,
+                    num_errors=int(rng.integers(0, 3)),
+                    pex_leaf_index=len(seeds),
+                )
+            )
+            cursor += length
+        jobs.append((seeds, query))
+
+    many = searcher.search_seeds_many(jobs)
+    assert len(many) == len(jobs)
+    for (seeds, query), soa in zip(jobs, many):
+        per_job = searcher.search_seeds(seeds, query)
+        _equal_results(soa, per_job)
+        # flat_arrays must match iter_anchors order exactly
+        leaf, ref, pos = soa.flat_arrays()
+        flat = list(zip(leaf.tolist(), ref.tolist(), pos.tolist()))
+        assert flat == [
+            (a.pex_leaf_index, a.reference_id, a.reference_position)
+            for a in soa.iter_anchors()
+        ]
