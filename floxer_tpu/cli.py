@@ -329,7 +329,11 @@ def build_parser(advanced: bool = False) -> argparse.ArgumentParser:
         "-u", "--num-anchors-per-task",
         dest="num_anchors_per_verification_task", default=3000,
         type=_ranged_int(1, 2**62),
-        **adv(help="The number of anchors per verification batch."),
+        **adv(help="The number of anchors per verification batch. Accepted "
+              "for reference CLI parity; the batched engines replace anchor "
+              "packaging with shape-bucketed device batches (the reference's "
+              "task granularity knob has no output effect there either), so "
+              "this value is not consumed."),
     )
     parser.add_argument(
         "-w", "--without-cigar", dest="without_cigar", action="store_true",
