@@ -77,3 +77,23 @@ def write_alignments_for_query(
         )
 
     return num_alignments
+
+
+def format_elapsed_time(seconds: float) -> str:
+    """Human-readable elapsed time for logs (parity: output.cpp:153-172 —
+    '{:.7} seconds' below one minute, then MM:SS minutes / H:MM:SS hours)."""
+    if seconds <= 60:
+        return f"{seconds:.7g} seconds"
+    all_in_seconds = int(seconds)
+    secs = all_in_seconds % 60
+    all_in_minutes = all_in_seconds // 60
+    minutes = all_in_minutes % 60
+    hours = (all_in_minutes // 60) % 24
+    if hours > 0:
+        return f"{hours}:{minutes:02}:{secs:02} hours"
+    return f"{minutes:02}:{secs:02} minutes"
+
+
+def format_large_number(number: int) -> str:
+    """Thousands separators for logs (parity: output.cpp:174-193)."""
+    return f"{number:,}"

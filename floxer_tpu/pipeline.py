@@ -95,6 +95,16 @@ def _start_device_warmup() -> None:
     threading.Thread(target=warm, name="device-warmup", daemon=True).start()
 
 
+def _pretty_elapsed_suffix(seconds: float) -> str:
+    """' (MM:SS minutes)' for long durations (output.cpp:153-172 format);
+    the numeric seconds stay in the message for machine consumers."""
+    if seconds <= 60:
+        return ""
+    from .output import format_elapsed_time
+
+    return f" ({format_elapsed_time(seconds)})"
+
+
 def initialize_logger(logfile_path, console_debug_logs: bool) -> None:
     """Parity: output::initialize_logger (output.cpp:110-151). All diagnostics
     go to stderr; stdout stays empty (asserted by the reference's e2e test)."""
@@ -156,7 +166,12 @@ def build_or_load_index(cli: CommandLineInput, references: References) -> FmInde
         [record.rank_sequence for record in references.records],
         sampling_rate=DEFAULT_SAMPLING_RATE,
     )
-    logger.info("building index took %.2f seconds", time.monotonic() - started)
+    build_elapsed = time.monotonic() - started
+    logger.info(
+        "building index took %.2f seconds%s",
+        build_elapsed,
+        _pretty_elapsed_suffix(build_elapsed),
+    )
     if cli.index_path:
         logger.info("saving index to %s", cli.index_path)
         try:
@@ -715,9 +730,11 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
     if os.path.exists(progress_path):
         os.remove(progress_path)
 
+    align_elapsed = time.monotonic() - aligning_started
     logger.info(
-        "finished aligning successfully in %.2f seconds",
-        time.monotonic() - aligning_started,
+        "finished aligning successfully in %.2f seconds%s",
+        align_elapsed,
+        _pretty_elapsed_suffix(align_elapsed),
     )
 
     if cli.stats_target is not None:
