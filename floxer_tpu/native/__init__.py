@@ -24,6 +24,7 @@ _SOURCES = [
     _NATIVE_DIR / "search.cpp",
     _NATIVE_DIR / "traceback.cpp",
     _NATIVE_DIR / "cachescan.cpp",
+    _NATIVE_DIR / "myers_host.cpp",
 ]
 
 _lib = None
@@ -134,6 +135,14 @@ def get_library():
             u8p, ctypes.c_int64, u8p,  # state, enabled, out flags
         ]
         lib.floxer_cache_scan.restype = ctypes.c_int64
+        lib.floxer_myers_distance_batch.argtypes = [
+            u8p, i64p, i64p,  # window buffer/offsets/lengths
+            u8p, i64p, i64p,  # pattern buffer/offsets/lengths
+            ctypes.c_int64,  # num tasks
+            i64p, i64p,  # out distance, end
+            ctypes.c_int64,  # threads
+        ]
+        lib.floxer_myers_distance_batch.restype = ctypes.c_int
         _lib = lib
     except OSError as error:
         logger.debug("native library load failed: %s", error)
@@ -552,3 +561,51 @@ def native_search_select_batch_offsets(
         out_anchors.reshape(num_seeds, soft_cap, 3),
         out_counts.reshape(num_seeds, 5),
     )
+
+
+def native_myers_distance_batch(
+    windows: list[np.ndarray], patterns: list[np.ndarray], num_threads: int = 1
+):
+    """Batched host Myers semi-global distance (myers_host.cpp).
+
+    Returns (distance int64 [T], end_col int64 [T]) with the exact
+    semantics of ops/dp_reference.semi_global_dp_matrix + _rightmost_argmin
+    (optimum = rightmost minimal end column, flush column excluded); None
+    when the library is unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+    T = len(windows)
+    win_lens = np.fromiter((len(w) for w in windows), count=T, dtype=np.int64)
+    pat_lens = np.fromiter((len(p) for p in patterns), count=T, dtype=np.int64)
+    win_offsets = np.zeros(T, dtype=np.int64)
+    np.cumsum(win_lens[:-1], out=win_offsets[1:])
+    pat_offsets = np.zeros(T, dtype=np.int64)
+    np.cumsum(pat_lens[:-1], out=pat_offsets[1:])
+    win_buffer = (
+        np.concatenate([np.ascontiguousarray(w, dtype=np.uint8) for w in windows])
+        if T
+        else np.zeros(0, dtype=np.uint8)
+    )
+    pat_buffer = (
+        np.concatenate([np.ascontiguousarray(p, dtype=np.uint8) for p in patterns])
+        if T
+        else np.zeros(0, dtype=np.uint8)
+    )
+    out_distance = np.zeros(T, dtype=np.int64)
+    out_end = np.zeros(T, dtype=np.int64)
+    status = lib.floxer_myers_distance_batch(
+        _as_u8p(win_buffer),
+        _as_i64p(win_offsets),
+        _as_i64p(win_lens),
+        _as_u8p(pat_buffer),
+        _as_i64p(pat_offsets),
+        _as_i64p(pat_lens),
+        ctypes.c_int64(T),
+        _as_i64p(out_distance),
+        _as_i64p(out_end),
+        ctypes.c_int64(num_threads),
+    )
+    if status != 0:
+        return None
+    return out_distance, out_end

@@ -387,14 +387,26 @@ class _TaskBatcher:
             on_device = size_qualifies and self._device()
             if not on_device:
                 t0 = _time.monotonic()
-                for i in slots:
-                    dp = dp_reference.semi_global_dp_matrix(
-                        self.windows[i], self.patterns[i]
-                    )
-                    last = dp[-1]
-                    end = dp_reference._rightmost_argmin(last)
-                    distances[i] = last[end]
-                    ends[i] = end
+                from .native import native_myers_distance_batch
+
+                native = native_myers_distance_batch(
+                    [self.windows[i] for i in slots],
+                    [self.patterns[i] for i in slots],
+                    num_threads=min(4, len(slots)),
+                )
+                if native is not None:
+                    dist_arr, end_arr = native
+                    distances[slots] = dist_arr
+                    ends[slots] = end_arr
+                else:
+                    for i in slots:
+                        dp = dp_reference.semi_global_dp_matrix(
+                            self.windows[i], self.patterns[i]
+                        )
+                        last = dp[-1]
+                        end = dp_reference._rightmost_argmin(last)
+                        distances[i] = last[end]
+                        ends[i] = end
                 _BATCH_TIMERS["numpy"] += _time.monotonic() - t0
                 continue
             # pad the batch dimension to a power of two as well, so the

@@ -82,3 +82,53 @@ def test_native_traceback_root_scale_matches_oracle(seed, m, num_errors):
     assert got is not None
     assert got[0] == want[0]
     assert list(got[1]) == list(want[1])
+
+
+def test_native_myers_distance_batch_matches_numpy_oracle():
+    """myers_host.cpp vs semi_global_dp_matrix + _rightmost_argmin: exact
+    (distance, end) for random tasks incl. multi-word patterns, tiny
+    windows, N chars, and the flush-column exclusion."""
+    import numpy as np
+
+    from floxer_tpu.native import get_library, native_myers_distance_batch
+    from floxer_tpu.ops import dp_reference
+
+    if get_library() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(42)
+    windows, patterns = [], []
+    for trial in range(60):
+        n = int(rng.integers(1, 400))
+        m = int(rng.integers(1, 200))
+        window = rng.integers(1, 6, size=n).astype(np.uint8)
+        if trial % 3 == 0 and n > m:
+            start = int(rng.integers(0, n - m))
+            pattern = window[start : start + m].copy()
+            for _ in range(int(rng.integers(0, 6))):
+                pos = int(rng.integers(0, m))
+                pattern[pos] = 1 + (pattern[pos] % 5)  # may produce N=5
+        else:
+            pattern = rng.integers(1, 6, size=m).astype(np.uint8)
+        windows.append(window)
+        patterns.append(pattern)
+    # edge shapes: single-char window (only end 0 eligible), pattern of
+    # exactly 64/65 rows (word boundary)
+    windows.append(np.array([1], dtype=np.uint8))
+    patterns.append(np.array([1, 2, 3], dtype=np.uint8))
+    windows.append(rng.integers(1, 5, size=200).astype(np.uint8))
+    patterns.append(rng.integers(1, 5, size=64).astype(np.uint8))
+    windows.append(rng.integers(1, 5, size=200).astype(np.uint8))
+    patterns.append(rng.integers(1, 5, size=65).astype(np.uint8))
+
+    out = native_myers_distance_batch(windows, patterns, num_threads=3)
+    assert out is not None
+    dist, end = out
+    for i, (window, pattern) in enumerate(zip(windows, patterns)):
+        dp = dp_reference.semi_global_dp_matrix(window, pattern)
+        last = dp[-1]
+        want_end = dp_reference._rightmost_argmin(last)
+        assert int(dist[i]) == int(last[want_end]), i
+        assert int(end[i]) == want_end, i
