@@ -64,7 +64,15 @@ from .verify import (
 # numpy oracle directly: at ~70 Mcells/s host throughput the crossover with
 # a (warm) device dispatch is a few Mcells, and small workloads must never
 # pay the tunnel's cold-start for milliseconds of host work
-MIN_DEVICE_CELLS = 4_000_000
+# device-routing threshold in padded DP cells per bucket. Calibrated for
+# the native host Myers engine (myers_host.cpp, ~20-30 GCUPS across 4
+# threads) against the tunnel TPU's ~30-300 ms per dispatch+download: below
+# ~1 G cells the host finishes before the device round trip completes.
+# Was 4 M when the host fallback was numpy (~0.3 GCUPS). Tunable via env
+# for direct-attached TPUs, where dispatch latency is microseconds.
+MIN_DEVICE_CELLS = int(
+    __import__("os").environ.get("FLOXER_TPU_MIN_DEVICE_CELLS", "1000000000")
+)
 
 # test hook: route every eligible task through the banded kernel even when
 # its band is not narrower than the full state (exercises the banded batch
@@ -382,7 +390,11 @@ class _TaskBatcher:
         # full round trip per bucket
         pending = []  # (slots, b_bucket, m_bucket, n_bucket, dist, end, t)
         for (tag, m_bucket, n_bucket), slots in buckets.items():
-            cells = len(slots) * m_bucket * n_bucket
+            # route on USEFUL cells — the native host engine computes only
+            # those, so padding waste must not push a bucket onto the device
+            cells = sum(
+                len(self.patterns[i]) * len(self.windows[i]) for i in slots
+            )
             size_qualifies = tag == "banded" or cells > MIN_DEVICE_CELLS
             on_device = size_qualifies and self._device()
             if not on_device:
