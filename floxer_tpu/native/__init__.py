@@ -138,6 +138,7 @@ def get_library():
         lib.floxer_myers_distance_batch.argtypes = [
             u8p, i64p, i64p,  # window buffer/offsets/lengths
             u8p, i64p, i64p,  # pattern buffer/offsets/lengths
+            i64p,  # budgets (-1 = always full-state)
             ctypes.c_int64,  # num tasks
             i64p, i64p,  # out distance, end
             ctypes.c_int64,  # threads
@@ -564,14 +565,20 @@ def native_search_select_batch_offsets(
 
 
 def native_myers_distance_batch(
-    windows: list[np.ndarray], patterns: list[np.ndarray], num_threads: int = 1
+    windows: list[np.ndarray],
+    patterns: list[np.ndarray],
+    num_threads: int = 1,
+    budgets=None,
 ):
     """Batched host Myers semi-global distance (myers_host.cpp).
 
     Returns (distance int64 [T], end_col int64 [T]) with the exact
     semantics of ops/dp_reference.semi_global_dp_matrix + _rightmost_argmin
     (optimum = rightmost minimal end column, flush column excluded); None
-    when the library is unavailable."""
+    when the library is unavailable. When budgets[i] >= 0 and the exactness
+    band is narrower than the pattern, the banded sliding-window variant
+    runs instead (output-equivalent for every value the pipeline consumes,
+    ops/myers_banded.py)."""
     lib = get_library()
     if lib is None:
         return None
@@ -594,6 +601,10 @@ def native_myers_distance_batch(
     )
     out_distance = np.zeros(T, dtype=np.int64)
     out_end = np.zeros(T, dtype=np.int64)
+    if budgets is None:
+        budget_arr = np.full(T, -1, dtype=np.int64)
+    else:
+        budget_arr = np.ascontiguousarray(budgets, dtype=np.int64)
     status = lib.floxer_myers_distance_batch(
         _as_u8p(win_buffer),
         _as_i64p(win_offsets),
@@ -601,6 +612,7 @@ def native_myers_distance_batch(
         _as_u8p(pat_buffer),
         _as_i64p(pat_offsets),
         _as_i64p(pat_lens),
+        _as_i64p(budget_arr),
         ctypes.c_int64(T),
         _as_i64p(out_distance),
         _as_i64p(out_end),

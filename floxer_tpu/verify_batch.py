@@ -405,6 +405,7 @@ class _TaskBatcher:
                     [self.windows[i] for i in slots],
                     [self.patterns[i] for i in slots],
                     num_threads=min(4, len(slots)),
+                    budgets=[self.budgets[i] for i in slots],
                 )
                 if native is not None:
                     dist_arr, end_arr = native

@@ -132,3 +132,52 @@ def test_native_myers_distance_batch_matches_numpy_oracle():
         want_end = dp_reference._rightmost_argmin(last)
         assert int(dist[i]) == int(last[want_end]), i
         assert int(end[i]) == want_end, i
+
+
+def test_native_myers_banded_matches_mirror_and_full():
+    """The banded branch of floxer_myers_distance_batch vs the pinned numpy
+    banded mirror AND (for accepting tasks) the full-DP oracle."""
+    import numpy as np
+
+    from floxer_tpu.native import get_library, native_myers_distance_batch
+    from floxer_tpu.ops import dp_reference
+    from floxer_tpu.ops.myers_banded import myers_banded_np
+
+    if get_library() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(7)
+    windows, patterns, budgets = [], [], []
+    for trial in range(40):
+        m = int(rng.integers(150, 500))
+        budget = int(rng.integers(1, 30))
+        extra = int(rng.integers(0, 3 * budget))
+        n = m + extra  # band n-m+2k+1 << m: banded branch engages
+        window = rng.integers(1, 5, size=n).astype(np.uint8)
+        start = int(rng.integers(0, max(1, n - m)))
+        pattern = window[start : start + m].copy()
+        for _ in range(int(rng.integers(0, 2 * budget))):
+            pos = int(rng.integers(0, m))
+            pattern[pos] = 1 + (pattern[pos] % 4)
+        windows.append(window)
+        patterns.append(pattern)
+        budgets.append(budget)
+
+    out = native_myers_distance_batch(
+        windows, patterns, num_threads=3, budgets=budgets
+    )
+    assert out is not None
+    dist, end = out
+    for i, (window, pattern, budget) in enumerate(
+        zip(windows, patterns, budgets)
+    ):
+        want_d, want_e = myers_banded_np(pattern, window, budget)
+        assert (int(dist[i]), int(end[i])) == (want_d, want_e), i
+        if want_d <= budget:  # exactness contract vs the full DP
+            dp = dp_reference.semi_global_dp_matrix(window, pattern)
+            last = dp[-1]
+            full_e = dp_reference._rightmost_argmin(last)
+            assert int(dist[i]) == int(last[full_e]), i
+            assert int(end[i]) == full_e, i
