@@ -148,3 +148,84 @@ def test_soa_legacy_verify_equivalence(workload, tmp_path):
         outputs[mode] = (out.read_text(), strip_time_sections(stats.read_text()))
     assert outputs["soa"][0] == outputs["legacy"][0]
     assert outputs["soa"][1] == outputs["legacy"][1]
+
+
+@pytest.fixture(scope="module")
+def repetitive_workload(tmp_path_factory):
+    """Tandem-repeat genome: anchors land on every repeat copy, root spans
+    overlap heavily, and broken-walk cascades chain through the interval
+    cache — the regime the chain-following speculation targets (chr21
+    showed 35-50 waves/chunk)."""
+    tmp = tmp_path_factory.mktemp("repfuzz")
+    rng = np.random.default_rng(7)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    unit = rng.integers(0, 4, size=240)
+    copies = []
+    for _ in range(18):
+        copy = unit.copy()
+        for _ in range(int(rng.integers(0, 6))):  # diverged copies
+            pos = int(rng.integers(0, len(copy)))
+            copy[pos] = (copy[pos] + 1 + rng.integers(0, 3)) % 4
+        copies.append(copy)
+    genome = np.concatenate(
+        [rng.integers(0, 4, size=300)]
+        + copies
+        + [rng.integers(0, 4, size=300)]
+    )
+    with open(tmp / "ref.fasta", "w") as handle:
+        handle.write(">rep\n")
+        handle.write(lut[genome].tobytes().decode() + "\n")
+
+    with open(tmp / "reads.fastq", "w") as handle:
+        for i in range(20):
+            length = int(rng.integers(200, 500))
+            start = int(rng.integers(0, len(genome) - length))
+            read = genome[start : start + length].copy()
+            for _ in range(int(rng.integers(0, length // 25))):
+                pos = int(rng.integers(0, len(read)))
+                op = rng.integers(0, 3)
+                if op == 0:
+                    read[pos] = (read[pos] + 1 + rng.integers(0, 3)) % 4
+                elif op == 1 and len(read) > 60:
+                    read = np.delete(read, pos)
+                else:
+                    read = np.insert(read, pos, rng.integers(0, 4))
+            seq = lut[read].tobytes().decode()
+            handle.write(f"@rep{i}\n{seq}\n+\n{'I' * len(read)}\n")
+    return tmp
+
+
+@pytest.mark.parametrize(
+    "args",
+    [
+        ["--error-probability", "0.06", "--interval-optimization"],
+        ["--error-probability", "0.08", "--interval-optimization",
+         "--max-anchors-soft", "12", "--max-anchors-hard", "60"],
+    ],
+)
+def test_repetitive_cascade_equivalence(repetitive_workload, tmp_path, args):
+    """Cascade-heavy repeats: the batched engine (chain speculation +
+    deferred/lazy tracebacks) must stay byte-identical to the sequential
+    reference engine with interval optimization on."""
+    outputs = {}
+    for engine in ("reference", "batched"):
+        out = tmp_path / f"{engine}.sam"
+        env = dict(os.environ)
+        env["FLOXER_TPU_PLATFORM"] = "cpu"
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "floxer_tpu",
+                "--reference", str(repetitive_workload / "ref.fasta"),
+                "--queries", str(repetitive_workload / "reads.fastq"),
+                "--output", str(out),
+                "--engine", engine,
+                *args,
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+        assert proc.returncode == 0, proc.stderr
+        outputs[engine] = out.read_text()
+    assert outputs["reference"] == outputs["batched"], f"args {args}"
