@@ -41,19 +41,13 @@ def main():
 
     import jax
 
-    from floxer_tpu.ops.pallas_myers_banded import myers_pallas_banded
-
     on_tpu = jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
 
-    if on_tpu:
-        # production root-verification shape: 256 x (20.6 kb read @ 7%
-        # error, 24.8 kb reference window), band 256 words
-        T, M, N, K = 256, 20_600, 24_800, 1_442
-        band_words, iters = 256, 3
-    else:  # CPU interpret-mode smoke shape (driver runs the real thing)
-        T, M, N, K = 8, 640, 768, 45
-        band_words, iters = 128, 1
+    # production root-verification shape: 256 x (20.6 kb read @ 7% error,
+    # 24.8 kb reference window), band 256 words
+    T, M, N, K = 256, 20_600, 24_800, 1_442
+    band_words, iters = 256, 3
 
     n_pad = -(-N // 1024) * 1024
     texts = rng.integers(1, 5, size=(T, n_pad)).astype(np.uint8)
@@ -69,25 +63,45 @@ def main():
     text_lengths = np.full(T, N, dtype=np.int64)
     budgets = np.full(T, K, dtype=np.int64)
 
-    # compile + backend warmup (first execution through the tunnel can be
-    # slow; it must not pollute the measurement)
-    d, e = myers_pallas_banded(
-        patterns, texts, text_lengths, budgets, band_words=band_words
-    )
+    if on_tpu:
+        from floxer_tpu.ops.pallas_myers_banded import myers_pallas_banded
 
-    # NOTE: block_until_ready() does not reliably synchronize on this
-    # backend; a value download is the only trustworthy sync point, so one
-    # is taken after the iteration loop (sync=False keeps results on
-    # device inside the loop).
-    started = time.perf_counter()
-    last = None
-    for _ in range(iters):
-        last = myers_pallas_banded(
-            patterns, texts, text_lengths, budgets,
-            band_words=band_words, sync=False,
+        # compile + backend warmup (first execution through the tunnel can
+        # be slow; it must not pollute the measurement)
+        myers_pallas_banded(
+            patterns, texts, text_lengths, budgets, band_words=band_words
         )
-    np.asarray(last[0])
-    elapsed = time.perf_counter() - started
+
+        # NOTE: block_until_ready() does not reliably synchronize on this
+        # backend; a value download is the only trustworthy sync point, so
+        # one is taken after the iteration loop (sync=False keeps results
+        # on device inside the loop).
+        started = time.perf_counter()
+        last = None
+        for _ in range(iters):
+            last = myers_pallas_banded(
+                patterns, texts, text_lengths, budgets,
+                band_words=band_words, sync=False,
+            )
+        np.asarray(last[0])
+        elapsed = time.perf_counter() - started
+    else:
+        # no TPU: bench the production CPU engine instead (lane-parallel
+        # banded Myers, myers_host.cpp) at the same shape
+        from floxer_tpu.native import native_myers_distance_batch
+
+        windows = [texts[t, :N] for t in range(T)]
+        probe = native_myers_distance_batch(
+            windows[:8], patterns[:8], num_threads=4, budgets=budgets[:8]
+        )
+        if probe is None:
+            raise SystemExit("no TPU backend and no native toolchain")
+        started = time.perf_counter()
+        for _ in range(iters):
+            native_myers_distance_batch(
+                windows, patterns, num_threads=4, budgets=budgets
+            )
+        elapsed = time.perf_counter() - started
 
     cells = T * M * N * iters  # full-DP-equivalent work
     gcups = cells / elapsed / 1e9
