@@ -399,12 +399,26 @@ def verify_and_write_chunk(
 
     def complete() -> None:
         verifier.resolve_deferred()
-        for query, (pex_tree, seeds, forward_result, rc_result, ms) in zip(
-            chunk, searched
-        ):
-            _apply_search_stats(
-                query, seeds, forward_result, rc_result, ms, stats
+        soa = all(
+            hasattr(entry[2], "kept_useful")
+            and hasattr(entry[3], "kept_useful")
+            for entry in searched
+        )
+        if soa and searched:
+            stats.add_search_statistics_for_chunk(
+                [
+                    (len(query.rank_sequence), seeds, fwd, rc)
+                    for query, (_, seeds, fwd, rc, _) in zip(chunk, searched)
+                ],
+                search_ms=searched[0][4],
             )
+        else:
+            for query, (pex_tree, seeds, forward_result, rc_result, ms) in zip(
+                chunk, searched
+            ):
+                _apply_search_stats(
+                    query, seeds, forward_result, rc_result, ms, stats
+                )
         for kind, value in verifier.last_stats_events:
             if kind == "aligned_root":
                 stats.add_reference_span_size_aligned_root(value)
@@ -417,18 +431,28 @@ def verify_and_write_chunk(
             verifier.last_avoided_lengths
         )
 
+        import numpy as np
+
         per_query_ms = verification_ms // max(len(chunk), 1)
+        sizes = []
+        edit_distances = []
         for query, alignments in zip(chunk, all_alignments):
-            stats.add_num_alignments(alignments.size())
-            stats.add_milliseconds_spent_in_verification_per_query(
-                per_query_ms
-            )
+            sizes.append(alignments.size())
             for per_reference in alignments.per_reference:
                 for alignment in per_reference:
-                    stats.add_alignment_edit_distance(alignment.num_errors)
+                    edit_distances.append(alignment.num_errors)
             write_alignments_for_query(
                 output, query, alignments, references.records
             )
+        stats.histograms["alignments per query"].add_values(
+            np.asarray(sizes, dtype=np.int64)
+        )
+        stats.histograms[
+            "milliseconds spent in verification per query"
+        ].add_values(np.full(len(chunk), per_query_ms, dtype=np.int64))
+        stats.histograms["alignments edit distance"].add_values(
+            np.asarray(edit_distances, dtype=np.int64)
+        )
 
     if defer_finalize:
         return complete
