@@ -120,6 +120,17 @@ def get_library():
             ctypes.c_int64,  # threads
         ]
         lib.floxer_search_select_batch_offsets.restype = ctypes.c_int
+        lib.floxer_select_from_groups_batch.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int64,  # fwd index (locate only)
+            i64p, i64p, ctypes.c_int64,  # sampled SA
+            i64p, ctypes.c_int64,  # seq starts
+            i64p, i64p, i64p, i64p, ctypes.c_int64,  # groups/starts/totals/statuses/count
+            ctypes.c_int64, ctypes.c_int64,  # hard, soft
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # order/choice/erase
+            i64p, i64p,  # out anchors, counts
+            ctypes.c_int64,  # threads
+        ]
+        lib.floxer_select_from_groups_batch.restype = ctypes.c_int
         lib.floxer_locate_batch.argtypes = [
             u8p, i64p, i64p, ctypes.c_int64,  # fwd index
             i64p, i64p, ctypes.c_int64,  # sampled SA
@@ -549,6 +560,65 @@ def native_search_select_batch_offsets(
         ctypes.c_int64(num_parts),
         ctypes.c_int64(max_total),
         ctypes.c_int64(max_groups),
+        ctypes.c_int64(hard_cap),
+        ctypes.c_int64(soft_cap),
+        ctypes.c_int64(group_order),
+        ctypes.c_int64(choice),
+        ctypes.c_int64(1 if erase_useless else 0),
+        _as_i64p(out_anchors),
+        _as_i64p(out_counts),
+        ctypes.c_int64(num_threads),
+    )
+    return (
+        out_anchors.reshape(num_seeds, soft_cap, 3),
+        out_counts.reshape(num_seeds, 5),
+    )
+
+
+def native_select_from_groups_batch(
+    index,
+    groups_flat: np.ndarray,  # int64 [total_groups, 4] (lb, lb_rev, len, err)
+    group_starts: np.ndarray,  # int64 [num_seeds + 1] seed-major offsets
+    totals: np.ndarray,  # int64 [num_seeds] raw anchor totals
+    statuses: np.ndarray,  # int64 [num_seeds] DFS status bits (0 = clean)
+    hard_cap: int,
+    soft_cap: int,
+    group_order: int,
+    choice: int,
+    erase_useless: bool,
+    num_threads: int = 1,
+):
+    """Anchor selection from externally discovered groups (the device
+    frontier search): same outputs as native_search_select_batch_offsets —
+    (anchors int64 [num_seeds, soft_cap, 3], counts int64 [num_seeds, 5]) —
+    or None when the library is unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+
+    num_seeds = group_starts.shape[0] - 1
+    out_anchors = np.empty(num_seeds * soft_cap * 3, dtype=np.int64)
+    out_counts = np.zeros(num_seeds * 5, dtype=np.int64)
+    groups_flat = np.ascontiguousarray(groups_flat, dtype=np.int64)
+    group_starts = np.ascontiguousarray(group_starts, dtype=np.int64)
+    totals = np.ascontiguousarray(totals, dtype=np.int64)
+    statuses = np.ascontiguousarray(statuses, dtype=np.int64)
+
+    lib.floxer_select_from_groups_batch(
+        _as_u8p(np.ascontiguousarray(index.fwd.bwt)),
+        _as_i64p(np.ascontiguousarray(index.fwd.occ_checkpoints)),
+        _as_i64p(np.ascontiguousarray(index.C, dtype=np.int64)),
+        ctypes.c_int64(index.n),
+        _as_i64p(np.ascontiguousarray(index.sampled_rows)),
+        _as_i64p(np.ascontiguousarray(index.sampled_values)),
+        ctypes.c_int64(index.sampled_rows.shape[0]),
+        _as_i64p(np.ascontiguousarray(index.seq_starts)),
+        ctypes.c_int64(index.seq_starts.shape[0]),
+        _as_i64p(groups_flat),
+        _as_i64p(group_starts),
+        _as_i64p(totals),
+        _as_i64p(statuses),
+        ctypes.c_int64(num_seeds),
         ctypes.c_int64(hard_cap),
         ctypes.c_int64(soft_cap),
         ctypes.c_int64(group_order),

@@ -684,6 +684,57 @@ int floxer_search_select_batch_offsets(
                             out_anchors, out_counts, num_threads);
 }
 
+// Anchor selection only, from externally discovered groups: the device
+// frontier search (search_device.py) finds each seed's anchor groups as
+// (lb, lb_rev, len, errors) rows; this entry runs the same select_one
+// (hard cap, group ordering, choice strategy, locate, dominance sweep —
+// the reference's search.cpp:190-318) over those rows, so the chunk-level
+// device search keeps zero Python between group discovery and anchors.
+// groups_flat: [group_starts[num_seeds]][4] rows, seed-major; totals:
+// per-seed raw anchor totals; statuses: per-seed DFS-status bits to pass
+// through (0 for device-found seeds). rev index is not needed (locate
+// only walks the fwd direction).
+int floxer_select_from_groups_batch(
+    const uint8_t* bwt_fwd, const int64_t* occ_fwd, const int64_t* C,
+    int64_t n, const int64_t* sampled_rows, const int64_t* sampled_values,
+    int64_t num_sampled, const int64_t* seq_starts, int64_t num_seqs,
+    const int64_t* groups_flat, const int64_t* group_starts,
+    const int64_t* totals, const int64_t* statuses, int64_t num_seeds,
+    int64_t hard_cap, int64_t soft_cap, int64_t group_order, int64_t choice,
+    int64_t erase_useless, int64_t* out_anchors, int64_t* out_counts,
+    int64_t num_threads) {
+    BiIndex const index{{bwt_fwd, occ_fwd}, {bwt_fwd, occ_fwd}, C, n};
+    LocateCtx const loc{sampled_rows, sampled_values, num_sampled,
+                        seq_starts, num_seqs};
+    SelParams const sel{hard_cap, soft_cap, group_order, choice,
+                        erase_useless};
+    auto worker = [&](int64_t begin, int64_t end) {
+        for (int64_t i = begin; i < end; i++) {
+            int64_t const g0 = group_starts[i];
+            int64_t const num_groups = group_starts[i + 1] - g0;
+            select_one(index, loc, sel, groups_flat + g0 * 4, num_groups,
+                       totals[i], (int)statuses[i],
+                       out_anchors + i * soft_cap * 3, out_counts + i * 5);
+        }
+    };
+    if (num_threads <= 1 || num_seeds < 2) {
+        worker(0, num_seeds);
+        return 0;
+    }
+    int64_t const threads = std::min<int64_t>(num_threads, num_seeds);
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    int64_t const chunk = (num_seeds + threads - 1) / threads;
+    for (int64_t t = 0; t < threads; t++) {
+        int64_t const begin = t * chunk;
+        int64_t const end = std::min(begin + chunk, num_seeds);
+        if (begin >= end) break;
+        pool.emplace_back(worker, begin, end);
+    }
+    for (auto& th : pool) th.join();
+    return 0;
+}
+
 // Batched SA lookup (parity: the Python FmIndex.text_position LF walk,
 // index/fmindex.py): each row walks LF until it hits a sampled row
 // (<= sampling_rate - 1 steps). Rows come from anchor selection, whose

@@ -372,6 +372,7 @@ def sharded_frontier_search(
     mesh: Mesh,
     sh: ShardedHostIndex,
     padded_patterns: np.ndarray,
+    seed_class: np.ndarray,
     tables,
     frontier_capacity: int,
     report_capacity: int,
@@ -387,15 +388,16 @@ def sharded_frontier_search(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(_ARR_SPECS, P(None, None)),
+        in_specs=(_ARR_SPECS, P(None, None), P(None)),
         out_specs=(P(None, None), P(), P(None)),
         check_vma=False,
     )
-    def run(arr_tuple, patterns):
+    def run(arr_tuple, patterns, classes):
         index = _local_index(dict(zip(_ARR_KEYS, arr_tuple)), sh)
         return _frontier_search(
             index,
             patterns,
+            classes,
             tables.start,
             tables.end,
             tables.direction,
@@ -408,8 +410,11 @@ def sharded_frontier_search(
             max_iterations,
         )
 
+    replicated = NamedSharding(mesh, P())
     patterns_dev = jax.device_put(
-        jnp.asarray(padded_patterns, dtype=jnp.int32),
-        NamedSharding(mesh, P()),
+        jnp.asarray(padded_patterns, dtype=jnp.int32), replicated
     )
-    return run(tuple(arrs[k] for k in _ARR_KEYS), patterns_dev)
+    classes_dev = jax.device_put(
+        jnp.asarray(seed_class, dtype=jnp.int32), replicated
+    )
+    return run(tuple(arrs[k] for k in _ARR_KEYS), patterns_dev, classes_dev)

@@ -113,40 +113,71 @@ class DeviceSearcher:
 
 @dataclass(frozen=True)
 class SchemeTables:
-    """Expanded-search tables as device arrays [num_searches, num_parts]."""
+    """Expanded-search tables as device arrays [num_classes, num_searches,
+    num_parts]. One CLASS per distinct pattern length of one error count
+    (same error count => same search count and part count, only the part
+    spans differ), so seeds of many different lengths share a single
+    frontier-search dispatch — the chunk-level batching that amortizes the
+    host->device round trip over every seed of a read chunk.
+
+    Class `num_real` (and any power-of-two padding rows after it) is the
+    DEAD class for padding seeds: its parts are the empty span [0, 0) with
+    direction +1 and lower bound 1, so a padding state hits the part
+    boundary immediately, fails the lower bound, and dies without ever
+    expanding or reporting."""
 
     start: jnp.ndarray
     end: jnp.ndarray
     direction: jnp.ndarray
     lower: jnp.ndarray
     upper: jnp.ndarray
+    num_classes: int
+    num_real: int
     num_searches: int
     num_parts: int
 
+    @property
+    def dead_class(self) -> int:
+        return self.num_real
+
     @classmethod
-    def from_searches(cls, searches: tuple[ExpandedSearch, ...]):
-        num_searches = len(searches)
-        num_parts = len(searches[0].pi)
-        start = np.zeros((num_searches, num_parts), dtype=np.int32)
+    def from_length_classes(
+        cls, class_searches: list[tuple[ExpandedSearch, ...]]
+    ):
+        num_real = len(class_searches)
+        num_searches = len(class_searches[0])
+        num_parts = len(class_searches[0][0].pi)
+        num_classes = 2
+        while num_classes < num_real + 1:
+            num_classes *= 2
+        start = np.zeros((num_classes, num_searches, num_parts), dtype=np.int32)
         end = np.zeros_like(start)
-        direction = np.zeros_like(start)
-        lower = np.zeros_like(start)
+        # dead-class defaults for every padding row
+        direction = np.ones_like(start)
+        lower = np.ones_like(start)
         upper = np.zeros_like(start)
-        for s, search in enumerate(searches):
-            for j in range(num_parts):
-                start[s, j], end[s, j] = search.part_spans[j]
-                direction[s, j] = search.directions[j]
-                lower[s, j] = search.lower[j]
-                upper[s, j] = search.upper[j]
+        for c, searches in enumerate(class_searches):
+            for s, search in enumerate(searches):
+                for j in range(num_parts):
+                    start[c, s, j], end[c, s, j] = search.part_spans[j]
+                    direction[c, s, j] = search.directions[j]
+                    lower[c, s, j] = search.lower[j]
+                    upper[c, s, j] = search.upper[j]
         return cls(
             jnp.asarray(start),
             jnp.asarray(end),
             jnp.asarray(direction),
             jnp.asarray(lower),
             jnp.asarray(upper),
+            num_classes,
+            num_real,
             num_searches,
             num_parts,
         )
+
+    @classmethod
+    def from_searches(cls, searches: tuple[ExpandedSearch, ...]):
+        return cls.from_length_classes([list(searches)])
 
 
 @partial(
@@ -162,7 +193,8 @@ class SchemeTables:
 def _frontier_search(
     index: DeviceIndex,
     patterns: jnp.ndarray,  # int32 [num_seeds, max_len] padded
-    scheme_start,
+    seed_class: jnp.ndarray,  # int32 [num_seeds] scheme-class per seed
+    scheme_start,  # int32 [num_classes, num_searches, num_parts]
     scheme_end,
     scheme_direction,
     scheme_lower,
@@ -185,13 +217,16 @@ def _frontier_search(
     init_count = num_seeds * num_searches
     seed0 = jnp.repeat(jnp.arange(num_seeds, dtype=jnp.int32), num_searches)
     search0 = jnp.tile(jnp.arange(num_searches, dtype=jnp.int32), num_seeds)
+    cls0 = seed_class[seed0]
 
     def blank(value, dtype=jnp.int32):
         return jnp.full((C,), value, dtype=dtype)
 
-    first_part = scheme_start[search0, 0] * (scheme_direction[search0, 0] > 0) + (
-        scheme_end[search0, 0] - 1
-    ) * (scheme_direction[search0, 0] < 0)
+    first_part = scheme_start[cls0, search0, 0] * (
+        scheme_direction[cls0, search0, 0] > 0
+    ) + (scheme_end[cls0, search0, 0] - 1) * (
+        scheme_direction[cls0, search0, 0] < 0
+    )
 
     state = {
         "lb": blank(0).at[:init_count].set(0),
@@ -215,12 +250,13 @@ def _frontier_search(
         alive = state["alive"]
 
         search = state["search"]
+        cls = seed_class[state["seed"]]
         part = jnp.clip(state["part"], 0, num_parts - 1)
-        direction = scheme_direction[search, part]
-        p_start = scheme_start[search, part]
-        p_end = scheme_end[search, part]
-        upper = scheme_upper[search, part]
-        lower = scheme_lower[search, part]
+        direction = scheme_direction[cls, search, part]
+        p_start = scheme_start[cls, search, part]
+        p_end = scheme_end[cls, search, part]
+        upper = scheme_upper[cls, search, part]
+        lower = scheme_lower[cls, search, part]
 
         pos = state["pos"]
         at_boundary = jnp.where(
@@ -234,11 +270,11 @@ def _frontier_search(
         killed_lower = at_boundary & ~meets_lower
 
         next_part = jnp.clip(state["part"] + 1, 0, num_parts - 1)
-        next_dir = scheme_direction[search, next_part]
+        next_dir = scheme_direction[cls, search, next_part]
         next_first = jnp.where(
             next_dir > 0,
-            scheme_start[search, next_part],
-            scheme_end[search, next_part] - 1,
+            scheme_start[cls, search, next_part],
+            scheme_end[cls, search, next_part] - 1,
         )
 
         # emit finished states into the report buffer (drop-mode scatter:
@@ -437,25 +473,33 @@ def search_seeds_device(
     tables = SchemeTables.from_searches(expanded_searches)
     max_len = max(len(p) for p in patterns)
     # pad the seed count to a power of two so the jitted kernel sees a
-    # bounded set of shapes (padding seeds carry an all-sentinel pattern
-    # that can never extend)
+    # bounded set of shapes (padding seeds carry the DEAD scheme class and
+    # die on their first boundary check)
     num_padded = 8
     while num_padded < len(patterns):
         num_padded *= 2
     padded = np.zeros((num_padded, max_len), dtype=np.int32)
+    seed_class = np.full(num_padded, tables.dead_class, dtype=np.int32)
     for i, pattern in enumerate(patterns):
         padded[i, : len(pattern)] = pattern
+        seed_class[i] = 0
 
     max_iterations = max_len + max_errors + 2 * tables.num_parts + 2
 
     if runner is not None:
         reports, num_reports, overflow = runner(
-            padded, tables, frontier_capacity, report_capacity, max_iterations
+            padded,
+            seed_class,
+            tables,
+            frontier_capacity,
+            report_capacity,
+            max_iterations,
         )
     else:
         reports, num_reports, overflow = _frontier_search(
             index,
             jnp.asarray(padded),
+            jnp.asarray(seed_class),
             tables.start,
             tables.end,
             tables.direction,
@@ -507,9 +551,9 @@ class ShardedDeviceSearcher(DeviceSearcher):
     def _run_search(self, patterns, errors, expanded):
         from .parallel.sharded_index import sharded_frontier_search
 
-        def runner(padded, tables, frontier_cap, report_cap, max_iter):
+        def runner(padded, seed_class, tables, frontier_cap, report_cap, max_iter):
             return sharded_frontier_search(
-                self._mesh, self._sh, padded, tables,
+                self._mesh, self._sh, padded, seed_class, tables,
                 frontier_cap, report_cap, max_iter,
             )
 

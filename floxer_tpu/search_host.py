@@ -356,6 +356,123 @@ def search_seed_groups(
 
 
 @dataclass
+class ChunkSeedArrays:
+    """Flattened per-seed arrays over a whole chunk of (seeds, query) jobs:
+    the shared front half of every chunk-level search path (host native and
+    device frontier). Seeds are concatenated in job order; patterns are
+    byte offsets into one concatenated query buffer."""
+
+    bases: np.ndarray  # int64 [n_jobs + 1] query-buffer offsets per job
+    buffer: np.ndarray  # uint8 concatenated query rank sequences
+    job_seed_base: np.ndarray  # int64 [n_jobs + 1] global seed id bases
+    length_g: np.ndarray  # int64 [total_seeds]
+    errors_g: np.ndarray  # int64 [total_seeds]
+    qpos_g: np.ndarray  # int64 [total_seeds] position within the query
+    leaf_g: np.ndarray  # int64 [total_seeds] pex leaf index
+    job_g: np.ndarray  # int64 [total_seeds] owning job
+    offsets_g: np.ndarray  # int64 [total_seeds] pattern offset into buffer
+
+    @property
+    def total_seeds(self) -> int:
+        return int(self.job_seed_base[-1])
+
+
+def assemble_chunk_seed_arrays(
+    jobs: list[tuple[list[Seed], np.ndarray]],
+) -> ChunkSeedArrays:
+    """Vectorized assembly of ChunkSeedArrays (seed lists are memoized per
+    PEX tree, so their array forms come from pex.seed_stat_arrays' cache)."""
+    from .pex import seed_stat_arrays
+
+    n_jobs = len(jobs)
+    bases = np.zeros(n_jobs + 1, dtype=np.int64)
+    np.cumsum([q.shape[0] for _, q in jobs], out=bases[1:])
+    buffer = (
+        np.concatenate([q for _, q in jobs])
+        if jobs
+        else np.zeros(0, dtype=np.uint8)
+    )
+    per_job = [seed_stat_arrays(seeds) for seeds, _ in jobs]
+    job_seed_base = np.zeros(n_jobs + 1, dtype=np.int64)
+    np.cumsum([a[0].shape[0] for a in per_job], out=job_seed_base[1:])
+    length_g = (
+        np.concatenate([a[0] for a in per_job])
+        if per_job
+        else np.zeros(0, dtype=np.int64)
+    )
+    errors_g = (
+        np.concatenate([a[1] for a in per_job])
+        if per_job
+        else np.zeros(0, dtype=np.int64)
+    )
+    qpos_g = (
+        np.concatenate([a[2] for a in per_job])
+        if per_job
+        else np.zeros(0, dtype=np.int64)
+    )
+    leaf_g = (
+        np.concatenate([a[3] for a in per_job])
+        if per_job
+        else np.zeros(0, dtype=np.int64)
+    )
+    job_g = np.repeat(
+        np.arange(n_jobs, dtype=np.int64), np.diff(job_seed_base)
+    )
+    offsets_g = bases[job_g] + qpos_g
+    return ChunkSeedArrays(
+        bases=bases,
+        buffer=buffer,
+        job_seed_base=job_seed_base,
+        length_g=length_g,
+        errors_g=errors_g,
+        qpos_g=qpos_g,
+        leaf_g=leaf_g,
+        job_g=job_g,
+        offsets_g=offsets_g,
+    )
+
+
+def build_soa_results(
+    arrays: ChunkSeedArrays,
+    nw_g: np.ndarray,
+    kept_raw_g: np.ndarray,
+    kept_useful_g: np.ndarray,
+    excluded_soft_g: np.ndarray,
+    rows_parts: list[np.ndarray],
+    gid_parts: list[np.ndarray],
+) -> list["SearchResultSoA"]:
+    """Shared back half of the chunk-level search: order the flat anchor
+    rows seed-major and slice per-job SearchResultSoA views."""
+    total_seeds = arrays.total_seeds
+    if rows_parts:
+        rows_all = np.concatenate(rows_parts)
+        gid_all = np.concatenate(gid_parts)
+        order = np.argsort(gid_all, kind="stable")
+        rows_flat = rows_all[order]
+    else:
+        rows_flat = np.zeros((0, 3), dtype=np.int64)
+    seed_starts_g = np.zeros(total_seeds + 1, dtype=np.int64)
+    np.cumsum(nw_g, out=seed_starts_g[1:])
+
+    results: list[SearchResultSoA] = []
+    job_seed_base = arrays.job_seed_base
+    for j in range(len(job_seed_base) - 1):
+        a, b = int(job_seed_base[j]), int(job_seed_base[j + 1])
+        ra = int(seed_starts_g[a])
+        results.append(
+            SearchResultSoA(
+                leaf=arrays.leaf_g[a:b],
+                kept_useful=kept_useful_g[a:b],
+                kept_raw=kept_raw_g[a:b],
+                excluded_soft=excluded_soft_g[a:b],
+                seed_starts=seed_starts_g[a : b + 1] - ra,
+                rows_flat=rows_flat[ra : int(seed_starts_g[b])],
+            )
+        )
+    return results
+
+
+@dataclass
 class Searcher:
     """Parity: search::searcher (search.hpp:104-112, search.cpp:143-324)."""
 
@@ -400,37 +517,23 @@ class Searcher:
             AnchorChoiceStrategy.FIRST_REPORTED: 2,
         }[config.anchor_choice_strategy]
 
-        bases = np.zeros(len(jobs) + 1, dtype=np.int64)
-        np.cumsum([q.shape[0] for _, q in jobs], out=bases[1:])
-        buffer = (
-            np.concatenate([q for _, q in jobs])
-            if jobs
-            else np.zeros(0, dtype=np.uint8)
-        )
-
         # fully vectorized assembly: per-seed arrays are concatenated over
-        # all jobs (seed lists are memoized per PEX tree, so their array
-        # forms come from a cache), classed by (length, errors), searched
-        # with ONE native call per class, and scattered back into per-seed
-        # global counter arrays. No per-seed Python objects are built —
-        # results are SearchResultSoA slices of the global arrays.
-        from .pex import seed_stat_arrays
-
+        # all jobs, classed by (length, errors), searched with ONE native
+        # call per class, and scattered back into per-seed global counter
+        # arrays. No per-seed Python objects are built — results are
+        # SearchResultSoA slices of the global arrays.
         n_jobs = len(jobs)
         if n_jobs == 0:
             return []
-        per_job = [seed_stat_arrays(seeds) for seeds, _ in jobs]
-        job_seed_base = np.zeros(n_jobs + 1, dtype=np.int64)
-        np.cumsum([a[0].shape[0] for a in per_job], out=job_seed_base[1:])
-        total_seeds = int(job_seed_base[-1])
-        length_g = np.concatenate([a[0] for a in per_job])
-        errors_g = np.concatenate([a[1] for a in per_job])
-        qpos_g = np.concatenate([a[2] for a in per_job])
-        leaf_g = np.concatenate([a[3] for a in per_job])
-        job_g = np.repeat(
-            np.arange(n_jobs, dtype=np.int64), np.diff(job_seed_base)
-        )
-        offsets_g = bases[job_g] + qpos_g
+        arrays = assemble_chunk_seed_arrays(jobs)
+        total_seeds = arrays.total_seeds
+        buffer = arrays.buffer
+        length_g = arrays.length_g
+        errors_g = arrays.errors_g
+        qpos_g = arrays.qpos_g
+        job_g = arrays.job_g
+        job_seed_base = arrays.job_seed_base
+        offsets_g = arrays.offsets_g
 
         nw_g = np.zeros(total_seeds, dtype=np.int64)
         kept_raw_g = np.zeros(total_seeds, dtype=np.int64)
@@ -513,31 +616,15 @@ class Searcher:
             rows_parts.append(rows)
             gid_parts.append(np.full(rows.shape[0], gid, dtype=np.int64))
 
-        if rows_parts:
-            rows_all = np.concatenate(rows_parts)
-            gid_all = np.concatenate(gid_parts)
-            order = np.argsort(gid_all, kind="stable")
-            rows_flat = rows_all[order]
-        else:
-            rows_flat = np.zeros((0, 3), dtype=np.int64)
-        seed_starts_g = np.zeros(total_seeds + 1, dtype=np.int64)
-        np.cumsum(nw_g, out=seed_starts_g[1:])
-
-        results: list[SearchResultSoA] = []
-        for j in range(n_jobs):
-            a, b = int(job_seed_base[j]), int(job_seed_base[j + 1])
-            ra = int(seed_starts_g[a])
-            results.append(
-                SearchResultSoA(
-                    leaf=leaf_g[a:b],
-                    kept_useful=kept_useful_g[a:b],
-                    kept_raw=kept_raw_g[a:b],
-                    excluded_soft=excluded_soft_g[a:b],
-                    seed_starts=seed_starts_g[a : b + 1] - ra,
-                    rows_flat=rows_flat[ra : int(seed_starts_g[b])],
-                )
-            )
-        return results
+        return build_soa_results(
+            arrays,
+            nw_g,
+            kept_raw_g,
+            kept_useful_g,
+            excluded_soft_g,
+            rows_parts,
+            gid_parts,
+        )
 
     def search_seeds(self, seeds: list[Seed], query: np.ndarray) -> SearchResult:
         # primary path: the whole per-seed pipeline (DFS, caps, ordering,

@@ -111,17 +111,20 @@ def test_sharded_frontier_search_matches_replicated(errors):
         padded[i] = p
 
     tables = SchemeTables.from_searches(expand_scheme(errors, seed_len))
+    seed_class = np.full(8, tables.dead_class, dtype=np.int32)
+    seed_class[: len(patterns)] = 0
     max_iterations = seed_len + errors + 2 * tables.num_parts + 2
     C_CAP, R_CAP = 1 << 12, 1 << 10
 
     got_reports, got_n, got_overflow = sharded_frontier_search(
-        mesh, sh, padded, tables, C_CAP, R_CAP, max_iterations
+        mesh, sh, padded, seed_class, tables, C_CAP, R_CAP, max_iterations
     )
 
     replicated = DeviceIndex.from_host(host)
     want_reports, want_n, want_overflow = _frontier_search(
         replicated,
         np.asarray(padded),
+        np.asarray(seed_class),
         tables.start,
         tables.end,
         tables.direction,
