@@ -40,12 +40,23 @@ import numpy as np
 
 from .alphabet import SIGMA
 from .index.device_index import DeviceIndex, rank_all
-from .schemes import ExpandedSearch
+from .schemes import ExpandedSearch, expand_scheme
 
 _EDIT_SYMBOLS = (1, 2, 3, 4, 5)
 
 # last_op codes
 _OP_M, _OP_I, _OP_D = 0, 1, 2
+
+
+# chunk-level batching geometry: seeds per device dispatch and the shared
+# frontier/report budgets of one dispatch. 256 seeds x ~14 seeds/query
+# collapses a 250-read chunk into ~30 device calls per error class instead
+# of one call per (query, length class) — the difference between the
+# tunnel's per-dispatch latency dominating and amortizing away.
+_BLOCK_SEEDS = 256
+_BLOCK_FRONTIER = 1 << 15  # ~128 in-flight states per seed, shared pool
+_BLOCK_REPORTS = 1 << 13  # ~32 anchor groups per seed, shared pool
+_LEN_QUANTUM = 32  # pattern pad quantum: bounds the jit key count
 
 
 class DeviceSearcher:
@@ -63,6 +74,308 @@ class DeviceSearcher:
 
     def _run_search(self, patterns, errors, expanded):
         return search_seeds_device(self._device_index, patterns, errors, expanded)
+
+    def _run_block(
+        self, padded, seed_class, tables, frontier_cap, report_cap, max_iter
+    ):
+        """One fixed-shape frontier dispatch; returns device arrays so the
+        caller can overlap several blocks before synchronizing."""
+        return _frontier_search(
+            self._device_index,
+            jnp.asarray(padded),
+            jnp.asarray(seed_class),
+            tables.start,
+            tables.end,
+            tables.direction,
+            tables.lower,
+            tables.upper,
+            tables.num_searches,
+            tables.num_parts,
+            frontier_cap,
+            report_cap,
+            max_iter,
+        )
+
+    def search_seeds_many(self, jobs):
+        """Chunk-level device search: every job's seeds (all queries of a
+        read chunk, fwd and rc) are classed by error count, padded into
+        fixed [_BLOCK_SEEDS, len] pattern blocks with per-seed scheme
+        classes, and dispatched as a handful of frontier-search calls.
+        Anchor selection over the device-found groups runs in one native
+        call (select_one: caps, ordering, choice, locate, dominance —
+        search.cpp:190-318); seeds that overflow the device buffers are
+        re-searched by the native DFS. Results are SearchResultSoA, same
+        as the host chunk path.
+
+        Deviation (same as the per-query device path, see module
+        docstring): group ORDER is canonical (errors, lb, len) rather than
+        DFS emission order, and `first_reported` raw totals count the full
+        group set — downstream output is identical when the anchor caps
+        don't bind."""
+        import os
+
+        from .native import (
+            get_library,
+            native_search_select_batch_offsets,
+            native_select_from_groups_batch,
+        )
+        from .search_host import (
+            AnchorChoiceStrategy,
+            AnchorGroupOrder,
+            assemble_chunk_seed_arrays,
+            build_soa_results,
+        )
+
+        if not jobs:
+            return []
+        if os.environ.get("FLOXER_TPU_NO_NATIVE_SELECT") or (
+            get_library() is None
+        ):
+            # no native select: per-query device path (slower, same output)
+            return [self.search_seeds(s, q) for s, q in jobs]
+
+        config = self.config
+        order_code = {
+            AnchorGroupOrder.COUNT_FIRST: 0,
+            AnchorGroupOrder.ERRORS_FIRST: 1,
+            AnchorGroupOrder.NONE: 2,
+        }[config.anchor_group_order]
+        choice_code = {
+            AnchorChoiceStrategy.ROUND_ROBIN: 0,
+            AnchorChoiceStrategy.FULL_GROUPS: 1,
+            AnchorChoiceStrategy.FIRST_REPORTED: 2,
+        }[config.anchor_choice_strategy]
+
+        arrays = assemble_chunk_seed_arrays(jobs)
+        total_seeds = arrays.total_seeds
+        buffer = arrays.buffer
+
+        # ---- stage 1: device group discovery, one error class at a time,
+        # async across blocks (sync once at the end of the stage) ----
+        pending = []  # (device results, gids, n_real)
+        for errors in np.unique(arrays.errors_g).tolist():
+            sel = np.flatnonzero(arrays.errors_g == errors)
+            lengths = arrays.length_g[sel]
+            uniq_lens, len_class = np.unique(lengths, return_inverse=True)
+            class_searches = [
+                expand_scheme(errors, int(length)) for length in uniq_lens
+            ]
+            tables = SchemeTables.from_length_classes(class_searches)
+            pad_len = -(-int(uniq_lens.max()) // _LEN_QUANTUM) * _LEN_QUANTUM
+            max_iterations = (
+                pad_len + int(errors) + 2 * tables.num_parts + 2
+            )
+            # gather all patterns of this class: [n_sel, pad_len]
+            gather = arrays.offsets_g[sel][:, None] + np.arange(
+                pad_len, dtype=np.int64
+            )
+            in_range = (
+                np.arange(pad_len, dtype=np.int64)[None, :]
+                < lengths[:, None]
+            )
+            patterns = np.where(
+                in_range,
+                buffer[np.minimum(gather, buffer.shape[0] - 1)],
+                0,
+            ).astype(np.int32)
+
+            for base in range(0, sel.shape[0], _BLOCK_SEEDS):
+                stop = min(base + _BLOCK_SEEDS, sel.shape[0])
+                n_real = stop - base
+                padded = np.zeros((_BLOCK_SEEDS, pad_len), dtype=np.int32)
+                padded[:n_real] = patterns[base:stop]
+                seed_class = np.full(
+                    _BLOCK_SEEDS, tables.dead_class, dtype=np.int32
+                )
+                seed_class[:n_real] = len_class[base:stop]
+                out = self._run_block(
+                    padded,
+                    seed_class,
+                    tables,
+                    _BLOCK_FRONTIER,
+                    _BLOCK_REPORTS,
+                    max_iterations,
+                )
+                pending.append((out, sel[base:stop], n_real))
+
+        report_rows = []  # each [k, 5]: gid, lb, lb_rev, len, err
+        overflow_gids = []
+        for (reports, num_reports, overflow), gids, n_real in pending:
+            reports = np.asarray(reports)[: int(num_reports)]
+            overflow = np.asarray(overflow)
+            local = reports[:, 4]
+            keep = local < n_real
+            rows = np.empty((int(keep.sum()), 5), dtype=np.int64)
+            rows[:, 0] = gids[local[keep]]
+            rows[:, 1:] = reports[keep, :4]
+            report_rows.append(rows)
+            overflow_gids.append(gids[np.flatnonzero(overflow[:n_real])])
+
+        redo = np.unique(np.concatenate(overflow_gids)) if overflow_gids else np.zeros(0, dtype=np.int64)
+        redo_set_mask = np.zeros(total_seeds, dtype=bool)
+        redo_set_mask[redo] = True
+
+        # ---- stage 2: vectorized dedup + canonical per-seed ordering ----
+        rep = (
+            np.concatenate(report_rows)
+            if report_rows
+            else np.zeros((0, 5), dtype=np.int64)
+        )
+        if rep.shape[0]:
+            rep = rep[~redo_set_mask[rep[:, 0]]]
+        if rep.shape[0]:
+            # canonical order (gid, errors, lb, len); dedup on the same key
+            order = np.lexsort((rep[:, 3], rep[:, 1], rep[:, 4], rep[:, 0]))
+            rep = rep[order]
+            key = rep[:, [0, 4, 1, 3]]
+            first = np.ones(rep.shape[0], dtype=bool)
+            first[1:] = np.any(key[1:] != key[:-1], axis=1)
+            rep = rep[first]
+        gid_of_group = rep[:, 0]
+        groups_flat = rep[:, [1, 2, 3, 4]]
+
+        group_counts = np.bincount(gid_of_group, minlength=total_seeds)
+        group_starts = np.zeros(total_seeds + 1, dtype=np.int64)
+        np.cumsum(group_counts, out=group_starts[1:])
+        totals = np.zeros(total_seeds, dtype=np.int64)
+        np.add.at(totals, gid_of_group, groups_flat[:, 2])
+        statuses = np.zeros(total_seeds, dtype=np.int64)
+
+        # ---- stage 3: native anchor selection over the found groups ----
+        out = native_select_from_groups_batch(
+            self.index,
+            groups_flat,
+            group_starts,
+            totals,
+            statuses,
+            config.max_num_anchors_hard,
+            config.max_num_anchors_soft,
+            order_code,
+            choice_code,
+            config.erase_useless_anchors,
+            self._host.num_threads,
+        )
+        if out is None:  # library vanished mid-run; per-query fallback
+            return [self.search_seeds(s, q) for s, q in jobs]
+        anchors_arr, counts = out
+
+        nw_g = np.zeros(total_seeds, dtype=np.int64)
+        kept_raw_g = np.zeros(total_seeds, dtype=np.int64)
+        kept_useful_g = np.zeros(total_seeds, dtype=np.int64)
+        excluded_soft_g = np.zeros(total_seeds, dtype=np.int64)
+        rows_parts: list[np.ndarray] = []
+        gid_parts: list[np.ndarray] = []
+
+        status = counts[:, 0]
+        nw = counts[:, 1]
+        ok = ((status & 6) == 0) & ~redo_set_mask
+        nw = np.where(ok, nw, 0)
+        sub = np.flatnonzero(ok)
+        nw_g[sub] = nw[sub]
+        kept_raw_g[sub] = counts[sub, 2]
+        kept_useful_g[sub] = counts[sub, 3]
+        excluded_soft_g[sub] = counts[sub, 4] - counts[sub, 2]
+        valid = (
+            np.arange(anchors_arr.shape[1], dtype=np.int64)[None, :]
+            < nw[:, None]
+        )
+        rows_parts.append(anchors_arr[valid])
+        gid_parts.append(np.repeat(np.arange(total_seeds), nw))
+
+        # ---- stage 4: native DFS redo for device-overflow seeds ----
+        if redo.shape[0]:
+            redo_key = (
+                arrays.length_g[redo] * 4096 + arrays.errors_g[redo]
+            )
+            for key_value in np.unique(redo_key).tolist():
+                cls_sel = redo[redo_key == key_value]
+                length, errors = key_value // 4096, key_value % 4096
+                out = native_search_select_batch_offsets(
+                    self.index,
+                    buffer,
+                    arrays.offsets_g[cls_sel],
+                    expand_scheme(int(errors), int(length)),
+                    self._host.search_cap(),
+                    config.max_num_anchors_hard,
+                    config.max_num_anchors_soft,
+                    order_code,
+                    choice_code,
+                    config.erase_useless_anchors,
+                    self._host.num_threads,
+                )
+                if out is None:
+                    return [self.search_seeds(s, q) for s, q in jobs]
+                r_anchors, r_counts = out
+                r_status = r_counts[:, 0]
+                r_nw = np.where((r_status & 6) == 0, r_counts[:, 1], 0)
+                r_ok = np.flatnonzero((r_status & 6) == 0)
+                nw_g[cls_sel[r_ok]] = r_nw[r_ok]
+                kept_raw_g[cls_sel[r_ok]] = r_counts[r_ok, 2]
+                kept_useful_g[cls_sel[r_ok]] = r_counts[r_ok, 3]
+                excluded_soft_g[cls_sel[r_ok]] = (
+                    r_counts[r_ok, 4] - r_counts[r_ok, 2]
+                )
+                r_valid = (
+                    np.arange(r_anchors.shape[1], dtype=np.int64)[None, :]
+                    < r_nw[:, None]
+                )
+                rows_parts.append(r_anchors[r_valid])
+                gid_parts.append(np.repeat(cls_sel, r_nw))
+                # native-side group-buffer overflow (status&2) would need a
+                # third fallback tier; the buffer is sized past the hard
+                # cap, so it cannot trigger outside first_reported abuse —
+                # guard anyway by re-searching per seed on the host
+                hard_redo = np.flatnonzero(r_status & 2)
+                for gid in cls_sel[hard_redo].tolist():
+                    self._redo_seed_host(
+                        int(gid), arrays, jobs, nw_g, kept_raw_g,
+                        kept_useful_g, excluded_soft_g, rows_parts,
+                        gid_parts,
+                    )
+
+        return build_soa_results(
+            arrays,
+            nw_g,
+            kept_raw_g,
+            kept_useful_g,
+            excluded_soft_g,
+            rows_parts,
+            gid_parts,
+        )
+
+    def _redo_seed_host(
+        self, gid, arrays, jobs, nw_g, kept_raw_g, kept_useful_g,
+        excluded_soft_g, rows_parts, gid_parts,
+    ):
+        """Last-resort per-seed host redo (native group buffer overflow)."""
+        from .search_host import search_seed_groups
+
+        job_idx = int(arrays.job_g[gid])
+        seed_idx = gid - int(arrays.job_seed_base[job_idx])
+        seeds, query = jobs[job_idx]
+        qpos = int(arrays.qpos_g[gid])
+        length = int(arrays.length_g[gid])
+        groups, total, _ = search_seed_groups(
+            self.index,
+            query[qpos : qpos + length],
+            int(arrays.errors_g[gid]),
+            self._host.search_cap(),
+        )
+        aos = self._host.process_seed_groups(seeds[seed_idx], groups, total)
+        rows = np.array(
+            [
+                (a.reference_id, a.reference_position, a.num_errors)
+                for anchors in aos.anchors_by_reference
+                for a in anchors
+            ],
+            dtype=np.int64,
+        ).reshape(-1, 3)
+        nw_g[gid] = rows.shape[0]
+        kept_raw_g[gid] = aos.num_kept_raw_anchors
+        kept_useful_g[gid] = aos.num_kept_useful_anchors
+        excluded_soft_g[gid] = aos.num_excluded_raw_anchors_by_soft_cap
+        rows_parts.append(rows)
+        gid_parts.append(np.full(rows.shape[0], gid, dtype=np.int64))
 
     def search_seeds(self, seeds, query):
         from .schemes import expand_scheme
@@ -547,6 +860,16 @@ class ShardedDeviceSearcher(DeviceSearcher):
         self.index = host_searcher.index
         self.num_reference_sequences = host_searcher.num_reference_sequences
         self.config = host_searcher.config
+
+    def _run_block(
+        self, padded, seed_class, tables, frontier_cap, report_cap, max_iter
+    ):
+        from .parallel.sharded_index import sharded_frontier_search
+
+        return sharded_frontier_search(
+            self._mesh, self._sh, padded, seed_class, tables,
+            frontier_cap, report_cap, max_iter,
+        )
 
     def _run_search(self, patterns, errors, expanded):
         from .parallel.sharded_index import sharded_frontier_search

@@ -108,3 +108,152 @@ def test_device_search_k3(indexes):
         )
         got = sorted((lb, ln, er) for lb, _, ln, er in device_groups[i])
         assert got == want, f"seed {i}"
+
+
+def _result_view(result, num_references):
+    """(counters, anchor rows) per seed, normalized across SoA/object."""
+    per_seed = []
+    for aos in result.anchors_by_seed:
+        if aos.rows is not None:
+            rows = [tuple(r) for r in aos.rows.tolist()]
+        else:
+            rows = []
+            for anchors in aos.anchors_by_reference:
+                rows.extend(
+                    (a.reference_id, a.reference_position, a.num_errors)
+                    for a in anchors
+                )
+        per_seed.append(
+            (
+                aos.num_kept_useful_anchors,
+                aos.num_kept_raw_anchors,
+                aos.num_excluded_raw_anchors_by_soft_cap,
+                rows,
+            )
+        )
+    return per_seed
+
+
+def _make_chunk_jobs(sequences, rng, num_queries, seed_len_range, k):
+    """Synthetic chunk jobs: queries sampled from the indexed text with
+    scattered mutations, PEX-like seed lists of varying lengths."""
+    from floxer_tpu.pex import Seed
+
+    jobs = []
+    for q in range(num_queries):
+        source = sequences[q % len(sequences)]
+        qlen = int(rng.integers(60, 120))
+        start = int(rng.integers(0, len(source) - qlen))
+        query = source[start : start + qlen].copy()
+        for _ in range(int(rng.integers(0, 4))):
+            pos = int(rng.integers(0, qlen))
+            query[pos] = 1 + (query[pos] % 4)
+        seeds = []
+        pos = 0
+        leaf = 0
+        while pos + seed_len_range[0] <= qlen:
+            length = int(rng.integers(seed_len_range[0], seed_len_range[1]))
+            length = min(length, qlen - pos)
+            if length < seed_len_range[0]:
+                break
+            seeds.append(
+                Seed(
+                    query_position=pos,
+                    length=length,
+                    num_errors=int(rng.integers(0, k + 1)),
+                    pex_leaf_index=leaf,
+                )
+            )
+            pos += length
+            leaf += 1
+        if seeds:
+            jobs.append((seeds, query))
+    return jobs
+
+
+@pytest.mark.parametrize("config_kwargs", [
+    {},
+    {"anchor_group_order": "errors_first", "anchor_choice_strategy": "full_groups"},
+    {"erase_useless_anchors": False},
+])
+def test_chunk_device_search_matches_host_chunk(indexes, config_kwargs):
+    """DeviceSearcher.search_seeds_many == Searcher.search_seeds_many for a
+    whole chunk of jobs with mixed seed lengths and error counts."""
+    from floxer_tpu.search_device import DeviceSearcher
+    from floxer_tpu.search_host import (
+        AnchorChoiceStrategy,
+        AnchorGroupOrder,
+        SearchConfig,
+        Searcher,
+    )
+
+    host, device, sequences = indexes
+    kwargs = dict(config_kwargs)
+    if "anchor_group_order" in kwargs:
+        kwargs["anchor_group_order"] = AnchorGroupOrder(
+            kwargs["anchor_group_order"]
+        )
+    if "anchor_choice_strategy" in kwargs:
+        kwargs["anchor_choice_strategy"] = AnchorChoiceStrategy(
+            kwargs["anchor_choice_strategy"]
+        )
+    config = SearchConfig(**kwargs)
+    searcher = Searcher(
+        index=host, num_reference_sequences=len(sequences), config=config
+    )
+    device_searcher = DeviceSearcher(searcher, device)
+
+    rng = np.random.default_rng(2024)
+    jobs = _make_chunk_jobs(sequences, rng, 12, (10, 18), k=2)
+    assert len(jobs) >= 10
+
+    # oracle: the per-query device path (same canonical group order; the
+    # chunk path must be an exact batching of it even where the anchor
+    # caps bind and group order departs from DFS emission order)
+    want = [device_searcher.search_seeds(s, q) for s, q in jobs]
+    got = device_searcher.search_seeds_many(jobs)
+    assert len(got) == len(want)
+    for j, (w, g) in enumerate(zip(want, got)):
+        assert _result_view(g, 2) == _result_view(w, 2), f"job {j}"
+
+
+def test_chunk_device_search_matches_host_when_caps_dont_bind(indexes):
+    """With long seeds (few anchors per seed) the caps never bind and the
+    chunk device path must equal the host chunk path exactly."""
+    from floxer_tpu.search_device import DeviceSearcher
+    from floxer_tpu.search_host import SearchConfig, Searcher
+
+    host, device, sequences = indexes
+    searcher = Searcher(
+        index=host, num_reference_sequences=len(sequences),
+        config=SearchConfig(),
+    )
+    device_searcher = DeviceSearcher(searcher, device)
+    rng = np.random.default_rng(31)
+    jobs = _make_chunk_jobs(sequences, rng, 10, (22, 30), k=2)
+    want = searcher.search_seeds_many(jobs)
+    got = device_searcher.search_seeds_many(jobs)
+    assert len(got) == len(want)
+    for j, (w, g) in enumerate(zip(want, got)):
+        assert _result_view(g, 2) == _result_view(w, 2), f"job {j}"
+
+
+def test_chunk_device_search_empty_and_tiny(indexes):
+    from floxer_tpu.search_device import DeviceSearcher
+    from floxer_tpu.search_host import SearchConfig, Searcher
+    from floxer_tpu.pex import Seed
+
+    host, device, sequences = indexes
+    searcher = Searcher(
+        index=host, num_reference_sequences=len(sequences),
+        config=SearchConfig(),
+    )
+    device_searcher = DeviceSearcher(searcher, device)
+    assert device_searcher.search_seeds_many([]) == []
+
+    # one job, one exact seed
+    query = sequences[0][50:80].copy()
+    jobs = [([Seed(0, 14, 0, 0)], query)]
+    want = searcher.search_seeds_many(jobs)
+    got = device_searcher.search_seeds_many(jobs)
+    assert _result_view(got[0], 2) == _result_view(want[0], 2)
