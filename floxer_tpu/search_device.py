@@ -49,13 +49,23 @@ _OP_M, _OP_I, _OP_D = 0, 1, 2
 
 
 # chunk-level batching geometry: seeds per device dispatch and the shared
-# frontier/report budgets of one dispatch. 256 seeds x ~14 seeds/query
-# collapses a 250-read chunk into ~30 device calls per error class instead
-# of one call per (query, length class) — the difference between the
-# tunnel's per-dispatch latency dominating and amortizing away.
-_BLOCK_SEEDS = 256
-_BLOCK_FRONTIER = 1 << 15  # ~128 in-flight states per seed, shared pool
-_BLOCK_REPORTS = 1 << 13  # ~32 anchor groups per seed, shared pool
+# frontier/report budgets of one dispatch. 256 seeds per block collapses a
+# 250-read chunk (~50-100k seeds at longread error budgets) into a few
+# hundred device calls instead of one call per (query, length class) — the
+# difference between per-dispatch latency dominating and amortizing away.
+# The frontier budget is SHARED across a block's seeds (live states are
+# bursty and anti-correlated); seeds whose states or reports get evicted
+# are re-searched by the native DFS. Env-tunable for per-chip calibration:
+# iteration cost scales with FRONTIER, eviction rate falls with it.
+import os as _os
+
+_BLOCK_SEEDS = int(_os.environ.get("FLOXER_TPU_SEARCH_BLOCK_SEEDS", 256))
+_BLOCK_FRONTIER = int(
+    _os.environ.get("FLOXER_TPU_SEARCH_BLOCK_FRONTIER", 1 << 15)
+)
+_BLOCK_REPORTS = int(
+    _os.environ.get("FLOXER_TPU_SEARCH_BLOCK_REPORTS", 1 << 13)
+)
 _LEN_QUANTUM = 32  # pattern pad quantum: bounds the jit key count
 
 
