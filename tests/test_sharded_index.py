@@ -142,3 +142,36 @@ def test_sharded_frontier_search_matches_replicated(errors):
         np.asarray(want_reports)[: int(want_n)],
     )
     assert np.array_equal(np.asarray(got_overflow), np.asarray(want_overflow))
+
+
+def test_sharded_chunk_search_matches_host_chunk():
+    """ShardedDeviceSearcher.search_seeds_many (inherited chunk-level
+    batching over the shard_map frontier) == host chunk search on a
+    cap-free workload with mixed seed lengths and error counts."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+
+    from floxer_tpu.search_device import make_sharded_searcher
+    from floxer_tpu.search_host import SearchConfig, Searcher
+    from tests.test_search_device import _make_chunk_jobs, _result_view
+
+    rng = np.random.default_rng(77)
+    sequences = [
+        rng.integers(1, 5, size=2500).astype(np.uint8),
+        rng.integers(1, 5, size=800).astype(np.uint8),
+    ]
+    host = FmIndex(sequences)
+    searcher = Searcher(
+        index=host, num_reference_sequences=len(sequences),
+        config=SearchConfig(),
+    )
+    sharded = make_sharded_searcher(searcher, host, 4)
+
+    jobs = _make_chunk_jobs(sequences, rng, 6, (20, 28), k=2)
+    want = searcher.search_seeds_many(jobs)
+    got = sharded.search_seeds_many(jobs)
+    assert len(got) == len(want)
+    for j, (w, g) in enumerate(zip(want, got)):
+        assert _result_view(g, 2) == _result_view(w, 2), f"job {j}"
