@@ -296,40 +296,80 @@ class FmIndex:
     # ------------------------------------------------------------------
 
     def save(self, path) -> None:
-        # zlib on multi-GB occurrence tables costs tens of minutes at
-        # hg38 scale; beyond 256 Mbp the artifact is written uncompressed
+        # Format v2: rank sequences (values 0..5) are nibble-packed two
+        # symbols per byte, and the occ checkpoints / SA samples are
+        # stored as uint32 whenever n < 2^32 — an hg38-scale artifact
+        # drops from ~23 GB to ~11 GB (the reference's cereal archive is
+        # ~11 GB at the same sampling rate, floxer.cpp:90-92), and the
+        # multi-GB write/read go twice as fast. In-RAM layout after load
+        # is unchanged (uint8 symbols, int64 tables — what the native
+        # query paths consume). zlib would shave more but costs tens of
+        # minutes at hg38 scale; beyond 256 Mbp write uncompressed.
         writer = (
             np.savez_compressed if self.n < (1 << 28) else np.savez
         )
+        narrow = np.uint32 if self.n < (1 << 32) else np.int64
         writer(
             path,
-            format_version=np.int64(1),
+            format_version=np.int64(2),
+            n=np.int64(self.n),
             sampling_rate=np.int64(self.sampling_rate),
-            text=self.text,
+            text=_pack_nibbles(self.text),
             seq_starts=self.seq_starts,
             seq_lengths=self.seq_lengths,
-            fwd_bwt=self.fwd.bwt,
-            fwd_occ=self.fwd.occ_checkpoints,
-            rev_bwt=self.rev.bwt,
-            rev_occ=self.rev.occ_checkpoints,
+            fwd_bwt=_pack_nibbles(self.fwd.bwt),
+            fwd_occ=self.fwd.occ_checkpoints.astype(narrow),
+            rev_bwt=_pack_nibbles(self.rev.bwt),
+            rev_occ=self.rev.occ_checkpoints.astype(narrow),
             C=self.C,
-            sampled_rows=self.sampled_rows,
-            sampled_values=self.sampled_values,
+            sampled_rows=self.sampled_rows.astype(narrow),
+            sampled_values=self.sampled_values.astype(narrow),
         )
 
     @classmethod
     def load(cls, path) -> "FmIndex":
         data = np.load(path)
+        version = int(data["format_version"])
         obj = cls.__new__(cls)
         obj.sampling_rate = int(data["sampling_rate"])
-        obj.text = data["text"]
         obj.seq_starts = data["seq_starts"]
         obj.seq_lengths = data["seq_lengths"]
         obj.num_sequences = len(obj.seq_starts)
+        obj.C = data["C"]
+        if version >= 2:
+            obj.n = int(data["n"])
+            obj.text = _unpack_nibbles(data["text"], obj.n)
+            obj.fwd = _SingleIndex(
+                _unpack_nibbles(data["fwd_bwt"], obj.n),
+                data["fwd_occ"].astype(np.int64),
+            )
+            obj.rev = _SingleIndex(
+                _unpack_nibbles(data["rev_bwt"], obj.n),
+                data["rev_occ"].astype(np.int64),
+            )
+            obj.sampled_rows = data["sampled_rows"].astype(np.int64)
+            obj.sampled_values = data["sampled_values"].astype(np.int64)
+            return obj
+        obj.text = data["text"]
         obj.n = obj.text.shape[0]
         obj.fwd = _SingleIndex(data["fwd_bwt"], data["fwd_occ"])
         obj.rev = _SingleIndex(data["rev_bwt"], data["rev_occ"])
-        obj.C = data["C"]
         obj.sampled_rows = data["sampled_rows"]
         obj.sampled_values = data["sampled_values"]
         return obj
+
+
+def _pack_nibbles(symbols: np.ndarray) -> np.ndarray:
+    """uint8 values 0..15 -> two symbols per byte (low nibble first)."""
+    if symbols.shape[0] % 2:
+        symbols = np.concatenate(
+            [symbols, np.zeros(1, dtype=np.uint8)]
+        )
+    return symbols[0::2] | (symbols[1::2] << np.uint8(4))
+
+
+def _unpack_nibbles(packed: np.ndarray, n: int) -> np.ndarray:
+    out = np.empty(packed.shape[0] * 2, dtype=np.uint8)
+    out[0::2] = packed & np.uint8(0x0F)
+    out[1::2] = packed >> np.uint8(4)
+    return out[:n]

@@ -171,3 +171,67 @@ def test_scheme_search_exactness(k):
             assert any(abs(p - e) <= k for e in expected), (
                 f"spurious anchor at {p}"
             )
+
+
+def test_save_load_round_trip_v2(tmp_path):
+    """Format-v2 artifact (nibble-packed symbols, narrow tables) loads back
+    to a bit-identical in-RAM index, including odd text lengths."""
+    rng = np.random.default_rng(3)
+    sequences = [
+        rng.integers(1, 5, size=501).astype(np.uint8),  # odd total with $
+        rng.integers(1, 5, size=250).astype(np.uint8),
+    ]
+    index = FmIndex(sequences)
+    path = tmp_path / "idx.npz"
+    index.save(path)
+    loaded = FmIndex.load(path)
+    assert loaded.n == index.n
+    assert loaded.sampling_rate == index.sampling_rate
+    assert np.array_equal(loaded.text, index.text)
+    assert loaded.text.dtype == np.uint8
+    for direction in ("fwd", "rev"):
+        got, want = getattr(loaded, direction), getattr(index, direction)
+        assert np.array_equal(got.bwt, want.bwt)
+        assert got.bwt.dtype == np.uint8
+        assert np.array_equal(got.occ_checkpoints, want.occ_checkpoints)
+        assert got.occ_checkpoints.dtype == np.int64
+    assert np.array_equal(loaded.C, index.C)
+    assert np.array_equal(loaded.sampled_rows, index.sampled_rows)
+    assert loaded.sampled_rows.dtype == np.int64
+    assert np.array_equal(loaded.sampled_values, index.sampled_values)
+    assert np.array_equal(loaded.seq_starts, index.seq_starts)
+    assert np.array_equal(loaded.seq_lengths, index.seq_lengths)
+    # the artifact really is smaller than the raw tables
+    raw = (
+        index.text.nbytes + index.fwd.bwt.nbytes + index.rev.bwt.nbytes
+        + index.fwd.occ_checkpoints.nbytes + index.rev.occ_checkpoints.nbytes
+        + index.sampled_rows.nbytes + index.sampled_values.nbytes
+    )
+    assert path.stat().st_size < raw
+
+
+def test_load_v1_artifact(tmp_path):
+    """Pre-packing artifacts (format_version 1) still load."""
+    rng = np.random.default_rng(4)
+    sequences = [rng.integers(1, 5, size=300).astype(np.uint8)]
+    index = FmIndex(sequences)
+    path = tmp_path / "idx_v1.npz"
+    np.savez(
+        path,
+        format_version=np.int64(1),
+        sampling_rate=np.int64(index.sampling_rate),
+        text=index.text,
+        seq_starts=index.seq_starts,
+        seq_lengths=index.seq_lengths,
+        fwd_bwt=index.fwd.bwt,
+        fwd_occ=index.fwd.occ_checkpoints,
+        rev_bwt=index.rev.bwt,
+        rev_occ=index.rev.occ_checkpoints,
+        C=index.C,
+        sampled_rows=index.sampled_rows,
+        sampled_values=index.sampled_values,
+    )
+    loaded = FmIndex.load(path)
+    assert loaded.n == index.n
+    assert np.array_equal(loaded.fwd.bwt, index.fwd.bwt)
+    assert np.array_equal(loaded.sampled_values, index.sampled_values)
