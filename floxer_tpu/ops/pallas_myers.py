@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..alphabet import SIGMA
 from .myers import WORD, build_peq_vectorized
+from .pallas_myers_banded import STATIC_BOUNDS
 
 LANES = 128
 
@@ -120,7 +121,13 @@ def _myers_kernel(
         return (tuple(new_vp), tuple(new_vn), score, best, best_end)
 
     carry = (tuple(vp0), tuple(vn0), plen, plen, jnp.zeros_like(plen))
-    carry = jax.lax.fori_loop(0, num_text, step, carry)
+    # dynamic column bound — see pallas_myers_banded._kernel: columns past
+    # the tile's max tlen never pass `eligible`, so they are dead work
+    if STATIC_BOUNDS:
+        bound = num_text
+    else:
+        bound = jnp.minimum(jnp.max(tlen_ref[:, :]), num_text)
+    carry = jax.lax.fori_loop(0, bound, step, carry)
     _, _, _, best, best_end = carry
 
     dist_ref[0, :] = best

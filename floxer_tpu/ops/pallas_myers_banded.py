@@ -68,6 +68,10 @@ from .myers import WORD
 # register spills push the other way. Sweep with
 # scripts/tpu_bench_group_size.py when the body changes.
 SUBLANES = int(os.environ.get("FLOXER_TPU_BANDED_GROUP", "32"))
+
+# kill switch: force the column loops back to the static padded bound
+# (escape hatch in case a Mosaic version rejects traced fori_loop bounds)
+STATIC_BOUNDS = bool(os.environ.get("FLOXER_TPU_STATIC_BOUNDS", ""))
 LANES = 128
 TOP_BIT = np.uint32(0x80000000)
 
@@ -270,7 +274,20 @@ def _kernel(
         m_v,
         jnp.zeros((SUBLANES, LANES), dtype=jnp.int32),
     )
-    carry = jax.lax.fori_loop(0, num_blocks, outer, init)
+    # dynamic column bound: this grid step's tasks only score columns
+    # col = j+1 < tlen, so blocks past the group's max tlen are dead work
+    # (best/best_end gate on `eligible`; no other carry reaches the
+    # outputs). Sorting tasks by window length into groups (verify_batch)
+    # makes a single padded num_text shape cost what per-shape buckets
+    # used to: each group pays only its own longest window.
+    if STATIC_BOUNDS:
+        blocks_needed = num_blocks
+    else:
+        max_tlen = jnp.max(tlen)
+        blocks_needed = jnp.minimum(
+            (max_tlen + (LANES * 8 - 1)) // (LANES * 8), num_blocks
+        )
+    carry = jax.lax.fori_loop(0, blocks_needed, outer, init)
     best, best_end = carry[8], carry[9]
     sel = last_tile_lane
     dist_ref[:, :] = jnp.sum(jnp.where(sel, best, 0), axis=1, keepdims=True)

@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..alphabet import SIGMA
 from .myers import WORD, build_peq_vectorized
+from .pallas_myers_banded import STATIC_BOUNDS
 
 SUBLANES = 8
 LANES = 128
@@ -153,7 +154,15 @@ def _kernel(
         plen_v,
         jnp.zeros((SUBLANES, Wp), dtype=jnp.int32),
     )
-    _, _, _, best, best_end = jax.lax.fori_loop(0, num_blocks, outer, init)
+    # dynamic column bound — see pallas_myers_banded._kernel: columns past
+    # the group's max tlen never pass `eligible`, so they are dead work
+    if STATIC_BOUNDS:
+        blocks_needed = num_blocks
+    else:
+        blocks_needed = jnp.minimum(
+            (jnp.max(tlen) + (LANES - 1)) // LANES, num_blocks
+        )
+    _, _, _, best, best_end = jax.lax.fori_loop(0, blocks_needed, outer, init)
     sel = msb_select != 0
     dist_ref[:, :] = jnp.sum(jnp.where(sel, best, 0), axis=1, keepdims=True)
     end_ref[:, :] = jnp.sum(jnp.where(sel, best_end, 0), axis=1, keepdims=True)

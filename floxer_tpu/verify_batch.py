@@ -345,16 +345,29 @@ class _TaskBatcher:
                 return band_tiles * 128
             return None
 
+        def window_bucket(n):
+            # with the resident gather path the per-task window transfer is
+            # offsets-only and the kernels' dynamic column bounds make the
+            # n padding compute-free, so quantize coarsely (power of two):
+            # far fewer compiled shapes per process — each remote Mosaic
+            # compile costs ~0.5-1 s on this backend
+            if self.resident is not None:
+                size = 256
+                while size < n:
+                    size *= 2
+                return size
+            return bucket_at_least(n, 256)
+
         buckets: dict[tuple, list[int]] = {}
         for i, (pattern, window) in enumerate(zip(self.patterns, self.windows)):
             bw = banded_words_for(i)
             if bw is not None:
-                key = ("banded", bw, bucket_at_least(len(window), 256))
+                key = ("banded", bw, window_bucket(len(window)))
             else:
                 key = (
                     "full",
                     bucket_at_least(len(pattern), 128),
-                    bucket_at_least(len(window), 256),
+                    window_bucket(len(window)),
                 )
             buckets.setdefault(key, []).append(i)
 
@@ -378,6 +391,13 @@ class _TaskBatcher:
             buckets[merged_key] = (
                 buckets.get(merged_key, []) + merged_slots
             )
+
+        # the kernels' column loops stop at each sublane GROUP's longest
+        # window (dynamic bounds): sort slots by window length so groups
+        # are homogeneous and short-window groups exit early. Result
+        # placement is order-independent (distances[slots] scatters).
+        for slots in buckets.values():
+            slots.sort(key=lambda i: len(self.windows[i]), reverse=True)
 
         import logging as _logging
         import time as _time
