@@ -251,20 +251,44 @@ class DeviceSearcher:
         np.add.at(totals, gid_of_group, groups_flat[:, 2])
         statuses = np.zeros(total_seeds, dtype=np.int64)
 
-        # ---- stage 3: native anchor selection over the found groups ----
-        out = native_select_from_groups_batch(
-            self.index,
-            groups_flat,
-            group_starts,
-            totals,
-            statuses,
-            config.max_num_anchors_hard,
-            config.max_num_anchors_soft,
-            order_code,
-            choice_code,
-            config.erase_useless_anchors,
-            self._host.num_threads,
-        )
+        # ---- stage 3: anchor selection over the found groups ----
+        # On device (caps, ordering, choice, locate, dominance as batched
+        # segmented ops — search_select_device, bit-identical to the native
+        # select) when FLOXER_TPU_DEVICE_SELECT is set; native C++ otherwise
+        # (one dispatch per chunk through the tunnel is a latency trade
+        # that needs per-deployment calibration).
+        out = None
+        if os.environ.get("FLOXER_TPU_DEVICE_SELECT") and getattr(
+            self, "_device_index", None
+        ) is not None:
+            from .search_select_device import device_select_from_groups_batch
+
+            out = device_select_from_groups_batch(
+                self._device_index,
+                groups_flat,
+                group_starts,
+                totals,
+                statuses,
+                config.max_num_anchors_hard,
+                config.max_num_anchors_soft,
+                order_code,
+                choice_code,
+                config.erase_useless_anchors,
+            )
+        if out is None:
+            out = native_select_from_groups_batch(
+                self.index,
+                groups_flat,
+                group_starts,
+                totals,
+                statuses,
+                config.max_num_anchors_hard,
+                config.max_num_anchors_soft,
+                order_code,
+                choice_code,
+                config.erase_useless_anchors,
+                self._host.num_threads,
+            )
         if out is None:  # library vanished mid-run; per-query fallback
             return [self.search_seeds(s, q) for s, q in jobs]
         anchors_arr, counts = out

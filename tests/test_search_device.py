@@ -257,3 +257,52 @@ def test_chunk_device_search_empty_and_tiny(indexes):
     want = searcher.search_seeds_many(jobs)
     got = device_searcher.search_seeds_many(jobs)
     assert _result_view(got[0], 2) == _result_view(want[0], 2)
+
+
+@pytest.mark.parametrize("config_kwargs", [
+    {},
+    {"anchor_group_order": "errors_first",
+     "anchor_choice_strategy": "full_groups"},
+    {"anchor_choice_strategy": "first_reported"},
+    {"erase_useless_anchors": False},
+    {"max_num_anchors_hard": 40, "max_num_anchors_soft": 7},
+])
+def test_chunk_device_search_with_device_select(indexes, config_kwargs):
+    """FLOXER_TPU_DEVICE_SELECT=1 routes stage 3 (caps, ordering, choice,
+    locate, dominance) through search_select_device — the fully on-device
+    pipeline must match the native-select chunk path exactly."""
+    import os
+    from unittest import mock
+
+    from floxer_tpu.search_device import DeviceSearcher
+    from floxer_tpu.search_host import (
+        AnchorChoiceStrategy,
+        AnchorGroupOrder,
+        SearchConfig,
+        Searcher,
+    )
+
+    host, device, sequences = indexes
+    kwargs = dict(config_kwargs)
+    if "anchor_group_order" in kwargs:
+        kwargs["anchor_group_order"] = AnchorGroupOrder(
+            kwargs["anchor_group_order"]
+        )
+    if "anchor_choice_strategy" in kwargs:
+        kwargs["anchor_choice_strategy"] = AnchorChoiceStrategy(
+            kwargs["anchor_choice_strategy"]
+        )
+    config = SearchConfig(**kwargs)
+    searcher = Searcher(
+        index=host, num_reference_sequences=len(sequences), config=config
+    )
+    device_searcher = DeviceSearcher(searcher, device)
+
+    rng = np.random.default_rng(4096)
+    jobs = _make_chunk_jobs(sequences, rng, 12, (10, 18), k=2)
+    want = device_searcher.search_seeds_many(jobs)
+    with mock.patch.dict(os.environ, {"FLOXER_TPU_DEVICE_SELECT": "1"}):
+        got = device_searcher.search_seeds_many(jobs)
+    assert len(got) == len(want)
+    for j, (w, g) in enumerate(zip(want, got)):
+        assert _result_view(g, 2) == _result_view(w, 2), f"job {j}"
