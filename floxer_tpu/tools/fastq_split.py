@@ -28,11 +28,11 @@ def main(argv=None) -> int:
 
     num_chosen = 0
     num_rest = 0
-    with open(args.chosen_output, "w") as chosen, open(
-        args.rest_output, "w"
+    with open(args.chosen_output, "wb") as chosen, open(
+        args.rest_output, "wb"
     ) as rest:
         for tag, seq, qual in read_fastq(args.input):
-            record = f"@{tag}\n{seq}\n+\n{qual}\n"
+            record = b"@" + tag.encode("ascii") + b"\n" + seq + b"\n+\n" + qual + b"\n"
             if extract_record_id(tag) in chosen_ids:
                 chosen.write(record)
                 num_chosen += 1

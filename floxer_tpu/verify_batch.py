@@ -586,16 +586,20 @@ class BatchVerifier:
                 return chain
             node = tree.parent_of(node)
 
-    def _chains_for_tree(self, tree: PexTree) -> list[list[PexNode]]:
-        """Per-leaf walk chains, memoized on the tree (trees are shared
-        across same-length queries via cached_pex_tree, so a chunk touches
-        only ~one tree per distinct read length)."""
+    def _chains_for_tree(self, tree: PexTree):
+        """Per-leaf walk chains as a lazy ChainTable, memoized on the tree
+        (trees are shared across same-length queries via cached_pex_tree;
+        only walks that actually compute ever materialize node objects)."""
+        from .pex import ChainTable
+
         cache = getattr(tree, "_chain_cache", None)
         if cache is None:
             cache = tree._chain_cache = {}
         chains = cache.get(self.kind)
         if chains is None:
-            chains = [self._chain_for(tree, leaf) for leaf in tree.leaves]
+            chains = ChainTable(
+                tree, self.kind == VerificationKind.DIRECT_FULL
+            )
             cache[self.kind] = chains
         return chains
 
@@ -608,16 +612,11 @@ class BatchVerifier:
             cache = tree._leaf_offset_cache = {}
         offsets = cache.get(extra)
         if offsets is None:
-            root = tree.root
-            offsets = np.array(
-                [
-                    leaf.query_index_from
-                    - root.query_index_from
-                    + root.num_errors
-                    + extra
-                    for leaf in tree.leaves
-                ],
-                dtype=np.int64,
+            root_row = (
+                tree.inner_arr[0] if tree.num_inner_nodes else tree.leaf_arr[0]
+            )
+            offsets = (
+                tree.leaf_arr[:, 1] - int(root_row[1]) + int(root_row[3]) + extra
             )
             cache[extra] = offsets
         return offsets
