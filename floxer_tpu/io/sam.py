@@ -23,6 +23,8 @@ import struct
 import zlib
 from dataclasses import dataclass, field
 
+from ..cigar import Cigar
+
 FLAG_UNMAPPED = 4
 FLAG_REVERSE = 16
 FLAG_SECONDARY = 256
@@ -43,7 +45,10 @@ class SamRecord:
     tags: list[tuple[str, str, int | str]] = field(default_factory=list)
 
     def to_sam_line(self) -> str:
-        cigar = "".join(f"{n}{op}" for n, op in self.cigar) or "*"
+        if isinstance(self.cigar, Cigar):
+            cigar = self.cigar.string() or "*"
+        else:
+            cigar = "".join(f"{n}{op}" for n, op in self.cigar) or "*"
         fields = [
             self.qname,
             str(self.flag),
@@ -64,6 +69,21 @@ class SamRecord:
 
 _BAM_CIGAR_OPS = "MIDNSHP=X"
 _BAM_SEQ_CODE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+
+
+def _build_bam_luts():
+    import numpy as np
+
+    op_lut = np.zeros(256, dtype=np.uint32)
+    for i, op in enumerate(_BAM_CIGAR_OPS):
+        op_lut[ord(op)] = i
+    seq_lut = np.full(256, 15, dtype=np.uint8)
+    for char, code in _BAM_SEQ_CODE.items():
+        seq_lut[ord(char)] = code
+    return op_lut, seq_lut
+
+
+_BAM_OP_LUT, _BAM_SEQ_LUT = _build_bam_luts()
 
 
 class _BgzfWriter:
@@ -173,27 +193,40 @@ class AlignmentOutput:
             self._handle.write(record.to_sam_line() + "\n")
 
     def _encode_bam_record(self, record: SamRecord) -> bytes:
+        import numpy as np
+
         ref_id = self._ref_index.get(record.rname, -1)
         pos = record.pos if record.pos >= 0 else -1
         read_name = record.qname.encode() + b"\x00"
-        cigar_packed = b"".join(
-            struct.pack("<I", (n << 4) | _BAM_CIGAR_OPS.index(op))
-            for n, op in record.cigar
-        )
+        if isinstance(record.cigar, Cigar):
+            packed = (
+                record.cigar.counts.astype(np.uint32) << 4
+            ) | _BAM_OP_LUT[record.cigar.op_chars]
+            cigar_packed = packed.astype("<u4").tobytes()
+        else:
+            cigar_packed = b"".join(
+                struct.pack("<I", (n << 4) | _BAM_CIGAR_OPS.index(op))
+                for n, op in record.cigar
+            )
         seq = record.seq
         l_seq = len(seq)
-        seq_packed = bytearray((l_seq + 1) // 2)
-        for i, base in enumerate(seq):
-            code = _BAM_SEQ_CODE.get(base.upper(), 15)
-            if i % 2 == 0:
-                seq_packed[i // 2] = code << 4
-            else:
-                seq_packed[i // 2] |= code
-        qual_packed = (
-            bytes(min(ord(q) - 33, 93) for q in record.qual)
-            if record.qual
-            else b"\xff" * l_seq
-        )
+        if l_seq:
+            codes = _BAM_SEQ_LUT[
+                np.frombuffer(seq.upper().encode("ascii"), dtype=np.uint8)
+            ]
+            if l_seq % 2:
+                codes = np.append(codes, np.uint8(0))
+            seq_packed = ((codes[0::2] << 4) | codes[1::2]).tobytes()
+        else:
+            seq_packed = b""
+        if record.qual:
+            qual_packed = np.minimum(
+                np.frombuffer(record.qual.encode("ascii"), dtype=np.uint8)
+                - 33,
+                93,
+            ).astype(np.uint8).tobytes()
+        else:
+            qual_packed = b"\xff" * l_seq
         tags_packed = bytearray()
         for tag, tag_type, value in record.tags:
             if tag_type == "i":
@@ -202,7 +235,10 @@ class AlignmentOutput:
                 tags_packed += tag.encode() + b"Z" + str(value).encode() + b"\x00"
 
         # bin computation (SAM spec reg2bin) for the record's interval
-        end = pos + sum(n for n, op in record.cigar if op in "MDN=X")
+        if isinstance(record.cigar, Cigar):
+            end = pos + record.cigar.consumed_reference_bases()
+        else:
+            end = pos + sum(n for n, op in record.cigar if op in "MDN=X")
         bin_ = _reg2bin(pos if pos >= 0 else -1, end if end > pos else pos + 1)
 
         body = bytearray()

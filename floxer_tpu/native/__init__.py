@@ -92,6 +92,15 @@ def get_library():
             i64p, u8p, ctypes.c_int64, i64p,
         ]
         lib.floxer_banded_traceback.restype = ctypes.c_int
+        lib.floxer_banded_traceback_rle.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            i64p,  # out begin
+            u8p, ctypes.c_int64,  # scratch ops
+            i64p, u8p, ctypes.c_int64, i64p,  # RLE counts/chars/cap/out runs
+            u8p, ctypes.c_int64, i64p,  # string buffer/cap/out len
+        ]
+        lib.floxer_banded_traceback_rle.restype = ctypes.c_int
         lib.floxer_search_seeds_batch.argtypes = [
             u8p, i64p, u8p, i64p, i64p, ctypes.c_int64,  # index
             u8p, ctypes.c_int64, ctypes.c_int64,  # patterns
@@ -427,18 +436,29 @@ _OP_CHARS = "=XID"
 def native_banded_traceback(
     reference: np.ndarray, query: np.ndarray, end_col: int, distance: int
 ):
-    """Native banded CIGAR traceback; (begin, cigar) or None if unavailable."""
+    """Native banded CIGAR traceback; (begin, Cigar) or None if unavailable.
+
+    The C++ side run-length-encodes the op walk and formats the SAM CIGAR
+    string in the same call (floxer_banded_traceback_rle) — per-op/per-run
+    Python loops here were a measured hotspot of the output stage."""
     lib = get_library()
     if lib is None:
         return None
+    from ..cigar import Cigar
+
     reference = np.ascontiguousarray(reference, dtype=np.uint8)
     query = np.ascontiguousarray(query, dtype=np.uint8)
     m = query.shape[0]
     max_ops = m + max(distance, 0) + 8
-    out_ops = np.empty(max_ops, dtype=np.uint8)
+    scratch_ops = np.empty(max_ops, dtype=np.uint8)
     out_begin = np.zeros(1, dtype=np.int64)
-    out_num_ops = np.zeros(1, dtype=np.int64)
-    status = lib.floxer_banded_traceback(
+    out_counts = np.empty(max_ops, dtype=np.int64)
+    out_op_chars = np.empty(max_ops, dtype=np.uint8)
+    out_num_runs = np.zeros(1, dtype=np.int64)
+    max_str = 21 * max_ops + 8
+    out_str = np.empty(max_str, dtype=np.uint8)
+    out_str_len = np.zeros(1, dtype=np.int64)
+    status = lib.floxer_banded_traceback_rle(
         _as_u8p(reference),
         ctypes.c_int64(reference.shape[0]),
         _as_u8p(query),
@@ -446,20 +466,24 @@ def native_banded_traceback(
         ctypes.c_int64(end_col),
         ctypes.c_int64(distance),
         _as_i64p(out_begin),
-        _as_u8p(out_ops),
+        _as_u8p(scratch_ops),
         ctypes.c_int64(max_ops),
-        _as_i64p(out_num_ops),
+        _as_i64p(out_counts),
+        _as_u8p(out_op_chars),
+        ctypes.c_int64(max_ops),
+        _as_i64p(out_num_runs),
+        _as_u8p(out_str),
+        ctypes.c_int64(max_str),
+        _as_i64p(out_str_len),
     )
     if status != 0:
         return None
-    ops = out_ops[: int(out_num_ops[0])]
-    cigar: list[tuple[int, str]] = []
-    for op_code in ops:
-        op = _OP_CHARS[op_code]
-        if cigar and cigar[-1][1] == op:
-            cigar[-1] = (cigar[-1][0] + 1, op)
-        else:
-            cigar.append((1, op))
+    runs = int(out_num_runs[0])
+    cigar = Cigar(
+        out_counts[:runs].copy(),
+        out_op_chars[:runs].copy(),
+        out_str[: int(out_str_len[0])].tobytes().decode("ascii"),
+    )
     return int(out_begin[0]), cigar
 
 

@@ -559,4 +559,58 @@ int floxer_banded_traceback(const uint8_t* ref, int64_t n, const uint8_t* query,
         out_num_ops);
 }
 
+// Traceback + run-length encoding + CIGAR string formatting in one call:
+// a 20 kb read carries ~22k ops / ~2k runs, and formatting those in Python
+// costs more than the band fill itself (profiled; the SAM writer's
+// f-string join dominated). scratch_ops is caller-provided (>= max_ops).
+int floxer_banded_traceback_rle(
+    const uint8_t* ref, int64_t n, const uint8_t* query,
+    int64_t m, int64_t end_col, int64_t distance,
+    int64_t* out_begin,
+    uint8_t* scratch_ops, int64_t max_ops,
+    int64_t* out_counts, uint8_t* out_op_chars, int64_t max_runs,
+    int64_t* out_num_runs,
+    uint8_t* out_str, int64_t max_str, int64_t* out_str_len) {
+    int64_t num_ops = 0;
+    int const status = floxer_banded_traceback(
+        ref, n, query, m, end_col, distance, out_begin, scratch_ops, max_ops,
+        &num_ops);
+    if (status != 0) return status;
+    static char const kOpChar[4] = {'=', 'X', 'I', 'D'};
+    int64_t runs = 0;
+    int64_t str_len = 0;
+    int64_t i = 0;
+    while (i < num_ops) {
+        uint8_t const op = scratch_ops[i];
+        int64_t j = i + 1;
+        while (j < num_ops && scratch_ops[j] == op) j++;
+        if (runs >= max_runs) return 4;
+        int64_t const count = j - i;
+        char const op_char = op < 4 ? kOpChar[op] : '?';
+        out_counts[runs] = count;
+        out_op_chars[runs] = static_cast<uint8_t>(op_char);
+        char buf[24];
+        int len = 0;
+        {
+            int64_t v = count;
+            char tmp[24];
+            int t = 0;
+            do {
+                tmp[t++] = static_cast<char>('0' + v % 10);
+                v /= 10;
+            } while (v);
+            while (t) buf[len++] = tmp[--t];
+        }
+        if (str_len + len + 1 > max_str) return 4;
+        std::memcpy(out_str + str_len, buf, static_cast<size_t>(len));
+        str_len += len;
+        out_str[str_len++] = static_cast<uint8_t>(op_char);
+        runs++;
+        i = j;
+    }
+    *out_num_runs = runs;
+    *out_str_len = str_len;
+    return 0;
+}
+
 }  // extern "C"

@@ -55,6 +55,8 @@ class QueryAlignment:
     cigar: list[tuple[int, str]] = field(default_factory=list)
 
     def cigar_string(self) -> str:
+        if hasattr(self.cigar, "string"):  # run-length Cigar container
+            return self.cigar.string() or "*"
         return "".join(f"{count}{op}" for count, op in self.cigar) or "*"
 
 

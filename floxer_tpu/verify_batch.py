@@ -48,8 +48,15 @@ def _traceback_pool():
         )
     return _TRACEBACK_POOL
 
+from .cigar import Cigar
 from .ops import dp_reference
 from .ops.dp_reference import Orientation, QueryAlignment
+
+
+def _cigar_value(cigar):
+    """Cigar containers are immutable — share them; plain op lists are
+    defensively copied (they may be memo-shared across alignments)."""
+    return cigar if isinstance(cigar, Cigar) else list(cigar)
 from .ops.myers import myers_distance
 from .pex import PexNode, PexTree
 from .search_host import Anchor, SearchResult
@@ -939,7 +946,7 @@ class BatchVerifier:
                             num_errors=level.distance,
                             orientation=walk.orientation,
                             cigar=(
-                                None if pending else list(level.cigar)
+                                None if pending else _cigar_value(level.cigar)
                             ),
                         )
                         if pending:
@@ -1232,7 +1239,7 @@ class BatchVerifier:
                             num_errors=level.distance,
                             orientation=walk.orientation,
                             cigar=(
-                                None if pending else list(level.cigar)
+                                None if pending else _cigar_value(level.cigar)
                             ),
                         )
                         if pending:
@@ -1680,7 +1687,7 @@ class BatchVerifier:
                     memo[key] = entry.result()
         for alignment, level in self._patches:
             alignment.start_in_reference = level.begin
-            alignment.cigar = list(level.cigar)
+            alignment.cigar = _cigar_value(level.cigar)
         self._patches = []
 
     last_stats_events: list = []

@@ -63,3 +63,89 @@ def test_bam_write_read_roundtrip(tmp_path):
     assert record["seq"] == "ACGTAC"
     assert record["qual"] == "IIIIII"
     assert record["tags"]["NM"] == 3
+
+
+def test_cigar_container_matches_tuple_list():
+    """The run-length Cigar container is interchangeable with the plain
+    list[(count, op)] representation everywhere a record can carry either."""
+    import numpy as np
+
+    from floxer_tpu.cigar import Cigar
+
+    counts = np.array([4, 1, 2, 3], dtype=np.int64)
+    ops = np.frombuffer(b"=XID", dtype=np.uint8)
+    cigar = Cigar(counts, ops)
+    assert cigar.string() == "4=1X2I3D"
+    assert list(cigar) == [(4, "="), (1, "X"), (2, "I"), (3, "D")]
+    assert cigar == [(4, "="), (1, "X"), (2, "I"), (3, "D")]
+    assert len(cigar) == 4
+    assert cigar[1] == (1, "X")
+    assert cigar.consumed_reference_bases() == 4 + 1 + 3  # I consumes none
+    empty = Cigar(np.zeros(0, np.int64), np.zeros(0, np.uint8))
+    assert not empty and len(empty) == 0 and empty.string() == ""
+
+
+def test_bam_record_identical_for_cigar_and_list(tmp_path):
+    """BAM encoding is byte-identical whether the record carries a Cigar
+    container (vectorized packing) or the plain tuple list (scalar path)."""
+    import numpy as np
+
+    from floxer_tpu.cigar import Cigar
+    from floxer_tpu.io.sam import AlignmentOutput, SamRecord
+
+    tuples = [(5, "="), (1, "X"), (2, "I"), (4, "="), (1, "D"), (3, "=")]
+    counts = np.array([n for n, _ in tuples], dtype=np.int64)
+    ops = np.frombuffer(
+        "".join(op for _, op in tuples).encode(), dtype=np.uint8
+    )
+
+    def encode(cigar):
+        writer = AlignmentOutput.__new__(AlignmentOutput)
+        writer._ref_index = {"ref": 0}
+        writer._is_bam = True
+        record = SamRecord(
+            qname="q1", flag=0, rname="ref", pos=7, mapq=255,
+            cigar=cigar, seq="ACGTACGTACGTACG", qual="I" * 15,
+            tags=[("NM", "i", 2)],
+        )
+        return writer._encode_bam_record(record)
+
+    assert encode(tuples) == encode(Cigar(counts, ops))
+
+
+def test_native_traceback_returns_cigar_container():
+    import numpy as np
+
+    from floxer_tpu.cigar import Cigar
+    from floxer_tpu.native import native_banded_traceback
+    from floxer_tpu.ops import dp_reference
+
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        n = int(rng.integers(30, 400))
+        m = int(rng.integers(10, n))
+        ref = rng.integers(1, 5, size=n).astype(np.uint8)
+        start = int(rng.integers(0, n - m))
+        query = ref[start : start + m].copy()
+        for _ in range(int(rng.integers(0, 6))):
+            pos = int(rng.integers(0, m))
+            query[pos] = ((query[pos] + 1) % 4) + 1
+        dp = dp_reference.semi_global_dp_matrix(ref, query)
+        last = dp[-1]
+        end_col = dp_reference._rightmost_argmin(last)
+        distance = int(last[end_col])
+        begin_oracle, cigar_oracle = dp_reference._traceback(
+            dp, ref, query, end_col
+        )
+        native = native_banded_traceback(ref, query, end_col, distance)
+        if native is None:
+            import pytest
+
+            pytest.skip("native library unavailable")
+        begin, cigar = native
+        assert begin == begin_oracle
+        assert isinstance(cigar, Cigar)
+        assert cigar == cigar_oracle
+        assert cigar.string() == "".join(
+            f"{c}{op}" for c, op in cigar_oracle
+        )
