@@ -96,12 +96,82 @@ def _occ_checkpoints(bwt: np.ndarray) -> np.ndarray:
     return checkpoints
 
 
+# native in-RAM layout (search.cpp): one 128-byte row per OCC_BLOCK
+# positions = [6 x int64 checkpoint | 64 nibble-packed symbols | pad].
+# Rank queries touch two adjacent cache lines instead of a checkpoint line
+# plus bwt lines in a separate array — the native search is memory-stall
+# bound at large genome scale, not compute bound.
+OCC_ROW_BYTES = 128
+OCC_NIBBLE_OFFSET = 48
+
+
+def _advise_hugepages(array: np.ndarray) -> None:
+    """Best-effort MADV_HUGEPAGE on the array's 2 MiB-aligned interior:
+    random rank queries over a multi-hundred-MB table are TLB-miss bound
+    on 4 KiB pages."""
+    import os
+
+    if os.environ.get("FLOXER_TPU_NO_HUGEPAGES"):
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        align = 2 * 1024 * 1024
+        addr = array.ctypes.data
+        start = (addr + align - 1) // align * align
+        end = (addr + array.nbytes) // align * align
+        if end > start:
+            libc.madvise(
+                ctypes.c_void_p(start),
+                ctypes.c_size_t(end - start),
+                14,  # MADV_HUGEPAGE
+            )
+    except Exception:  # noqa: BLE001 - advisory only
+        pass
+
+
+def pack_occ_rows(bwt: np.ndarray, occ_checkpoints: np.ndarray) -> np.ndarray:
+    """Build the interleaved occ-row buffer the native engines scan."""
+    n = bwt.shape[0]
+    num_blocks = n // OCC_BLOCK + 1
+    flat = np.empty(num_blocks * OCC_ROW_BYTES, dtype=np.uint8)
+    # advise BEFORE the fill below faults the pages in: MADV_HUGEPAGE on an
+    # already-populated 4 KiB VMA only queues lazy collapse, which in
+    # practice never happens for a table this size
+    _advise_hugepages(flat)
+    rows = flat.reshape(num_blocks, OCC_ROW_BYTES)
+    rows[:, OCC_NIBBLE_OFFSET + OCC_BLOCK // 2 :] = 0
+    rows[:, :OCC_NIBBLE_OFFSET] = (
+        np.ascontiguousarray(occ_checkpoints[:num_blocks])
+        .astype("<i8", copy=False)
+        .view(np.uint8)
+        .reshape(num_blocks, OCC_NIBBLE_OFFSET)
+    )
+    padded = np.zeros(num_blocks * OCC_BLOCK, dtype=np.uint8)
+    padded[:n] = bwt
+    pairs = padded.reshape(num_blocks, OCC_BLOCK // 2, 2)
+    rows[:, OCC_NIBBLE_OFFSET : OCC_NIBBLE_OFFSET + OCC_BLOCK // 2] = (
+        pairs[:, :, 0] | (pairs[:, :, 1] << 4)
+    )
+    return flat
+
+
 @dataclass
 class _SingleIndex:
     """One direction's BWT machinery (forward text or reversed text)."""
 
     bwt: np.ndarray  # uint8 [n]
     occ_checkpoints: np.ndarray  # int64 [n // OCC_BLOCK + 2, SIGMA]
+
+    def packed_rows(self) -> np.ndarray:
+        """Interleaved native scan layout, built lazily and cached."""
+        cached = getattr(self, "_packed_rows", None)
+        if cached is None:
+            cached = self._packed_rows = pack_occ_rows(
+                self.bwt, self.occ_checkpoints
+            )
+        return cached
 
     def occ(self, symbol: int, position: int) -> int:
         """# occurrences of symbol in bwt[:position]."""

@@ -79,7 +79,7 @@ def get_library():
         i64p = ctypes.POINTER(ctypes.c_int64)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.floxer_search_seed.argtypes = [
-            u8p, i64p, u8p, i64p, i64p, ctypes.c_int64,  # index
+            u8p, u8p, i64p, ctypes.c_int64,  # packed index + C + n
             u8p,  # pattern
             i64p, ctypes.c_int64, ctypes.c_int64,  # scheme
             ctypes.c_int64, ctypes.c_int64,  # caps
@@ -102,7 +102,7 @@ def get_library():
         ]
         lib.floxer_banded_traceback_rle.restype = ctypes.c_int
         lib.floxer_search_seeds_batch.argtypes = [
-            u8p, i64p, u8p, i64p, i64p, ctypes.c_int64,  # index
+            u8p, u8p, i64p, ctypes.c_int64,  # packed index + C + n
             u8p, ctypes.c_int64, ctypes.c_int64,  # patterns
             i64p, ctypes.c_int64, ctypes.c_int64,  # scheme
             ctypes.c_int64, ctypes.c_int64,  # caps
@@ -111,7 +111,7 @@ def get_library():
         ]
         lib.floxer_search_seeds_batch.restype = ctypes.c_int
         lib.floxer_search_select_batch.argtypes = [
-            u8p, i64p, u8p, i64p, i64p, ctypes.c_int64,  # index
+            u8p, u8p, i64p, ctypes.c_int64,  # packed index + C + n
             i64p, i64p, ctypes.c_int64,  # sampled SA
             i64p, ctypes.c_int64,  # seq starts
             u8p, ctypes.c_int64, ctypes.c_int64,  # patterns
@@ -124,7 +124,7 @@ def get_library():
         ]
         lib.floxer_search_select_batch.restype = ctypes.c_int
         lib.floxer_search_select_batch_offsets.argtypes = [
-            u8p, i64p, u8p, i64p, i64p, ctypes.c_int64,  # index
+            u8p, u8p, i64p, ctypes.c_int64,  # packed index + C + n
             i64p, i64p, ctypes.c_int64,  # sampled SA
             i64p, ctypes.c_int64,  # seq starts
             u8p, i64p, ctypes.c_int64,  # pattern buffer/offsets/count
@@ -137,7 +137,7 @@ def get_library():
         ]
         lib.floxer_search_select_batch_offsets.restype = ctypes.c_int
         lib.floxer_select_from_groups_batch.argtypes = [
-            u8p, i64p, i64p, ctypes.c_int64,  # fwd index (locate only)
+            u8p, i64p, ctypes.c_int64,  # packed fwd index + C + n (locate only)
             i64p, i64p, ctypes.c_int64,  # sampled SA
             i64p, ctypes.c_int64,  # seq starts
             i64p, i64p, i64p, i64p, ctypes.c_int64,  # groups/starts/totals/statuses/count
@@ -148,7 +148,7 @@ def get_library():
         ]
         lib.floxer_select_from_groups_batch.restype = ctypes.c_int
         lib.floxer_locate_batch.argtypes = [
-            u8p, i64p, i64p, ctypes.c_int64,  # fwd index
+            u8p, i64p, ctypes.c_int64,  # packed fwd index + C + n
             i64p, i64p, ctypes.c_int64,  # sampled SA
             i64p, ctypes.c_int64,  # rows
             i64p,  # out positions
@@ -229,17 +229,13 @@ def native_search_seed(
     out_meta = np.zeros(2, dtype=np.int64)
 
     pattern = np.ascontiguousarray(pattern, dtype=np.uint8)
-    bwt_fwd = np.ascontiguousarray(index.fwd.bwt)
-    occ_fwd = np.ascontiguousarray(index.fwd.occ_checkpoints)
-    bwt_rev = np.ascontiguousarray(index.rev.bwt)
-    occ_rev = np.ascontiguousarray(index.rev.occ_checkpoints)
+    packed_fwd = index.fwd.packed_rows()
+    packed_rev = index.rev.packed_rows()
     C = np.ascontiguousarray(index.C, dtype=np.int64)
 
     status = lib.floxer_search_seed(
-        _as_u8p(bwt_fwd),
-        _as_i64p(occ_fwd),
-        _as_u8p(bwt_rev),
-        _as_i64p(occ_rev),
+        _as_u8p(packed_fwd),
+        _as_u8p(packed_rev),
         _as_i64p(C),
         ctypes.c_int64(index.n),
         _as_u8p(pattern),
@@ -300,17 +296,13 @@ def native_search_seeds_batch(
     out_meta = np.zeros(num_seeds * 3, dtype=np.int64)
     patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
 
-    bwt_fwd = np.ascontiguousarray(index.fwd.bwt)
-    occ_fwd = np.ascontiguousarray(index.fwd.occ_checkpoints)
-    bwt_rev = np.ascontiguousarray(index.rev.bwt)
-    occ_rev = np.ascontiguousarray(index.rev.occ_checkpoints)
+    packed_fwd = index.fwd.packed_rows()
+    packed_rev = index.rev.packed_rows()
     C = np.ascontiguousarray(index.C, dtype=np.int64)
 
     lib.floxer_search_seeds_batch(
-        _as_u8p(bwt_fwd),
-        _as_i64p(occ_fwd),
-        _as_u8p(bwt_rev),
-        _as_i64p(occ_rev),
+        _as_u8p(packed_fwd),
+        _as_u8p(packed_rev),
         _as_i64p(C),
         ctypes.c_int64(index.n),
         _as_u8p(patterns),
@@ -370,10 +362,8 @@ def native_search_select_batch(
     patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
 
     lib.floxer_search_select_batch(
-        _as_u8p(np.ascontiguousarray(index.fwd.bwt)),
-        _as_i64p(np.ascontiguousarray(index.fwd.occ_checkpoints)),
-        _as_u8p(np.ascontiguousarray(index.rev.bwt)),
-        _as_i64p(np.ascontiguousarray(index.rev.occ_checkpoints)),
+        _as_u8p(index.fwd.packed_rows()),
+        _as_u8p(index.rev.packed_rows()),
         _as_i64p(np.ascontiguousarray(index.C, dtype=np.int64)),
         ctypes.c_int64(index.n),
         _as_i64p(np.ascontiguousarray(index.sampled_rows)),
@@ -415,8 +405,7 @@ def native_locate_batch(
     rows = np.ascontiguousarray(rows, dtype=np.int64)
     out = np.empty(rows.shape[0], dtype=np.int64)
     lib.floxer_locate_batch(
-        _as_u8p(np.ascontiguousarray(index.fwd.bwt)),
-        _as_i64p(np.ascontiguousarray(index.fwd.occ_checkpoints)),
+        _as_u8p(index.fwd.packed_rows()),
         _as_i64p(np.ascontiguousarray(index.C, dtype=np.int64)),
         ctypes.c_int64(index.n),
         _as_i64p(np.ascontiguousarray(index.sampled_rows)),
@@ -579,10 +568,8 @@ def native_search_select_batch_offsets(
     pattern_offsets = np.ascontiguousarray(pattern_offsets, dtype=np.int64)
 
     lib.floxer_search_select_batch_offsets(
-        _as_u8p(np.ascontiguousarray(index.fwd.bwt)),
-        _as_i64p(np.ascontiguousarray(index.fwd.occ_checkpoints)),
-        _as_u8p(np.ascontiguousarray(index.rev.bwt)),
-        _as_i64p(np.ascontiguousarray(index.rev.occ_checkpoints)),
+        _as_u8p(index.fwd.packed_rows()),
+        _as_u8p(index.rev.packed_rows()),
         _as_i64p(np.ascontiguousarray(index.C, dtype=np.int64)),
         ctypes.c_int64(index.n),
         _as_i64p(np.ascontiguousarray(index.sampled_rows)),
@@ -643,8 +630,7 @@ def native_select_from_groups_batch(
     statuses = np.ascontiguousarray(statuses, dtype=np.int64)
 
     lib.floxer_select_from_groups_batch(
-        _as_u8p(np.ascontiguousarray(index.fwd.bwt)),
-        _as_i64p(np.ascontiguousarray(index.fwd.occ_checkpoints)),
+        _as_u8p(index.fwd.packed_rows()),
         _as_i64p(np.ascontiguousarray(index.C, dtype=np.int64)),
         ctypes.c_int64(index.n),
         _as_i64p(np.ascontiguousarray(index.sampled_rows)),

@@ -20,14 +20,49 @@
 #include <unordered_set>
 #include <vector>
 
+#include <atomic>
+
+// debug accounting (floxer_search_stats): occ-scan call counts let the
+// host attribute search time between rank scans and DFS overhead without
+// a sampling profiler on the box
+static std::atomic<int64_t> g_occ_all_calls{0};
+static std::atomic<int64_t> g_occ_pair_calls{0};
+static std::atomic<int64_t> g_dfs_steps{0};
+
+extern "C" void floxer_search_stats(int64_t* out3, int64_t reset) {
+    out3[0] = g_occ_all_calls.load(std::memory_order_relaxed);
+    out3[1] = g_occ_pair_calls.load(std::memory_order_relaxed);
+    out3[2] = g_dfs_steps.load(std::memory_order_relaxed);
+    if (reset) {
+        g_occ_all_calls.store(0, std::memory_order_relaxed);
+        g_occ_pair_calls.store(0, std::memory_order_relaxed);
+        g_dfs_steps.store(0, std::memory_order_relaxed);
+    }
+}
+
 namespace {
 
 constexpr int SIGMA = 6;
 constexpr int64_t OCC_BLOCK = 128;
+constexpr bool kCountStats = false;  // enable only for one-off accounting runs
+
+// Interleaved occ-block layout (the native in-RAM index format): one
+// 128-byte row per OCC_BLOCK positions holding [6 x int64 checkpoint |
+// 64 nibble-packed symbols | 16 B pad]. A rank query touches exactly two
+// adjacent cache lines of one row instead of a checkpoint line plus 1-2
+// bwt lines in a separate 500 MB array — at reference-evaluation genome
+// scale (10 x 50 Mb) the search was memory-stall-bound (74 M scattered
+// occ scans per 250-read chunk, ~2.5 misses each), not compute-bound.
+// This is the same locality argument behind the reference's EPR
+// dictionaries (fmindex.hpp:8, EprV2_16). Symbol at block position p
+// lives in byte p/2: low nibble for even p, high nibble for odd p. Rows
+// are built by the Python loader (index/fmindex.py packed_occ_rows) from
+// the artifact's plain bwt + checkpoints.
+constexpr int64_t OCC_ROW_BYTES = 128;
+constexpr int64_t OCC_NIBBLE_OFFSET = 48;
 
 struct SingleIndex {
-    const uint8_t* bwt;
-    const int64_t* occ;  // [nb][SIGMA] cumulative at block boundaries
+    const uint8_t* packed;  // [nb][OCC_ROW_BYTES] interleaved rows
 };
 
 struct BiIndex {
@@ -37,63 +72,73 @@ struct BiIndex {
     int64_t n;
 };
 
+// bwt symbol at one position (the LF walk's branch input)
+inline int symbol_at(const SingleIndex& idx, int64_t pos) {
+    uint8_t const b = idx.packed[(pos / OCC_BLOCK) * OCC_ROW_BYTES +
+                                 OCC_NIBBLE_OFFSET +
+                                 ((pos % OCC_BLOCK) >> 1)];
+    return (pos & 1) ? (b >> 4) : (b & 0x0F);
+}
+
 #if defined(__AVX512BW__) && defined(__BMI2__)
-// AVX-512 block scans: up to 128 chars = two masked 64-byte loads, then
-// per-symbol vpcmpb -> 64-bit mask -> popcount. gcc's auto-vectorization
-// of the scalar loops widens bytes to dwords each step (~2 ns/byte); this
-// path measures ~0.4 ns/byte (scripts history: /tmp/occbench).
+// AVX-512 row scan: one 64-byte load covers all 128 block symbols as
+// nibbles; per symbol two vpcmpb against the low/high nibble planes ->
+// masked popcounts. Prefix masks: low nibble i holds position 2i (valid
+// while 2i < len), high nibble i holds 2i+1 (valid while 2i+1 < len).
 #include <immintrin.h>
 
-struct BlockView {
-    __m512i v0, v1;
-    __mmask64 m0, m1;
+struct RowView {
+    const int64_t* base;  // 6 checkpoint counts
+    __m512i lo, hi;       // nibble planes
+    __mmask64 mlo, mhi;   // prefix masks
 };
 
-inline BlockView load_block(const uint8_t* p, int64_t len) {
-    BlockView b;
-    b.m0 = len >= 64 ? ~0ull : _bzhi_u64(~0ull, (unsigned)len);
-    b.m1 = len >= 64 ? _bzhi_u64(~0ull, (unsigned)(len - 64)) : 0;
-    b.v0 = _mm512_maskz_loadu_epi8(b.m0, p);
-    b.v1 = _mm512_maskz_loadu_epi8(b.m1, p + 64);
-    return b;
+inline RowView load_row(const SingleIndex& idx, int64_t pos) {
+    int64_t const block = pos / OCC_BLOCK;
+    int64_t const len = pos - block * OCC_BLOCK;
+    const uint8_t* row = idx.packed + block * OCC_ROW_BYTES;
+    RowView r;
+    r.base = reinterpret_cast<const int64_t*>(row);
+    __m512i const v = _mm512_loadu_si512(row + OCC_NIBBLE_OFFSET);
+    __m512i const mask_low = _mm512_set1_epi8(0x0F);
+    r.lo = _mm512_and_si512(v, mask_low);
+    r.hi = _mm512_and_si512(_mm512_srli_epi16(v, 4), mask_low);
+    r.mlo = _bzhi_u64(~0ull, (unsigned)((len + 1) >> 1));
+    r.mhi = _bzhi_u64(~0ull, (unsigned)(len >> 1));
+    return r;
 }
 
 inline void occ_all(const SingleIndex& idx, int64_t pos, int64_t* out) {
-    int64_t const block = pos / OCC_BLOCK;
-    const int64_t* base = idx.occ + block * SIGMA;
-    BlockView const b = load_block(idx.bwt + block * OCC_BLOCK,
-                                   pos - block * OCC_BLOCK);
+    RowView const r = load_row(idx, pos);
     for (int s = 0; s < SIGMA; s++) {
         __m512i const sv = _mm512_set1_epi8((char)s);
-        uint64_t const c0 = _mm512_mask_cmpeq_epi8_mask(b.m0, b.v0, sv);
-        uint64_t const c1 = _mm512_mask_cmpeq_epi8_mask(b.m1, b.v1, sv);
-        out[s] = base[s] + __builtin_popcountll(c0) + __builtin_popcountll(c1);
+        uint64_t const c0 = _mm512_mask_cmpeq_epi8_mask(r.mlo, r.lo, sv);
+        uint64_t const c1 = _mm512_mask_cmpeq_epi8_mask(r.mhi, r.hi, sv);
+        out[s] =
+            r.base[s] + __builtin_popcountll(c0) + __builtin_popcountll(c1);
     }
 }
 
 // count of one symbol in bwt[:pos] (the LF-walk step of locate)
 inline int64_t occ_one(const SingleIndex& idx, int64_t pos, int symbol) {
-    int64_t const block = pos / OCC_BLOCK;
-    BlockView const b = load_block(idx.bwt + block * OCC_BLOCK,
-                                   pos - block * OCC_BLOCK);
+    RowView const r = load_row(idx, pos);
     __m512i const sv = _mm512_set1_epi8((char)symbol);
-    uint64_t const c0 = _mm512_mask_cmpeq_epi8_mask(b.m0, b.v0, sv);
-    uint64_t const c1 = _mm512_mask_cmpeq_epi8_mask(b.m1, b.v1, sv);
-    return idx.occ[block * SIGMA + symbol] + __builtin_popcountll(c0) +
+    uint64_t const c0 = _mm512_mask_cmpeq_epi8_mask(r.mlo, r.lo, sv);
+    uint64_t const c1 = _mm512_mask_cmpeq_epi8_mask(r.mhi, r.hi, sv);
+    return r.base[symbol] + __builtin_popcountll(c0) +
            __builtin_popcountll(c1);
 }
 #else
 inline void occ_all(const SingleIndex& idx, int64_t pos, int64_t* out) {
     int64_t const block = pos / OCC_BLOCK;
-    const int64_t* base = idx.occ + block * SIGMA;
-    int64_t const start = block * OCC_BLOCK;
-    int64_t const len = pos - start;
-    const uint8_t* p = idx.bwt + start;
-    // per-symbol equality counts vectorize (pcmpeqb+psadbw class codegen);
-    // the one-pass histogram (out[bwt[i]]++) does not
+    int64_t const len = pos - block * OCC_BLOCK;
+    const uint8_t* row = idx.packed + block * OCC_ROW_BYTES;
+    const int64_t* base = reinterpret_cast<const int64_t*>(row);
+    const uint8_t* nib = row + OCC_NIBBLE_OFFSET;
     int32_t counts[SIGMA] = {0, 0, 0, 0, 0, 0};
     for (int64_t i = 0; i < len; i++) {
-        uint8_t const c = p[i];
+        uint8_t const c =
+            (i & 1) ? (nib[i >> 1] >> 4) : (nib[i >> 1] & 0x0F);
         counts[0] += (c == 0);
         counts[1] += (c == 1);
         counts[2] += (c == 2);
@@ -106,9 +151,15 @@ inline void occ_all(const SingleIndex& idx, int64_t pos, int64_t* out) {
 
 inline int64_t occ_one(const SingleIndex& idx, int64_t pos, int symbol) {
     int64_t const block = pos / OCC_BLOCK;
-    int64_t count = idx.occ[block * SIGMA + symbol];
-    for (int64_t j = block * OCC_BLOCK; j < pos; j++)
-        count += (idx.bwt[j] == symbol);
+    int64_t const len = pos - block * OCC_BLOCK;
+    const uint8_t* row = idx.packed + block * OCC_ROW_BYTES;
+    int64_t count = reinterpret_cast<const int64_t*>(row)[symbol];
+    const uint8_t* nib = row + OCC_NIBBLE_OFFSET;
+    for (int64_t i = 0; i < len; i++) {
+        uint8_t const c =
+            (i & 1) ? (nib[i >> 1] >> 4) : (nib[i >> 1] & 0x0F);
+        count += (c == symbol);
+    }
     return count;
 }
 #endif
@@ -118,28 +169,30 @@ inline int64_t occ_one(const SingleIndex& idx, int64_t pos, int symbol) {
 // what the bidirectional lb_rev update needs as its symbol prefix sum.
 inline void occ_eq_lt(const SingleIndex& idx, int64_t pos, uint8_t sym,
                       int64_t* eq, int64_t* lt) {
-    int64_t const block = pos / OCC_BLOCK;
-    const int64_t* base = idx.occ + block * SIGMA;
-    int64_t base_lt = 0;
-    for (int s = 0; s < sym; s++) base_lt += base[s];
 #if defined(__AVX512BW__) && defined(__BMI2__)
-    BlockView const b = load_block(idx.bwt + block * OCC_BLOCK,
-                                   pos - block * OCC_BLOCK);
+    RowView const r = load_row(idx, pos);
+    int64_t base_lt = 0;
+    for (int s = 0; s < sym; s++) base_lt += r.base[s];
     __m512i const sv = _mm512_set1_epi8((char)sym);
-    uint64_t const e0 = _mm512_mask_cmpeq_epi8_mask(b.m0, b.v0, sv);
-    uint64_t const e1 = _mm512_mask_cmpeq_epi8_mask(b.m1, b.v1, sv);
-    uint64_t const l0 = _mm512_mask_cmplt_epu8_mask(b.m0, b.v0, sv);
-    uint64_t const l1 = _mm512_mask_cmplt_epu8_mask(b.m1, b.v1, sv);
-    *eq = base[sym] + __builtin_popcountll(e0) + __builtin_popcountll(e1);
+    uint64_t const e0 = _mm512_mask_cmpeq_epi8_mask(r.mlo, r.lo, sv);
+    uint64_t const e1 = _mm512_mask_cmpeq_epi8_mask(r.mhi, r.hi, sv);
+    uint64_t const l0 = _mm512_mask_cmplt_epu8_mask(r.mlo, r.lo, sv);
+    uint64_t const l1 = _mm512_mask_cmplt_epu8_mask(r.mhi, r.hi, sv);
+    *eq = r.base[sym] + __builtin_popcountll(e0) + __builtin_popcountll(e1);
     *lt = base_lt + __builtin_popcountll(l0) + __builtin_popcountll(l1);
 #else
-    int64_t const start = block * OCC_BLOCK;
-    int64_t const len = pos - start;
-    const uint8_t* p = idx.bwt + start;
+    int64_t const block = pos / OCC_BLOCK;
+    int64_t const len = pos - block * OCC_BLOCK;
+    const uint8_t* row = idx.packed + block * OCC_ROW_BYTES;
+    const int64_t* base = reinterpret_cast<const int64_t*>(row);
+    int64_t base_lt = 0;
+    for (int s = 0; s < sym; s++) base_lt += base[s];
+    const uint8_t* nib = row + OCC_NIBBLE_OFFSET;
     int32_t eq_count = 0;
     int32_t lt_count = 0;
     for (int64_t i = 0; i < len; i++) {
-        uint8_t const c = p[i];
+        uint8_t const c =
+            (i & 1) ? (nib[i >> 1] >> 4) : (nib[i >> 1] & 0x0F);
         eq_count += (c == sym);
         lt_count += (c < sym);
     }
@@ -160,6 +213,7 @@ inline void extend_all(const BiIndex& index, const Cursor& cur, bool left,
     int64_t lo[SIGMA], hi[SIGMA];
     const SingleIndex& idx = left ? index.fwd : index.rev;
     int64_t const base = left ? cur.lb : cur.lb_rev;
+    if (kCountStats) g_occ_all_calls.fetch_add(2, std::memory_order_relaxed);
     occ_all(idx, base, lo);
     occ_all(idx, base + cur.len, hi);
     int64_t prefix = 0;
@@ -185,6 +239,7 @@ inline Cursor extend_one(const BiIndex& index, const Cursor& cur, bool left,
     const SingleIndex& idx = left ? index.fwd : index.rev;
     int64_t const base = left ? cur.lb : cur.lb_rev;
     int64_t lo_eq, lo_lt, hi_eq, hi_lt;
+    if (kCountStats) g_occ_pair_calls.fetch_add(2, std::memory_order_relaxed);
     occ_eq_lt(idx, base, sym, &lo_eq, &lo_lt);
     occ_eq_lt(idx, base + cur.len, sym, &hi_eq, &hi_lt);
     Cursor child;
@@ -258,6 +313,7 @@ struct SearchState {
     void step(const Cursor& cur, int64_t part_idx, int64_t char_pos,
               int64_t errors, int last_op) {
         if (aborted) return;
+        if (kCountStats) g_dfs_steps.fetch_add(1, std::memory_order_relaxed);
         const PartSpec& part = parts[part_idx];
         bool const done = part.direction > 0 ? char_pos >= part.end
                                              : char_pos < part.start;
@@ -370,7 +426,7 @@ inline int64_t locate_walk(const SingleIndex& fwd, const int64_t* C,
             int64_t const pos = loc.sampled_values[it - loc.sampled_rows] + steps;
             return pos >= n ? pos - n : pos;
         }
-        int const symbol = fwd.bwt[row];
+        int const symbol = symbol_at(fwd, row);
         row = C[symbol] + occ_one(fwd, row, symbol);
         steps++;
     }
@@ -531,12 +587,12 @@ extern "C" {
 
 // Returns: bit 0 = aborted (cap hit), bit 1 = group-buffer overflow.
 int floxer_search_seed(
-    const uint8_t* bwt_fwd, const int64_t* occ_fwd, const uint8_t* bwt_rev,
-    const int64_t* occ_rev, const int64_t* C, int64_t n,
+    const uint8_t* packed_fwd, const uint8_t* packed_rev,
+    const int64_t* C, int64_t n,
     const uint8_t* pattern, const int64_t* parts_flat, int64_t num_searches,
     int64_t num_parts, int64_t max_total, int64_t max_groups,
     int64_t* out_groups, int64_t* out_meta /* [2]: num_groups, total */) {
-    BiIndex const index{{bwt_fwd, occ_fwd}, {bwt_rev, occ_rev}, C, n};
+    BiIndex const index{{packed_fwd}, {packed_rev}, C, n};
     return search_one(index, pattern, parts_flat, num_searches, num_parts,
                       max_total, max_groups, out_groups, out_meta);
 }
@@ -546,13 +602,13 @@ int floxer_search_seed(
 // [num_seeds][max_groups_per_seed][4]; out_meta is [num_seeds][3] with
 // (num_groups, total, status).
 int floxer_search_seeds_batch(
-    const uint8_t* bwt_fwd, const int64_t* occ_fwd, const uint8_t* bwt_rev,
-    const int64_t* occ_rev, const int64_t* C, int64_t n,
+    const uint8_t* packed_fwd, const uint8_t* packed_rev,
+    const int64_t* C, int64_t n,
     const uint8_t* patterns, int64_t pattern_len, int64_t num_seeds,
     const int64_t* parts_flat, int64_t num_searches, int64_t num_parts,
     int64_t max_total, int64_t max_groups_per_seed, int64_t* out_groups,
     int64_t* out_meta, int64_t num_threads) {
-    BiIndex const index{{bwt_fwd, occ_fwd}, {bwt_rev, occ_rev}, C, n};
+    BiIndex const index{{packed_fwd}, {packed_rev}, C, n};
 
     auto worker = [&](int64_t begin, int64_t end) {
         for (int64_t i = begin; i < end; i++) {
@@ -636,8 +692,8 @@ static int run_select_batch(
 }
 
 int floxer_search_select_batch(
-    const uint8_t* bwt_fwd, const int64_t* occ_fwd, const uint8_t* bwt_rev,
-    const int64_t* occ_rev, const int64_t* C, int64_t n,
+    const uint8_t* packed_fwd, const uint8_t* packed_rev,
+    const int64_t* C, int64_t n,
     const int64_t* sampled_rows, const int64_t* sampled_values,
     int64_t num_sampled, const int64_t* seq_starts, int64_t num_seqs,
     const uint8_t* patterns, int64_t pattern_len, int64_t num_seeds,
@@ -646,7 +702,7 @@ int floxer_search_select_batch(
     int64_t soft_cap, int64_t group_order, int64_t choice,
     int64_t erase_useless, int64_t* out_anchors, int64_t* out_counts,
     int64_t num_threads) {
-    BiIndex const index{{bwt_fwd, occ_fwd}, {bwt_rev, occ_rev}, C, n};
+    BiIndex const index{{packed_fwd}, {packed_rev}, C, n};
     LocateCtx const loc{sampled_rows, sampled_values, num_sampled,
                         seq_starts, num_seqs};
     SelParams const sel{hard_cap, soft_cap, group_order, choice,
@@ -662,8 +718,8 @@ int floxer_search_select_batch(
 // search batches every query's seeds of one (length, errors) class into a
 // single call with no per-pattern copies on the Python side.
 int floxer_search_select_batch_offsets(
-    const uint8_t* bwt_fwd, const int64_t* occ_fwd, const uint8_t* bwt_rev,
-    const int64_t* occ_rev, const int64_t* C, int64_t n,
+    const uint8_t* packed_fwd, const uint8_t* packed_rev,
+    const int64_t* C, int64_t n,
     const int64_t* sampled_rows, const int64_t* sampled_values,
     int64_t num_sampled, const int64_t* seq_starts, int64_t num_seqs,
     const uint8_t* pattern_buffer, const int64_t* pattern_offsets,
@@ -673,7 +729,7 @@ int floxer_search_select_batch_offsets(
     int64_t soft_cap, int64_t group_order, int64_t choice,
     int64_t erase_useless, int64_t* out_anchors, int64_t* out_counts,
     int64_t num_threads) {
-    BiIndex const index{{bwt_fwd, occ_fwd}, {bwt_rev, occ_rev}, C, n};
+    BiIndex const index{{packed_fwd}, {packed_rev}, C, n};
     LocateCtx const loc{sampled_rows, sampled_values, num_sampled,
                         seq_starts, num_seqs};
     SelParams const sel{hard_cap, soft_cap, group_order, choice,
@@ -695,7 +751,7 @@ int floxer_search_select_batch_offsets(
 // through (0 for device-found seeds). rev index is not needed (locate
 // only walks the fwd direction).
 int floxer_select_from_groups_batch(
-    const uint8_t* bwt_fwd, const int64_t* occ_fwd, const int64_t* C,
+    const uint8_t* packed_fwd, const int64_t* C,
     int64_t n, const int64_t* sampled_rows, const int64_t* sampled_values,
     int64_t num_sampled, const int64_t* seq_starts, int64_t num_seqs,
     const int64_t* groups_flat, const int64_t* group_starts,
@@ -703,7 +759,7 @@ int floxer_select_from_groups_batch(
     int64_t hard_cap, int64_t soft_cap, int64_t group_order, int64_t choice,
     int64_t erase_useless, int64_t* out_anchors, int64_t* out_counts,
     int64_t num_threads) {
-    BiIndex const index{{bwt_fwd, occ_fwd}, {bwt_fwd, occ_fwd}, C, n};
+    BiIndex const index{{packed_fwd}, {packed_fwd}, C, n};
     LocateCtx const loc{sampled_rows, sampled_values, num_sampled,
                         seq_starts, num_seqs};
     SelParams const sel{hard_cap, soft_cap, group_order, choice,
@@ -741,7 +797,7 @@ int floxer_select_from_groups_batch(
 // choice loops never need positions — so a whole seed's picks resolve in
 // one call instead of per-row Python occ queries.
 int floxer_locate_batch(
-    const uint8_t* bwt_fwd, const int64_t* occ_fwd, const int64_t* C,
+    const uint8_t* packed_fwd, const int64_t* C,
     int64_t n, const int64_t* sampled_rows, const int64_t* sampled_values,
     int64_t num_sampled, const int64_t* rows, int64_t num_rows,
     int64_t* out_positions, int64_t num_threads) {
@@ -757,8 +813,8 @@ int floxer_locate_batch(
                     out_positions[i] = pos >= n ? pos - n : pos;
                     break;
                 }
-                int const symbol = bwt_fwd[row];
-                SingleIndex const fwd_view{bwt_fwd, occ_fwd};
+                SingleIndex const fwd_view{packed_fwd};
+                int const symbol = symbol_at(fwd_view, row);
                 row = C[symbol] + occ_one(fwd_view, row, symbol);
                 steps++;
             }

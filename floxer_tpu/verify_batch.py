@@ -811,7 +811,12 @@ class BatchVerifier:
             found = 0
             while p < end and found < CHAIN_K:
                 w2 = int(order[p])
-                if state[w2] == 0:
+                # only at-risk walks (flag 4: avoided, but every covering
+                # interval is still optimistic) can become needed when a
+                # coverer breaks; confidently-avoided walks (flag 0) never
+                # do — speculating them computed ~15x the sequential
+                # truth's root alignments at reference-evaluation scale
+                if state[w2] == 0 and sim_flag[w2] == 4:
                     spec_pending.append(w2)
                     found += 1
                 p += 1
@@ -845,36 +850,48 @@ class BatchVerifier:
                 full = need_ids.size <= 64
                 spec = []
                 if spec_pending:
+                    need_set = set(need_list)
                     spec = [w for w in dict.fromkeys(spec_pending)
-                            if state[w] == 0]
+                            if state[w] == 0 and w not in need_set]
                     spec_pending.clear()
-                    if spec:
-                        need_total += len(spec)
-                        if full:
-                            need_list = list(dict.fromkeys(need_list + spec))
-                        else:
-                            # large wave: keep the 3-level prescreen for the
-                            # genuinely-needed walks, full depth only for
-                            # the (small) speculation set
-                            spec = [w for w in spec if w not in set(need_list)]
+                    need_total += len(spec)
                 t0_flat = _time.monotonic()
                 self._compute_walks_flat(
                     table, items, need_list,
                     max_depth=None if full else CHECK_DEPTH,
                 )
-                if spec and not full:
-                    self._compute_walks_flat(table, items, spec)
+                if spec:
+                    # speculation runs at prescreen depth only: a breaking
+                    # walk (the chr21 repetitive-locus cascade) is detected
+                    # in its first levels, while a passing walk means its
+                    # root insertion will cover the rest of the chain — so
+                    # computing past it (let alone its root) is the 15x
+                    # overcompute the sequential stats exposed
+                    self._compute_walks_flat(
+                        table, items, spec, max_depth=CHECK_DEPTH
+                    )
                 t_flat += _time.monotonic() - t0_flat
                 any_failed = False
-                if spec and not full:
-                    for wid in spec:
-                        if self._walk_is_broken(table[wid]):
-                            state[wid] = 3
-                            dirty[key_of_walk[wid]] = True
-                            any_failed = True
-                            chain_victims(wid)
-                        else:
-                            state[wid] = 2
+                passed_segments: set[int] = set()
+                for wid in spec:
+                    key = int(key_of_walk[wid])
+                    if key in passed_segments:
+                        continue  # stays uncomputed; the next sim decides
+                    walk = table[wid]
+                    if all(
+                        level.exists
+                        for level in walk.levels[:CHECK_DEPTH]
+                    ):
+                        state[wid] = 1  # pending-ok
+                        passed_segments.add(key)
+                        continue
+                    any_failed = True
+                    if self._walk_is_broken(walk, depth=CHECK_DEPTH):
+                        state[wid] = 3
+                        dirty[key] = True
+                        chain_victims(wid)
+                    else:
+                        state[wid] = 2
                 for wid in need_list:
                     walk = table[wid]
                     if full:
@@ -904,7 +921,30 @@ class BatchVerifier:
             pending_ids = np.nonzero(state == 1)[0]
             if pending_ids.size == 0:
                 break
-            batch_list = [int(w) for w in pending_ids]
+            # settle which pendings the sequential replay actually
+            # verifies: a pending covered by an earlier interval never
+            # computes its deep levels (its prescreen result is enough for
+            # the final scan, which treats state 1 as insert-if-uncovered).
+            # A flag-4 pending is covered only by another pending's
+            # optimistic insertion — its (flag-2) coverer computes this
+            # round and either confirms the cover or breaks and dirties
+            # the segment, so skipping it here always makes progress.
+            t0_sim = _time.monotonic()
+            scan = native_cache_scan(
+                key_begin, key_end, order,
+                table.trim_lo, table.trim_hi,
+                table.ins_lo, table.ins_hi, state, enabled,
+            )
+            assert scan is not None
+            _, pflags = scan
+            scanned = pflags != 255
+            sim_flag[scanned] = pflags[scanned]
+            t_sim += _time.monotonic() - t0_sim
+            batch_list = [
+                int(w) for w in pending_ids if pflags[w] not in (0, 4)
+            ]
+            if not batch_list:
+                break
             t0_flat = _time.monotonic()
             self._compute_walks_flat(table, items, batch_list)
             t_flat += _time.monotonic() - t0_flat
@@ -963,11 +1003,13 @@ class BatchVerifier:
                     break
         self.last_stats_events = stats_events
         log.debug(
-            "verify batch (soa): %d walks, %d waves (%d walks computed); "
-            "build %.2fs waves %.2fs (sim %.2fs flat %.2fs) record %.2fs",
+            "verify batch (soa): %d walks, %d waves (%d walks computed, "
+            "%d walks replayed); build %.2fs waves %.2fs (sim %.2fs flat "
+            "%.2fs) record %.2fs",
             n,
             waves,
             need_total,
+            int(np.count_nonzero(~avoided)),
             t_build - t0,
             t_waves - t_build,
             t_sim,
@@ -1449,69 +1491,137 @@ class BatchVerifier:
         subset: list[int],
         max_depth: int | None = None,
     ):
-        """Compute every level (or the first max_depth levels) of every walk
-        in `subset` with one batcher pass (no per-depth rounds): the
-        early-exit at a failed level is only a compute saving, never a data
-        dependency, and one dispatch round beats the saved cells on a
-        remote-tunnel TPU."""
+        """Hybrid level computation. The cheap level prefix of every walk
+        (node span <= FLOXER_TPU_FLAT_DEEP_SPAN, default 4096) runs as ONE
+        batcher pass — a single dispatch round for the levels where
+        round-trip latency dominates and a failed level's "wasted" sibling
+        cells are negligible. The deep suffix — which holds ~95% of the DP
+        cells at 20 kb reads (the root alone ~80%) — then advances
+        level-synchronously with early exit, so a walk that already broke
+        never computes its expensive levels. The previous always-flat
+        policy computed every broken walk's root: 4.5x the sequential
+        replay's root alignments at the reference-evaluation scale."""
+        import os
+
+        deep_span = int(
+            os.environ.get("FLOXER_TPU_FLAT_DEEP_SPAN", "4096")
+        )
         cache = getattr(self, "_task_cache", None)
         if cache is None:
             cache = self._task_cache = {}
 
-        batcher = _TaskBatcher(self.use_device, resident=self._resident)
-        pending = []  # (walk_id, depth, key, slot_or_None)
-        for walk_id in subset:
-            walk = walks[walk_id]
+        def level_key(walk, level):
+            return (
+                walk.query_index,
+                walk.orientation,
+                walk.anchor.reference_id,
+                level.node.query_index_from,
+                level.node.query_index_to,
+                level.span.offset,
+                level.span.length,
+            )
+
+        def enqueue(batcher, walk, walk_id, level, key):
             item = items[walk.query_index]
-            self._ensure_levels(walk, item)
             query = self._oriented_query(item, walk.orientation)
             reference = self.references[walk.anchor.reference_id]
-            levels = (
-                walk.levels
-                if max_depth is None
-                else walk.levels[:max_depth]
+            pattern = query[
+                level.node.query_index_from : level.node.query_index_to + 1
+            ]
+            window = reference.rank_sequence[
+                level.span.offset : level.span.offset + level.span.length
+            ]
+            pat_addr, win_addr = self._addrs(walk, level)
+            return batcher.add(
+                key, pattern, window, walk_id,
+                budget=level.node.num_errors,
+                pat_addr=pat_addr, win_addr=win_addr,
             )
-            for depth, level in enumerate(levels):
-                key = (
-                    walk.query_index,
-                    walk.orientation,
-                    walk.anchor.reference_id,
-                    level.node.query_index_from,
-                    level.node.query_index_to,
-                    level.span.offset,
-                    level.span.length,
-                )
+
+        root_tasks = []
+
+        def apply_result(walk_id, level, distance, end):
+            level.exists = distance <= level.node.num_errors
+            if level.node.is_root and level.exists:
+                root_tasks.append((walk_id, level, distance, end))
+
+        # phase 1: one flat pass over every walk's cheap level prefix
+        batcher = _TaskBatcher(self.use_device, resident=self._resident)
+        pending = []  # (walk_id, depth, key, slot_or_None)
+        limits = {}  # walk_id -> (prefix levels taken, level limit)
+        for walk_id in subset:
+            walk = walks[walk_id]
+            self._ensure_levels(walk, items[walk.query_index])
+            limit = (
+                len(walk.levels)
+                if max_depth is None
+                else min(max_depth, len(walk.levels))
+            )
+            take = 0
+            for depth in range(limit):
+                level = walk.levels[depth]
+                if level.node.length_of_query_span > deep_span:
+                    break
+                take = depth + 1
+                key = level_key(walk, level)
                 if key in cache:
                     pending.append((walk_id, depth, key, None))
                     continue
-                pattern = query[
-                    level.node.query_index_from : level.node.query_index_to + 1
-                ]
-                window = reference.rank_sequence[
-                    level.span.offset : level.span.offset + level.span.length
-                ]
-                pat_addr, win_addr = self._addrs(walk, level)
-                slot = batcher.add(
-                    key, pattern, window, walk_id,
-                    budget=level.node.num_errors,
-                    pat_addr=pat_addr, win_addr=win_addr,
-                )
+                slot = enqueue(batcher, walk, walk_id, level, key)
                 pending.append((walk_id, depth, key, slot))
+            limits[walk_id] = (take, limit)
 
         distances, ends = batcher.run()
-
-        root_tasks = []
         for walk_id, depth, key, slot in pending:
-            level = walks[walk_id].levels[depth]
             if slot is None:
                 distance, end = cache[key]
             else:
                 distance = int(distances[slot])
                 end = int(ends[slot])
                 cache[key] = (distance, end)
-            level.exists = distance <= level.node.num_errors
-            if level.node.is_root and level.exists:
-                root_tasks.append((walk_id, level, distance, end))
+            apply_result(walk_id, walks[walk_id].levels[depth], distance, end)
+
+        # phase 2: deep levels, level-synchronous with early exit
+        active = []
+        depth_of = {}
+        for walk_id in subset:
+            take, limit = limits[walk_id]
+            if take >= limit:
+                continue
+            walk = walks[walk_id]
+            if all(walk.levels[d].exists for d in range(take)):
+                active.append(walk_id)
+                depth_of[walk_id] = take
+        while active:
+            batcher = _TaskBatcher(self.use_device, resident=self._resident)
+            round_pending = []  # (walk_id, level, key, slot_or_None)
+            for walk_id in active:
+                walk = walks[walk_id]
+                level = walk.levels[depth_of[walk_id]]
+                key = level_key(walk, level)
+                if key in cache:
+                    round_pending.append((walk_id, level, key, None))
+                    continue
+                slot = enqueue(batcher, walk, walk_id, level, key)
+                round_pending.append((walk_id, level, key, slot))
+            distances, ends = batcher.run()
+            next_active = []
+            for walk_id, level, key, slot in round_pending:
+                if slot is None:
+                    distance, end = cache[key]
+                else:
+                    distance = int(distances[slot])
+                    end = int(ends[slot])
+                    cache[key] = (distance, end)
+                apply_result(walk_id, level, distance, end)
+                depth_of[walk_id] += 1
+                if (
+                    level.exists
+                    and not level.node.is_root
+                    and depth_of[walk_id] < limits[walk_id][1]
+                ):
+                    next_active.append(walk_id)
+            active = next_active
 
         import logging
         import time as _time
