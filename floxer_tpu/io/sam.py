@@ -23,6 +23,8 @@ import struct
 import zlib
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..cigar import Cigar
 
 FLAG_UNMAPPED = 4
@@ -72,8 +74,6 @@ _BAM_SEQ_CODE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
 
 
 def _build_bam_luts():
-    import numpy as np
-
     op_lut = np.zeros(256, dtype=np.uint32)
     for i, op in enumerate(_BAM_CIGAR_OPS):
         op_lut[ord(op)] = i
@@ -193,8 +193,6 @@ class AlignmentOutput:
             self._handle.write(record.to_sam_line() + "\n")
 
     def _encode_bam_record(self, record: SamRecord) -> bytes:
-        import numpy as np
-
         ref_id = self._ref_index.get(record.rname, -1)
         pos = record.pos if record.pos >= 0 else -1
         read_name = record.qname.encode() + b"\x00"
@@ -212,7 +210,10 @@ class AlignmentOutput:
         l_seq = len(seq)
         if l_seq:
             codes = _BAM_SEQ_LUT[
-                np.frombuffer(seq.upper().encode("ascii"), dtype=np.uint8)
+                np.frombuffer(
+                    seq.upper().encode("ascii", errors="replace"),
+                    dtype=np.uint8,
+                )
             ]
             if l_seq % 2:
                 codes = np.append(codes, np.uint8(0))
@@ -220,11 +221,18 @@ class AlignmentOutput:
         else:
             seq_packed = b""
         if record.qual:
-            qual_packed = np.minimum(
-                np.frombuffer(record.qual.encode("ascii"), dtype=np.uint8)
-                - 33,
-                93,
-            ).astype(np.uint8).tobytes()
+            quals = (
+                np.frombuffer(
+                    record.qual.encode("ascii", errors="replace"),
+                    dtype=np.uint8,
+                ).astype(np.int16)
+                - 33
+            )
+            if quals.min(initial=0) < 0:
+                raise ValueError(
+                    "quality characters below '!' are not valid phred+33"
+                )
+            qual_packed = np.minimum(quals, 93).astype(np.uint8).tobytes()
         else:
             qual_packed = b"\xff" * l_seq
         tags_packed = bytearray()

@@ -15,6 +15,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <unordered_set>
@@ -24,10 +25,14 @@
 
 // debug accounting (floxer_search_stats): occ-scan call counts let the
 // host attribute search time between rank scans and DFS overhead without
-// a sampling profiler on the box
+// a sampling profiler on the box. Opt-in via FLOXER_TPU_SEARCH_STATS —
+// the contended fetch_adds cost ~3x on the threaded search when enabled,
+// so never benchmark with the counters on.
 static std::atomic<int64_t> g_occ_all_calls{0};
 static std::atomic<int64_t> g_occ_pair_calls{0};
 static std::atomic<int64_t> g_dfs_steps{0};
+static bool const g_count_stats =
+    std::getenv("FLOXER_TPU_SEARCH_STATS") != nullptr;
 
 extern "C" void floxer_search_stats(int64_t* out3, int64_t reset) {
     out3[0] = g_occ_all_calls.load(std::memory_order_relaxed);
@@ -44,7 +49,6 @@ namespace {
 
 constexpr int SIGMA = 6;
 constexpr int64_t OCC_BLOCK = 128;
-constexpr bool kCountStats = false;  // enable only for one-off accounting runs
 
 // Interleaved occ-block layout (the native in-RAM index format): one
 // 128-byte row per OCC_BLOCK positions holding [6 x int64 checkpoint |
@@ -213,7 +217,7 @@ inline void extend_all(const BiIndex& index, const Cursor& cur, bool left,
     int64_t lo[SIGMA], hi[SIGMA];
     const SingleIndex& idx = left ? index.fwd : index.rev;
     int64_t const base = left ? cur.lb : cur.lb_rev;
-    if (kCountStats) g_occ_all_calls.fetch_add(2, std::memory_order_relaxed);
+    if (g_count_stats) g_occ_all_calls.fetch_add(2, std::memory_order_relaxed);
     occ_all(idx, base, lo);
     occ_all(idx, base + cur.len, hi);
     int64_t prefix = 0;
@@ -239,7 +243,7 @@ inline Cursor extend_one(const BiIndex& index, const Cursor& cur, bool left,
     const SingleIndex& idx = left ? index.fwd : index.rev;
     int64_t const base = left ? cur.lb : cur.lb_rev;
     int64_t lo_eq, lo_lt, hi_eq, hi_lt;
-    if (kCountStats) g_occ_pair_calls.fetch_add(2, std::memory_order_relaxed);
+    if (g_count_stats) g_occ_pair_calls.fetch_add(2, std::memory_order_relaxed);
     occ_eq_lt(idx, base, sym, &lo_eq, &lo_lt);
     occ_eq_lt(idx, base + cur.len, sym, &hi_eq, &hi_lt);
     Cursor child;
@@ -313,7 +317,7 @@ struct SearchState {
     void step(const Cursor& cur, int64_t part_idx, int64_t char_pos,
               int64_t errors, int last_op) {
         if (aborted) return;
-        if (kCountStats) g_dfs_steps.fetch_add(1, std::memory_order_relaxed);
+        if (g_count_stats) g_dfs_steps.fetch_add(1, std::memory_order_relaxed);
         const PartSpec& part = parts[part_idx];
         bool const done = part.direction > 0 ? char_pos >= part.end
                                              : char_pos < part.start;

@@ -91,6 +91,8 @@ class SeedsView:
         return len(self._objs)
 
     def __getitem__(self, i: int) -> Seed:
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self._objs)))]
         seed = self._objs[i]
         if seed is None:
             lengths, errors, qpos, leaf = self.arrays

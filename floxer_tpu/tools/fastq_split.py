@@ -32,7 +32,10 @@ def main(argv=None) -> int:
         args.rest_output, "wb"
     ) as rest:
         for tag, seq, qual in read_fastq(args.input):
-            record = b"@" + tag.encode("ascii") + b"\n" + seq + b"\n+\n" + qual + b"\n"
+            record = (
+                b"@" + tag.encode("ascii", errors="replace") + b"\n"
+                + seq + b"\n+\n" + qual + b"\n"
+            )
             if extract_record_id(tag) in chosen_ids:
                 chosen.write(record)
                 num_chosen += 1

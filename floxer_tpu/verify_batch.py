@@ -804,6 +804,24 @@ class BatchVerifier:
         CHAIN_K = int(os.environ.get("FLOXER_TPU_CHAIN_K", "8"))
         spec_pending: list[int] = []
 
+        def classify_prescreened(wid: int) -> bool:
+            """Apply the 3-level prescreen outcome to one walk: pending-ok
+            (all checked levels exist), broken (state 3 + cascade), or
+            computed-complete. Returns True when the walk failed."""
+            walk = table[wid]
+            if all(
+                level.exists for level in walk.levels[:CHECK_DEPTH]
+            ):
+                state[wid] = 1  # pending-ok
+                return False
+            if self._walk_is_broken(walk, depth=CHECK_DEPTH):
+                state[wid] = 3
+                dirty[key_of_walk[wid]] = True
+                chain_victims(wid)
+            else:
+                state[wid] = 2
+            return True
+
         def chain_victims(wid: int) -> None:
             key = int(key_of_walk[wid])
             p = int(inv_order[wid]) + 1
@@ -877,21 +895,10 @@ class BatchVerifier:
                     key = int(key_of_walk[wid])
                     if key in passed_segments:
                         continue  # stays uncomputed; the next sim decides
-                    walk = table[wid]
-                    if all(
-                        level.exists
-                        for level in walk.levels[:CHECK_DEPTH]
-                    ):
-                        state[wid] = 1  # pending-ok
+                    if classify_prescreened(wid):
+                        any_failed = True
+                    elif state[wid] == 1:
                         passed_segments.add(key)
-                        continue
-                    any_failed = True
-                    if self._walk_is_broken(walk, depth=CHECK_DEPTH):
-                        state[wid] = 3
-                        dirty[key] = True
-                        chain_victims(wid)
-                    else:
-                        state[wid] = 2
                 for wid in need_list:
                     walk = table[wid]
                     if full:
@@ -903,19 +910,8 @@ class BatchVerifier:
                         else:
                             state[wid] = 2
                         continue
-                    if all(
-                        level.exists
-                        for level in walk.levels[:CHECK_DEPTH]
-                    ):
-                        state[wid] = 1  # pending-ok
-                        continue
-                    any_failed = True
-                    if self._walk_is_broken(walk, depth=CHECK_DEPTH):
-                        state[wid] = 3
-                        dirty[key_of_walk[wid]] = True
-                        chain_victims(wid)
-                    else:
-                        state[wid] = 2
+                    if classify_prescreened(wid):
+                        any_failed = True
                 if not any_failed:
                     break
             pending_ids = np.nonzero(state == 1)[0]
