@@ -1354,12 +1354,21 @@ class BatchVerifier:
                     )
         return walks
 
-    def _ensure_levels(self, walk: _AnchorWalk, item: _QueryItem) -> None:
-        if walk.levels:
+    def _ensure_levels(
+        self, walk: _AnchorWalk, item: _QueryItem, upto: int | None = None
+    ) -> None:
+        """Materialize walk levels up to `upto` (default: the full chain).
+        Levels are built incrementally — most computed walks are spurious
+        anchors that die in their 3-level prescreen, and building all ~9
+        span/level objects for each was a measured chunk cost."""
+        target = (
+            len(walk.chain) if upto is None else min(upto, len(walk.chain))
+        )
+        if len(walk.levels) >= target:
             return
         leaf = item.pex_tree.leaves[walk.anchor.pex_leaf_index]
         reference = self.references[walk.anchor.reference_id]
-        for node in walk.chain:
+        for node in walk.chain[len(walk.levels) : target]:
             span = (
                 walk.root_span
                 if node.is_root
@@ -1547,18 +1556,21 @@ class BatchVerifier:
         limits = {}  # walk_id -> (prefix levels taken, level limit)
         for walk_id in subset:
             walk = walks[walk_id]
-            self._ensure_levels(walk, items[walk.query_index])
+            chain = walk.chain
             limit = (
-                len(walk.levels)
+                len(chain)
                 if max_depth is None
-                else min(max_depth, len(walk.levels))
+                else min(max_depth, len(chain))
             )
             take = 0
-            for depth in range(limit):
+            while (
+                take < limit
+                and chain[take].length_of_query_span <= deep_span
+            ):
+                take += 1
+            self._ensure_levels(walk, items[walk.query_index], upto=take)
+            for depth in range(take):
                 level = walk.levels[depth]
-                if level.node.length_of_query_span > deep_span:
-                    break
-                take = depth + 1
                 key = level_key(walk, level)
                 if key in cache:
                     pending.append((walk_id, depth, key, None))
@@ -1593,6 +1605,11 @@ class BatchVerifier:
             round_pending = []  # (walk_id, level, key, slot_or_None)
             for walk_id in active:
                 walk = walks[walk_id]
+                self._ensure_levels(
+                    walk,
+                    items[walk.query_index],
+                    upto=depth_of[walk_id] + 1,
+                )
                 level = walk.levels[depth_of[walk_id]]
                 key = level_key(walk, level)
                 if key in cache:
