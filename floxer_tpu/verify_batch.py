@@ -93,6 +93,71 @@ _NO_RESIDENT = bool(
     __import__("os").environ.get("FLOXER_TPU_NO_RESIDENT", "")
 )
 
+# Latency-adaptive banded routing: the host lane-parallel banded engine
+# (myers_host.cpp) and the Pallas banded kernel run at comparable band-cell
+# rates (~104 vs ~90 Gcells/s measured), so WHERE a bucket should run is
+# decided by the per-call device overhead, not by throughput. On a
+# direct-attached TPU a dispatch+download costs ~1 ms and the device wins
+# every non-trivial bucket; through this machine's TCP tunnel it costs
+# 30-300 ms (plus 0.5-110 s per fresh Mosaic compile) and the host wins at
+# every size that occurs in practice (measured 2026-08-18: default engine
+# 166 s vs 17.5 s host-forced on the 1000-read E. coli ladder, identical
+# SAM). The router estimates both times per bucket and picks the smaller;
+# the overhead term starts from a measured round-trip probe and is updated
+# by an EWMA of observed call times, so compile spikes push routing toward
+# the host automatically.
+_HOST_BAND_RATE = float(
+    __import__("os").environ.get("FLOXER_TPU_HOST_BAND_GCELLS", "26")
+) * 1e9  # band cells/s per host thread (engine scales ~linearly to 4)
+_DEVICE_BAND_RATE = float(
+    __import__("os").environ.get("FLOXER_TPU_DEVICE_BAND_GCELLS", "90")
+) * 1e9  # padded band cells/s of the Pallas banded kernel
+_PROBE_MIN_HOST_S = 0.01  # don't init the backend for < 10 ms of host work
+
+_DEVICE_OVERHEAD = {"rtt": None, "ewma": None}
+
+
+def _device_call_overhead() -> float:
+    """Estimated seconds of fixed cost per device batcher call.
+
+    First use measures a tiny jitted round trip (warm call, so compile is
+    excluded); afterwards an EWMA of observed (dispatch+download) minus the
+    modeled kernel time tracks the true per-call cost, including per-shape
+    retrace/compile amortization as it actually occurs in this process."""
+    import os
+    import time as _time
+
+    pinned = os.environ.get("FLOXER_TPU_DEVICE_OVERHEAD_S")
+    if pinned:
+        return float(pinned)
+    state = _DEVICE_OVERHEAD
+    if state["ewma"] is not None:
+        return state["ewma"]
+    import jax
+    import jax.numpy as jnp
+
+    fn = jax.jit(lambda x: x + 1)
+    x = jnp.zeros(8, jnp.int32)
+    np.asarray(fn(x))  # trace + compile, excluded from the measurement
+    t0 = _time.monotonic()
+    np.asarray(fn(x))
+    rtt = _time.monotonic() - t0
+    state["rtt"] = rtt
+    # a real batcher call moves more data and crosses the tunnel several
+    # times (upload, dispatch, download); start pessimistic at 4x rtt
+    state["ewma"] = max(4.0 * rtt, 0.004)
+    return state["ewma"]
+
+
+def _observe_device_call(observed_s: float, modeled_kernel_s: float) -> None:
+    state = _DEVICE_OVERHEAD
+    sample = max(observed_s - modeled_kernel_s, 0.0)
+    floor = 0.25 * (state["rtt"] or 0.0)
+    if state["ewma"] is None:
+        state["ewma"] = max(sample, floor)
+    else:
+        state["ewma"] = max(0.7 * state["ewma"] + 0.3 * sample, floor)
+
 
 @dataclass
 class _WalkLevel:
@@ -422,8 +487,48 @@ class _TaskBatcher:
             cells = sum(
                 len(self.patterns[i]) * len(self.windows[i]) for i in slots
             )
-            size_qualifies = tag == "banded" or cells > MIN_DEVICE_CELLS
-            on_device = size_qualifies and self._device()
+            modeled_kernel_s = 0.0
+            if tag == "banded":
+                # time-model routing (see _device_call_overhead): both
+                # engines compute the same band, so compare estimated wall
+                # time. Host computes useful band cells on min(4, slots)
+                # threads; device computes the padded band and pays a
+                # per-call overhead that adapts to the attachment latency.
+                band_cells = 0
+                for i in slots:
+                    m = len(self.patterns[i])
+                    n = len(self.windows[i])
+                    rows = min(n - m + 2 * self.budgets[i] + 1, m)
+                    band_cells += max(rows, 1) * n
+                host_s = band_cells / (
+                    _HOST_BAND_RATE * min(4, len(slots))
+                )
+                if self.use_device is True:
+                    # --engine device / direct construction: hard override,
+                    # the caller wants the device path exercised
+                    on_device = self._device()
+                elif host_s <= _PROBE_MIN_HOST_S or not self._device():
+                    on_device = False
+                else:
+                    b_pad = 1
+                    while b_pad < len(slots):
+                        b_pad *= 2
+                    modeled_kernel_s = (
+                        m_bucket * 32 * n_bucket * b_pad
+                    ) / _DEVICE_BAND_RATE
+                    device_s = _device_call_overhead() + modeled_kernel_s
+                    on_device = device_s < host_s
+                    _logging.getLogger("floxer-tpu").debug(
+                        "banded route: %d slots band=%.0fMcells host %.0fms"
+                        " device %.0fms (overhead %.0fms) -> %s",
+                        len(slots), band_cells / 1e6, host_s * 1e3,
+                        device_s * 1e3,
+                        _device_call_overhead() * 1e3,
+                        "device" if on_device else "host",
+                    )
+            else:
+                size_qualifies = cells > MIN_DEVICE_CELLS
+                on_device = size_qualifies and self._device()
             if not on_device:
                 t0 = _time.monotonic()
                 from .native import native_myers_distance_batch
@@ -466,7 +571,8 @@ class _TaskBatcher:
                 _BATCH_TIMERS["calls"] += 1
                 pending.append(
                     (slots, b_bucket, m_bucket, n_bucket,
-                     resident_result[0], resident_result[1], t1 - t0)
+                     resident_result[0], resident_result[1], t1 - t0,
+                     modeled_kernel_s)
                 )
                 continue
             dummy = np.zeros(1, dtype=np.uint8)
@@ -507,13 +613,13 @@ class _TaskBatcher:
             _BATCH_TIMERS["calls"] += 1
             pending.append(
                 (slots, b_bucket, m_bucket, n_bucket,
-                 bucket_distances, bucket_ends, t2 - t1)
+                 bucket_distances, bucket_ends, t2 - t1, modeled_kernel_s)
             )
 
         log = _logging.getLogger("floxer-tpu")
         # start all device->host copies before waiting on any: each download
         # is a full tunnel round trip (~30 ms) when issued serially
-        for *_rest, dist, end, _t in pending:
+        for *_rest, dist, end, _t, _mk in pending:
             for arr in (dist, end):
                 copy_async = getattr(arr, "copy_to_host_async", None)
                 if copy_async is not None:
@@ -521,12 +627,16 @@ class _TaskBatcher:
                         copy_async()
                     except Exception:  # noqa: BLE001 - best-effort prefetch
                         pass
-        for slots, b_bucket, m_bucket, n_bucket, dist, end, t_disp in pending:
+        for (
+            slots, b_bucket, m_bucket, n_bucket, dist, end, t_disp, mk_s
+        ) in pending:
             t1 = _time.monotonic()
             distances[slots] = np.asarray(dist)[: len(slots)]
             ends[slots] = np.asarray(end)[: len(slots)]
             t2 = _time.monotonic()
             _BATCH_TIMERS["kernel"] += t2 - t1
+            if mk_s:
+                _observe_device_call(t_disp + (t2 - t1), mk_s)
             useful = sum(
                 len(self.patterns[i]) * len(self.windows[i]) for i in slots
             )
