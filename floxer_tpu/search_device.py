@@ -66,6 +66,21 @@ _BLOCK_FRONTIER = int(
 _BLOCK_REPORTS = int(
     _os.environ.get("FLOXER_TPU_SEARCH_BLOCK_REPORTS", 1 << 13)
 )
+# max frontier-search executions in flight before draining results to the
+# host (see search_seeds_many stage 1: unbounded queueing kernel-faults the
+# real TPU worker at chunk scale)
+_INFLIGHT_BLOCKS = int(
+    _os.environ.get("FLOXER_TPU_SEARCH_INFLIGHT_BLOCKS", 4)
+)
+# longest pattern the frontier search will dispatch: the scan length grows
+# with the pattern, and a single execution past ~200 iterations trips the
+# TPU worker's execution watchdog and kills the whole client ("TPU worker
+# process crashed or restarted", observed 2026-08-18 with a 423-iteration
+# block at E. coli scale; 135 iterations runs). Longer seeds fall back to
+# the native DFS redo path, which is faster for them anyway.
+_MAX_DEVICE_PATTERN = int(
+    _os.environ.get("FLOXER_TPU_SEARCH_MAX_PATTERN", 112)
+)
 _LEN_QUANTUM = 32  # pattern pad quantum: bounds the jit key count
 
 
@@ -161,8 +176,29 @@ class DeviceSearcher:
         buffer = arrays.buffer
 
         # ---- stage 1: device group discovery, one error class at a time,
-        # async across blocks (sync once at the end of the stage) ----
-        pending = []  # (device results, gids, n_real)
+        # async across a BOUNDED window of in-flight blocks. Unbounded
+        # accumulation (sync once at the end) looked free on the virtual
+        # CPU mesh but crashes the real TPU worker at chunk scale: hundreds
+        # of queued frontier scans hold hundreds of live
+        # [frontier, report] buffer sets in HBM and the worker dies with a
+        # kernel fault (observed at E. coli scale, 2026-08-18). Draining a
+        # block's reports to host after a small overlap window keeps at
+        # most _INFLIGHT_BLOCKS live executions while still hiding dispatch
+        # latency behind device compute.
+        inflight = []  # (device results, gids, n_real)
+        pending = []  # (host reports, num_reports, overflow, gids, n_real)
+
+        def drain_one():
+            (d_reports, d_num, d_overflow), gids, n_real = inflight.pop(0)
+            pending.append(
+                (
+                    np.asarray(d_reports),
+                    int(d_num),
+                    np.asarray(d_overflow),
+                    gids,
+                    n_real,
+                )
+            )
         for errors in np.unique(arrays.errors_g).tolist():
             sel = np.flatnonzero(arrays.errors_g == errors)
             lengths = arrays.length_g[sel]
@@ -206,13 +242,16 @@ class DeviceSearcher:
                     _BLOCK_REPORTS,
                     max_iterations,
                 )
-                pending.append((out, sel[base:stop], n_real))
+                inflight.append((out, sel[base:stop], n_real))
+                while len(inflight) >= _INFLIGHT_BLOCKS:
+                    drain_one()
+        while inflight:
+            drain_one()
 
         report_rows = []  # each [k, 5]: gid, lb, lb_rev, len, err
         overflow_gids = []
-        for (reports, num_reports, overflow), gids, n_real in pending:
-            reports = np.asarray(reports)[: int(num_reports)]
-            overflow = np.asarray(overflow)
+        for reports, num_reports, overflow, gids, n_real in pending:
+            reports = reports[:num_reports]
             local = reports[:, 4]
             keep = local < n_real
             rows = np.empty((int(keep.sum()), 5), dtype=np.int64)
