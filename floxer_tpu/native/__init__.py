@@ -86,6 +86,10 @@ def get_library():
             i64p, i64p,  # outputs
         ]
         lib.floxer_search_seed.restype = ctypes.c_int
+        lib.floxer_sort_groups_probe.argtypes = [
+            i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.floxer_banded_traceback.argtypes = [
             u8p, ctypes.c_int64, u8p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64,
@@ -656,6 +660,27 @@ def native_select_from_groups_batch(
         out_anchors.reshape(num_seeds, soft_cap, 3),
         out_counts.reshape(num_seeds, 5),
     )
+
+
+def native_sort_groups_probe(
+    counts: np.ndarray, errors: np.ndarray, order_code: int
+) -> np.ndarray | None:
+    """Test probe: libstdc++ std::sort permutation of (count, errors) rows
+    under the reference's literal group-order comparators."""
+    lib = get_library()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    errors = np.ascontiguousarray(errors, dtype=np.int64)
+    out = np.zeros(len(counts), dtype=np.int32)
+    lib.floxer_sort_groups_probe(
+        _as_i64p(counts),
+        _as_i64p(errors),
+        ctypes.c_int64(len(counts)),
+        ctypes.c_int64(order_code),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
 
 
 def native_myers_distance_batch(

@@ -464,21 +464,33 @@ inline void select_one(const BiIndex& index, const LocateCtx& loc,
         return;
     }
 
+    // std::sort with the reference's LITERAL comparators
+    // (search.cpp:204-229): the reference uses std::ranges::sort, which in
+    // libstdc++ is the same introsort, so tie placement — and for the
+    // degenerate errors_first predicate, the whole permutation — matches
+    // the reference bit-exactly given the same input order. Sorting the
+    // index array is isomorphic to sorting the group values: introsort
+    // only inspects elements through the comparator.
     std::vector<int32_t> order(num_groups);
     for (int64_t g = 0; g < num_groups; g++) order[g] = (int32_t)g;
-    if (sel.group_order == 0) {  // count_first: (len, errors)
-        std::stable_sort(order.begin(), order.end(),
-                         [&](int32_t a, int32_t b) {
-                             const int64_t* ga = groups + a * 4;
-                             const int64_t* gb = groups + b * 4;
-                             if (ga[2] != gb[2]) return ga[2] < gb[2];
-                             return ga[3] < gb[3];
-                         });
-    } else if (sel.group_order == 1) {  // errors_first (see search_host)
-        std::stable_sort(order.begin(), order.end(),
-                         [&](int32_t a, int32_t b) {
-                             return groups[a * 4 + 2] < groups[b * 4 + 2];
-                         });
+    if (sel.group_order == 0) {  // count_first: (count, then errors)
+        std::sort(order.begin(), order.end(),
+                  [&](int32_t a, int32_t b) {
+                      const int64_t* ga = groups + a * 4;
+                      const int64_t* gb = groups + b * 4;
+                      if (ga[2] != gb[2]) return ga[2] < gb[2];
+                      return ga[3] < gb[3];
+                  });
+    } else if (sel.group_order == 1) {  // errors_first (verbatim degenerate
+        // predicate, search.cpp:215-223: counts compared only when the
+        // error counts differ; never otherwise)
+        std::sort(order.begin(), order.end(),
+                  [&](int32_t a, int32_t b) {
+                      const int64_t* ga = groups + a * 4;
+                      const int64_t* gb = groups + b * 4;
+                      if (ga[3] != gb[3]) return ga[2] < gb[2];
+                      return false;
+                  });
     }
 
     struct A {
@@ -588,6 +600,31 @@ inline void select_one(const BiIndex& index, const LocateCtx& loc,
 }  // namespace
 
 extern "C" {
+
+// Test probe: the exact std::sort permutation for a (count, errors) list
+// under the reference's literal comparators (order_code 0 = count_first,
+// 1 = errors_first). Fuzzes the Python introsort replica
+// (utils/introsort.py) against the real libstdc++ implementation.
+void floxer_sort_groups_probe(const int64_t* counts, const int64_t* errors,
+                              int64_t n, int64_t order_code,
+                              int32_t* out_perm) {
+    std::vector<int32_t> order((size_t)n);
+    for (int64_t i = 0; i < n; i++) order[(size_t)i] = (int32_t)i;
+    if (order_code == 0) {
+        std::sort(order.begin(), order.end(),
+                  [&](int32_t a, int32_t b) {
+                      if (counts[a] != counts[b]) return counts[a] < counts[b];
+                      return errors[a] < errors[b];
+                  });
+    } else if (order_code == 1) {
+        std::sort(order.begin(), order.end(),
+                  [&](int32_t a, int32_t b) {
+                      if (errors[a] != errors[b]) return counts[a] < counts[b];
+                      return false;
+                  });
+    }
+    for (int64_t i = 0; i < n; i++) out_perm[i] = order[(size_t)i];
+}
 
 // Returns: bit 0 = aborted (cap hit), bit 1 = group-buffer overflow.
 int floxer_search_seed(

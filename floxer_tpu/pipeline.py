@@ -319,22 +319,37 @@ def process_query(
         verified_intervals = create_verified_intervals_per_reference(
             len(references.records), cli.use_interval_optimization
         )
-        for anchor in result.iter_anchors():
-            verifier = QueryVerifier(
-                pex_tree=pex_tree,
-                anchor=anchor,
-                pex_leaf_node=pex_tree.leaves[anchor.pex_leaf_index],
-                query=oriented_query,
-                orientation=orientation,
-                reference=references.records[anchor.reference_id],
-                kind=kind,
-                already_verified_intervals=verified_intervals[anchor.reference_id],
-                extra_verification_ratio=cli.extra_verification_ratio,
-                without_cigar=cli.without_cigar,
-                alignments=alignments,
-                stats=stats,
-            )
-            verifier.verify()
+        # anchors are grouped into packages of --num-anchors-per-task, the
+        # reference's verification-task granularity (create_anchor_packages,
+        # parallelization.cpp:14-43; search.cpp:111-141). Executed here in
+        # package order on one thread, so the boundary is output-neutral —
+        # exactly as it is in the reference, where it only sets how many
+        # anchors one pool task carries.
+        anchors = list(result.iter_anchors())
+        package_size = max(1, cli.num_anchors_per_verification_task)
+        packages = [
+            anchors[base : base + package_size]
+            for base in range(0, len(anchors), package_size)
+        ]
+        for package in packages:
+            for anchor in package:
+                verifier = QueryVerifier(
+                    pex_tree=pex_tree,
+                    anchor=anchor,
+                    pex_leaf_node=pex_tree.leaves[anchor.pex_leaf_index],
+                    query=oriented_query,
+                    orientation=orientation,
+                    reference=references.records[anchor.reference_id],
+                    kind=kind,
+                    already_verified_intervals=verified_intervals[
+                        anchor.reference_id
+                    ],
+                    extra_verification_ratio=cli.extra_verification_ratio,
+                    without_cigar=cli.without_cigar,
+                    alignments=alignments,
+                    stats=stats,
+                )
+                verifier.verify()
 
     stats.add_num_alignments(alignments.size())
     stats.add_milliseconds_spent_in_verification_per_query(
@@ -356,6 +371,7 @@ def verify_and_write_chunk(
     stats: SearchAndAlignmentStatistics,
     resident_ref=None,
     defer_finalize: bool = False,
+    deadline_check=None,
 ):
     """Verification + output for a chunk whose search results are ready.
 
@@ -393,6 +409,7 @@ def verify_and_write_chunk(
         ),
         resident_ref=resident_ref,
         defer_finalize=defer_finalize,
+        deadline_check=deadline_check,
     )
     all_alignments = verifier.process(items)
     verification_ms = int((time.monotonic() - verification_started) * 1000)
@@ -688,17 +705,29 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
                         pool.submit(search_chunk, chunk) if chunk else None
                     )
                     if pending is not None:
+                        from .verify_batch import VerificationTimeout
+
                         prev_chunk, prev_future = pending
-                        complete = verify_and_write_chunk(
-                            prev_chunk,
-                            prev_future.result(),
-                            cli,
-                            references,
-                            output,
-                            stats,
-                            resident_ref=resident_ref,
-                            defer_finalize=True,
-                        )
+                        try:
+                            complete = verify_and_write_chunk(
+                                prev_chunk,
+                                prev_future.result(),
+                                cli,
+                                references,
+                                output,
+                                stats,
+                                resident_ref=resident_ref,
+                                defer_finalize=True,
+                                deadline_check=hit_timeout,
+                            )
+                        except VerificationTimeout:
+                            # per-wave timeout check (parallelization.cpp:66,
+                            # 203 parity): drop the in-flight chunk, output
+                            # stays truncated like the reference's
+                            timed_out = True
+                            if future is not None:
+                                future.cancel()
+                            break
                         if finalizing is not None:
                             done_len, done_future = finalizing
                             done_future.result()

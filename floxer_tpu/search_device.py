@@ -69,8 +69,8 @@ _BLOCK_REPORTS = int(
 # max frontier-search executions in flight before draining results to the
 # host (see search_seeds_many stage 1: unbounded queueing kernel-faults the
 # real TPU worker at chunk scale)
-_INFLIGHT_BLOCKS = int(
-    _os.environ.get("FLOXER_TPU_SEARCH_INFLIGHT_BLOCKS", 4)
+_INFLIGHT_BLOCKS = max(
+    1, int(_os.environ.get("FLOXER_TPU_SEARCH_INFLIGHT_BLOCKS", 4))
 )
 # longest pattern the frontier search will dispatch: the scan length grows
 # with the pattern, and a single execution past ~200 iterations trips the
@@ -199,8 +199,19 @@ class DeviceSearcher:
                     n_real,
                 )
             )
+        # seeds longer than _MAX_DEVICE_PATTERN never go to the device: the
+        # frontier scan's iteration count grows with the pattern and a long
+        # execution trips the TPU worker watchdog (see constant above).
+        # They join the native-DFS redo set, which is faster for them anyway.
+        long_gids = np.flatnonzero(arrays.length_g > _MAX_DEVICE_PATTERN)
+
         for errors in np.unique(arrays.errors_g).tolist():
-            sel = np.flatnonzero(arrays.errors_g == errors)
+            sel = np.flatnonzero(
+                (arrays.errors_g == errors)
+                & (arrays.length_g <= _MAX_DEVICE_PATTERN)
+            )
+            if sel.shape[0] == 0:
+                continue
             lengths = arrays.length_g[sel]
             uniq_lens, len_class = np.unique(lengths, return_inverse=True)
             class_searches = [
@@ -260,7 +271,10 @@ class DeviceSearcher:
             report_rows.append(rows)
             overflow_gids.append(gids[np.flatnonzero(overflow[:n_real])])
 
-        redo = np.unique(np.concatenate(overflow_gids)) if overflow_gids else np.zeros(0, dtype=np.int64)
+        redo_parts = [long_gids] + (
+            [np.concatenate(overflow_gids)] if overflow_gids else []
+        )
+        redo = np.unique(np.concatenate(redo_parts))
         redo_set_mask = np.zeros(total_seeds, dtype=bool)
         redo_set_mask[redo] = True
 
@@ -473,6 +487,22 @@ class DeviceSearcher:
                 ]
                 for i in indices
             ]
+            if length > _MAX_DEVICE_PATTERN:
+                # watchdog guard (see _MAX_DEVICE_PATTERN): long seeds run
+                # the host DFS directly instead of a device dispatch
+                for slot, i in enumerate(indices):
+                    groups, total_raw, _ = search_seed_groups(
+                        self.index,
+                        patterns[slot],
+                        errors,
+                        self._host.search_cap(),
+                    )
+                    result.anchors_by_seed[i] = (
+                        self._host.process_seed_groups(
+                            seeds[i], groups, total_raw
+                        )
+                    )
+                continue
             expanded = expand_scheme(errors, length)
             groups_per_seed, overflow = self._run_search(
                 patterns, errors, expanded

@@ -827,13 +827,31 @@ class Searcher:
             # seed fully excluded (search.cpp:190-202)
             return True, [], [], 0
 
-        if config.anchor_group_order == AnchorGroupOrder.COUNT_FIRST:
-            groups.sort(key=lambda g: (g.cursor.length, g.num_errors))
-        elif config.anchor_group_order == AnchorGroupOrder.ERRORS_FIRST:
-            # the reference's comparator (search.cpp:215-223) compares
-            # counts whenever the error counts differ; reproduced as a
-            # stable sort by count restricted to that predicate's effect
-            groups.sort(key=lambda g: g.cursor.length)
+        if config.anchor_group_order != AnchorGroupOrder.NONE:
+            # the reference sorts with std::ranges::sort (search.cpp:204-229)
+            # — an UNSTABLE introsort whose tie placement (and, for the
+            # degenerate errors_first predicate, the entire result) is
+            # defined by the algorithm. std_sort is a faithful libstdc++
+            # replica, so the permutation matches the reference bit-exactly
+            # given the same input order (DFS emission order here).
+            from .utils.introsort import (
+                count_first_comp,
+                errors_first_comp,
+                std_sort,
+            )
+
+            comp = (
+                count_first_comp
+                if config.anchor_group_order == AnchorGroupOrder.COUNT_FIRST
+                else errors_first_comp
+            )
+            std_sort(
+                groups,
+                lambda g1, g2: comp(
+                    (g1.cursor.length, g1.num_errors),
+                    (g2.cursor.length, g2.num_errors),
+                ),
+            )
 
         num_kept_raw = 0
         picked_rows: list[int] = []

@@ -76,6 +76,7 @@ def _select_kernel(
     cnt,  # int32 [G] group size (cursor length)
     err,  # int32 [G] group error count
     gid,  # int32 [G] owning seed, ascending; padding rows gid == S
+    perm,  # int32 [G] host-computed group-order permutation (introsort)
     group_starts,  # int32 [S + 1]
     totals,  # int32 [S] raw anchor totals per seed
     statuses,  # int32 [S] incoming status bits
@@ -94,14 +95,11 @@ def _select_kernel(
     status = statuses | jnp.where(excluded, _STATUS_EXCLUDED, 0)
     seed_ok = (status & (_STATUS_OVERFLOW | _STATUS_EXCLUDED)) == 0
 
-    # ---- group ordering within each seed (stable, canonical tiebreak) ----
-    canon = jnp.arange(G, dtype=jnp.int32)
-    if order_code == 0:  # count_first: (count, errors)
-        perm = jnp.lexsort((canon, err, cnt, gid))
-    elif order_code == 1:  # errors_first (reference comparator: by count)
-        perm = jnp.lexsort((canon, cnt, gid))
-    else:  # none: canonical emission order
-        perm = jnp.lexsort((canon, gid))
+    # ---- group ordering within each seed ----
+    # the permutation is computed on host with the faithful introsort
+    # replica (utils/introsort.py) so tie placement matches the native
+    # std::sort path bit-exactly; `perm` arrives as an input array
+    del order_code  # retained in the jit key: orders share no programs
     lb_s = lb[perm]
     cnt_s = cnt[perm]
     err_s = err[perm]
@@ -361,6 +359,33 @@ def device_select_from_groups_batch(
     cnt[:G] = groups_flat[:, 2]
     err[:G] = groups_flat[:, 3]
     gid_p[:G] = gid
+
+    # per-seed group-order permutation on host: the faithful introsort
+    # replica (utils/introsort.py) so ties — and the degenerate
+    # errors_first predicate — land exactly where the native std::sort
+    # path puts them
+    perm = np.arange(Gp, dtype=np.int32)
+    if order_code in (0, 1):
+        from .utils.introsort import (
+            count_first_comp,
+            errors_first_comp,
+            std_sort,
+        )
+
+        comp = count_first_comp if order_code == 0 else errors_first_comp
+        counts64 = groups_flat[:, 2]
+        errs64 = groups_flat[:, 3]
+        for s in range(S):
+            a, b = int(group_starts[s]), int(group_starts[s + 1])
+            if b - a > 1:
+                seg = list(range(a, b))
+                std_sort(
+                    seg,
+                    lambda i, j: comp(
+                        (counts64[i], errs64[i]), (counts64[j], errs64[j])
+                    ),
+                )
+                perm[a:b] = seg
     starts_p = np.zeros(Sp + 1, dtype=np.int32)
     starts_p[: S + 1] = group_starts
     starts_p[S + 1 :] = group_starts[S]
@@ -375,6 +400,7 @@ def device_select_from_groups_batch(
         jnp.asarray(cnt),
         jnp.asarray(err),
         jnp.asarray(gid_p),
+        jnp.asarray(perm),
         jnp.asarray(starts_p),
         jnp.asarray(totals_p),
         jnp.asarray(statuses_p),

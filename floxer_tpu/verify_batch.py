@@ -653,6 +653,13 @@ class _TaskBatcher:
         return distances, ends
 
 
+class VerificationTimeout(Exception):
+    """Raised between waves when the caller's deadline has passed — the
+    TPU-shaped analogue of the reference's per-task `threads_should_stop`
+    checks (parallelization.cpp:66, 203): a long chunk aborts at the next
+    wave boundary instead of running minutes past --timeout."""
+
+
 class BatchVerifier:
     def __init__(
         self,
@@ -664,6 +671,7 @@ class BatchVerifier:
         use_device: bool = True,
         resident_ref=None,
         defer_finalize: bool = False,
+        deadline_check=None,
     ):
         self.references = references
         # defer_finalize=True: process() may return alignments whose root
@@ -671,6 +679,9 @@ class BatchVerifier:
         # caller must call resolve_deferred() before consuming them (the
         # pipeline overlaps that wait with the next chunk's verification)
         self.defer_finalize = defer_finalize
+        # optional zero-arg callable; True => abort at the next wave
+        # boundary by raising VerificationTimeout
+        self.deadline_check = deadline_check
         self.kind = kind
         self.extra_verification_ratio = extra_verification_ratio
         self.without_cigar = without_cigar
@@ -969,6 +980,8 @@ class BatchVerifier:
                 if need_ids.size == 0:
                     break
                 waves += 1
+                if self.deadline_check is not None and self.deadline_check():
+                    raise VerificationTimeout()
                 need_total += need_ids.size
                 need_list = [int(w) for w in need_ids]
                 # small re-verify cascades (walks whose cache-skip turned
@@ -1233,6 +1246,8 @@ class BatchVerifier:
                 if not need:
                     break
                 waves += 1
+                if self.deadline_check is not None and self.deadline_check():
+                    raise VerificationTimeout()
                 need_total += len(need)
                 t0_flat = _time.monotonic()
                 self._compute_walks_flat(

@@ -49,8 +49,6 @@ for query in queries:
     jobs.append((seeds, query.reverse_complement_rank_sequence))
 
 # instrument: log every block's shape and force a sync after each dispatch
-import numpy as np  # noqa: E402
-
 orig_run_block = dev._run_block
 block_no = [0]
 
@@ -74,5 +72,6 @@ t0 = time.monotonic()
 results = dev.search_seeds_many(jobs)
 dt = time.monotonic() - t0
 total = sum(getattr(r, "num_kept_useful_anchors", 0) for r in results) if results else 0
-print(f"device search of {len(jobs)} jobs in {dt:.1f}s", flush=True)
+print(f"device search of {len(jobs)} jobs in {dt:.1f}s "
+      f"({total} kept anchors)", flush=True)
 print("OK", flush=True)

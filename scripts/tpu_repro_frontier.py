@@ -39,7 +39,6 @@ dev = DeviceIndex.from_host(index)
 
 # production-like block: 256 seeds of length ~43, 2 errors
 rng = np.random.default_rng(0)
-import os
 errors = int(os.environ.get('REPRO_ERRORS', 2))
 lengths = [int(x) for x in os.environ.get('REPRO_LENGTHS', '42,43,44').split(',')]
 class_searches = [expand_scheme(errors, ln) for ln in lengths]

@@ -333,3 +333,24 @@ def test_sharded_index_search_e2e(tmp_path, data_dir):
     proc = subprocess.run(command, capture_output=True, text=True, env=env)
     assert proc.returncode == 0, proc.stderr
     assert open(base_out).read() == open(output).read()
+
+
+def test_num_anchors_per_task_is_consumed_and_neutral(tmp_path, data_dir):
+    """--num-anchors-per-task sets the reference engine's verification
+    package granularity (create_anchor_packages, parallelization.cpp:14-43);
+    like in the reference, the boundary must not change the output."""
+    _, base = run_aligner(
+        tmp_path,
+        data_dir,
+        ["--query-errors", "2", "--extra-verification-ratio", "2",
+         "--engine", "reference"],
+        out_name="base.sam",
+    )
+    _, tiny = run_aligner(
+        tmp_path,
+        data_dir,
+        ["--query-errors", "2", "--extra-verification-ratio", "2",
+         "--engine", "reference", "--num-anchors-per-task", "1"],
+        out_name="tiny.sam",
+    )
+    assert parse_sam(base) == parse_sam(tiny)

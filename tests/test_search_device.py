@@ -306,3 +306,63 @@ def test_chunk_device_search_with_device_select(indexes, config_kwargs):
     assert len(got) == len(want)
     for j, (w, g) in enumerate(zip(want, got)):
         assert _result_view(g, 2) == _result_view(w, 2), f"job {j}"
+
+
+def test_chunk_device_search_long_seeds_use_host_redo(indexes):
+    """Seeds longer than _MAX_DEVICE_PATTERN must never reach a device
+    frontier dispatch (watchdog guard, see search_device._MAX_DEVICE_PATTERN)
+    and must still produce host-identical results via the native redo path."""
+    from floxer_tpu import search_device as sd
+    from floxer_tpu.pex import Seed
+    from floxer_tpu.search_host import SearchConfig, Searcher
+
+    host, device, sequences = indexes
+    searcher = Searcher(
+        index=host, num_reference_sequences=len(sequences),
+        config=SearchConfig(),
+    )
+    device_searcher = sd.DeviceSearcher(searcher, device)
+
+    # queries mixing short (device-eligible) and long (guarded) seeds
+    rng = np.random.default_rng(55)
+    long_len = sd._MAX_DEVICE_PATTERN + 20
+    jobs = []
+    for q in range(4):
+        source = sequences[0]
+        start = int(rng.integers(0, len(source) - (long_len + 60)))
+        query = source[start : start + long_len + 60].copy()
+        for _ in range(2):
+            pos = int(rng.integers(0, len(query)))
+            query[pos] = 1 + (query[pos] % 4)
+        seeds = [
+            Seed(query_position=0, length=14, num_errors=1,
+                 pex_leaf_index=0),
+            Seed(query_position=14, length=long_len, num_errors=2,
+                 pex_leaf_index=1),
+            Seed(query_position=14 + long_len, length=16, num_errors=0,
+                 pex_leaf_index=2),
+        ]
+        jobs.append((seeds, query))
+
+    dispatched_lengths = []
+    orig = device_searcher._run_block
+
+    def traced(padded, seed_class, tables, fcap, rcap, max_iter):
+        dispatched_lengths.append(padded.shape[1])
+        return orig(padded, seed_class, tables, fcap, rcap, max_iter)
+
+    device_searcher._run_block = traced
+    want = searcher.search_seeds_many(jobs)
+    got = device_searcher.search_seeds_many(jobs)
+    assert dispatched_lengths, "short seeds should still use the device"
+    assert max(dispatched_lengths) <= sd._MAX_DEVICE_PATTERN + 31
+    assert len(got) == len(want)
+    for j, (w, g) in enumerate(zip(want, got)):
+        assert _result_view(g, 2) == _result_view(w, 2), f"job {j}"
+
+    # the per-query path takes the same guard
+    device_searcher._run_block = orig
+    for seeds, query in jobs:
+        per_query = device_searcher.search_seeds(seeds, query)
+        chunk = device_searcher.search_seeds_many([(seeds, query)])[0]
+        assert _result_view(per_query, 2) == _result_view(chunk, 2)

@@ -180,3 +180,53 @@ def test_batch_matches_sequential_forced_banded(monkeypatch, without_cigar):
     ).process(items)
     for qi, (w, g) in enumerate(zip(want, got)):
         assert _as_tuples(w) == _as_tuples(g), f"query {qi}"
+
+
+def test_deadline_check_aborts_between_waves():
+    """An expired deadline raises VerificationTimeout at the first wave
+    boundary (per-task timeout parity, parallelization.cpp:66,203)."""
+    from floxer_tpu.verify_batch import VerificationTimeout
+
+    references, items = _make_workload(321)
+    calls = []
+
+    def expired():
+        calls.append(1)
+        return True
+
+    verifier = BatchVerifier(
+        references,
+        kind=VerificationKind.HIERARCHICAL,
+        extra_verification_ratio=0.05,
+        without_cigar=False,
+        use_interval_optimization=True,
+        use_device=False,
+        deadline_check=expired,
+    )
+    with pytest.raises(VerificationTimeout):
+        verifier.process(items)
+    assert calls, "deadline_check was never consulted"
+
+
+def test_deadline_check_unexpired_is_neutral():
+    references, items = _make_workload(321)
+    want = BatchVerifier(
+        references,
+        kind=VerificationKind.HIERARCHICAL,
+        extra_verification_ratio=0.05,
+        without_cigar=False,
+        use_interval_optimization=True,
+        use_device=False,
+    ).process(items)
+    got = BatchVerifier(
+        references,
+        kind=VerificationKind.HIERARCHICAL,
+        extra_verification_ratio=0.05,
+        without_cigar=False,
+        use_interval_optimization=True,
+        use_device=False,
+        deadline_check=lambda: False,
+    ).process(items)
+    assert len(got) == len(want)
+    for w, g in zip(want, got):
+        assert _as_tuples(w) == _as_tuples(g)
