@@ -59,6 +59,7 @@ def _accelerator_available() -> bool:
 
 
 _WARMUP_STARTED = False
+_WARMUP_THREAD = None
 
 
 def _start_device_warmup() -> None:
@@ -92,7 +93,29 @@ def _start_device_warmup() -> None:
 
     import threading
 
-    threading.Thread(target=warm, name="device-warmup", daemon=True).start()
+    global _WARMUP_THREAD
+    _WARMUP_THREAD = threading.Thread(
+        target=warm, name="device-warmup", daemon=True
+    )
+    _WARMUP_THREAD.start()
+
+
+def _join_device_warmup(timeout: float | None = None) -> None:
+    """Block until the warmup kernel has executed (no-op if never started).
+
+    Called right before the align loop goes GIL-busy: if the warmup is
+    still in flight there (e.g. a cached-index run skipped the long
+    GIL-free build phase), waiting on an otherwise idle interpreter costs
+    its true 2-15 s — proceeding would let the chunk loop's Python threads
+    starve it into the 100-400 s regime instead."""
+    if _WARMUP_THREAD is not None and _WARMUP_THREAD.is_alive():
+        import time as _time
+
+        t0 = _time.monotonic()
+        _WARMUP_THREAD.join(timeout)
+        logger.debug(
+            "waited %.1fs for device warmup", _time.monotonic() - t0
+        )
 
 
 def _pretty_elapsed_suffix(seconds: float) -> str:
@@ -500,6 +523,16 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
         from .backend import ensure_backend
 
         ensure_backend()
+        # fire the backend's one-time first-execution warmup NOW, while the
+        # upcoming heavy host phases (index build / first search) are still
+        # native and GIL-free. The axon client's first execution is
+        # extremely sensitive to GIL contention: measured 2-14 s on an idle
+        # interpreter but 100-400+ s when Python-level threads churn the
+        # GIL (probe: 4 pure-Python burner threads starve it for minutes,
+        # while 4-core *native* numpy load leaves it at ~10 s). Starting it
+        # here lets it complete during the SA-IS index build, which holds
+        # the GIL released.
+        _start_device_warmup()
     initialize_logger(cli.logfile_path, cli.console_debug_logs)
     if extra_log_handler is not None:
         logger.addHandler(extra_log_handler)
@@ -567,6 +600,12 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
     def record_progress() -> None:
         with open(progress_path, "w") as handle:
             handle.write(f"{num_processed}\n")
+
+    if cli.engine == "device":
+        # backend init, not alignment: the warmup was started before the
+        # index build; finish it on a GIL-quiet interpreter before the
+        # align loop's Python threads can starve it (see _join_device_warmup)
+        _join_device_warmup()
 
     logger.info(
         "aligning queries against %d references and writing output file to %s",
