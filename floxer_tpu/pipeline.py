@@ -87,6 +87,14 @@ def _start_device_warmup() -> None:
                 np.ones((1, 128), dtype=np.uint8),
                 np.full(1, 128, dtype=np.int32),
             )
+            # replay previously-seen bucket shapes so chunk 1 skips the
+            # per-program first-execution cost (see warm_shapes.py)
+            import jax
+
+            if jax.default_backend() == "tpu":
+                from .warm_shapes import replay
+
+                replay()
             logger.debug("device warmup complete")
         except Exception as error:  # noqa: BLE001 - warmup is best-effort
             logger.debug("device warmup failed: %s", error)

@@ -354,16 +354,26 @@ class _TaskBatcher:
             pat_starts[row] = self.pat_addrs[i]
             pat_lens[row] = len(self.patterns[i])
 
+        from .warm_shapes import record_shape
+
         if tag == "banded":
             # pad rows: m=2, budget=1 satisfies 0 < budget < m
             pat_lens[len(slots):] = 2
             budgets = np.ones(T, dtype=np.int64)
             budgets[: len(slots)] = [self.budgets[i] for i in slots]
+            record_shape((
+                "banded_resident", m_bucket, n_bucket, T,
+                int(ref_bank.flat.shape[0]), int(query_bank.flat.shape[0]),
+            ))
             return myers_banded_resident(
                 ref_bank, query_bank,
                 win_starts, win_lens, pat_starts, pat_lens, budgets,
                 band_words=m_bucket, num_text=n_bucket, sync=False,
             )
+        record_shape((
+            "full_resident", m_bucket, n_bucket, T,
+            int(ref_bank.flat.shape[0]), int(query_bank.flat.shape[0]),
+        ))
         return myers_full_resident(
             ref_bank, query_bank,
             win_starts, win_lens, pat_starts, pat_lens,
@@ -581,9 +591,12 @@ class _TaskBatcher:
             while len(batch_patterns) < b_bucket:
                 batch_patterns.append(dummy)
                 batch_windows.append(dummy)
+            from .warm_shapes import record_shape
+
             if tag == "banded":
                 from .ops.pallas_myers_banded import myers_pallas_banded
 
+                record_shape(("banded_host", m_bucket, n_bucket, b_bucket))
                 txt, tlen = pad_batch(batch_windows, pad_to=n_bucket)
                 budgets = np.ones(b_bucket, dtype=np.int64)
                 budgets[: len(slots)] = [self.budgets[i] for i in slots]
@@ -602,6 +615,7 @@ class _TaskBatcher:
                 )
                 t2 = _time.monotonic()
             else:
+                record_shape(("full_host", m_bucket, n_bucket, b_bucket))
                 pat, plen = pad_batch(batch_patterns, pad_to=m_bucket)
                 txt, tlen = pad_batch(batch_windows, pad_to=n_bucket)
                 t1 = _time.monotonic()

@@ -1,0 +1,179 @@
+"""Self-learning kernel-shape pre-warmer.
+
+On the tunneled accelerator of this environment, the FIRST execution of
+each compiled program in a process costs seconds (program load + transfer
+through the tunnel) even when the compiled executable comes from the
+persistent jax compilation cache — measured ~3 s/program, ~20 s for the
+first chunk's bucket set, while later chunks reusing the same programs run
+in ~1 s total. The bucket shapes are heavily quantized (powers of two /
+tile multiples — see verify_batch._TaskBatcher.run), so a given workload
+class touches a SMALL closed set of programs that is identical across runs.
+
+This module records every device bucket shape the batcher dispatches and
+replays the set at startup inside the device warmup thread (pipeline.run
+starts it before the index build, so the replay overlaps the GIL-free
+build/load phase instead of stalling the first verification wave).
+Replayed dummy tasks carry window length 1, so the kernels' dynamic column
+bounds exit after one block: the replay pays only the per-program
+first-execution cost, microseconds of kernel time.
+
+The reference has no analogue — its engines are host code with no
+program-load step. This is TPU-runtime plumbing in the same spirit as the
+jax persistent compilation cache it complements.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+from pathlib import Path
+
+logger = logging.getLogger("floxer-tpu")
+
+_LOCK = threading.Lock()
+_SESSION: set[tuple] = set()  # shapes dispatched this process
+_LOADED: list | None = None
+_MAX_ENTRIES = 96
+
+
+def _store_path() -> Path:
+    base = os.environ.get("FLOXER_TPU_WARM_SHAPES")
+    if base:
+        return Path(base)
+    return Path.home() / ".cache" / "floxer_tpu" / "warm_shapes.json"
+
+
+def _load() -> list:
+    global _LOADED
+    if _LOADED is None:
+        try:
+            _LOADED = json.loads(_store_path().read_text())
+            assert isinstance(_LOADED, list)
+        except Exception:  # noqa: BLE001 - missing/corrupt file: start fresh
+            _LOADED = []
+    return _LOADED
+
+
+def record_shape(desc: tuple) -> None:
+    """Note a dispatched device-bucket shape; appended to the store once
+    per process (first new shape flushes eagerly — long runs should leave
+    a warm file even if killed)."""
+    with _LOCK:
+        if desc in _SESSION:
+            return
+        _SESSION.add(desc)
+        known = _load()
+        entry = list(desc)
+        if entry in known:
+            return
+        known.append(entry)
+        del known[:-_MAX_ENTRIES]
+        try:
+            path = _store_path()
+            path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_suffix(f".tmp{os.getpid()}")
+            tmp.write_text(json.dumps(known))
+            os.replace(tmp, path)
+        except Exception as error:  # noqa: BLE001 - best-effort persistence
+            logger.debug("warm-shape store write failed: %s", error)
+
+
+def _dummy_bank(flat_len: int):
+    """A stand-in with the only attribute the resident entry points use:
+    a device-resident uint32 array of exactly the recorded size (the size
+    is part of the jit cache key)."""
+    import jax.numpy as jnp
+
+    class _Bank:
+        flat = jnp.zeros(flat_len, dtype=jnp.uint32)
+
+    return _Bank()
+
+
+def _replay_one(desc: list):
+    import numpy as np
+
+    kind = desc[0]
+    if kind == "banded_resident":
+        _, band_words, num_text, T, ref_len, query_len = desc
+        from .ops.resident import myers_banded_resident
+
+        return myers_banded_resident(
+            _dummy_bank(ref_len), _dummy_bank(query_len),
+            np.zeros(T, dtype=np.int64), np.ones(T, dtype=np.int64),
+            np.zeros(T, dtype=np.int64), np.full(T, 2, dtype=np.int64),
+            np.ones(T, dtype=np.int64),
+            band_words=band_words, num_text=num_text, sync=False,
+        )
+    if kind == "full_resident":
+        _, m_bucket, num_text, T, ref_len, query_len = desc
+        from .ops.resident import myers_full_resident
+
+        return myers_full_resident(
+            _dummy_bank(ref_len), _dummy_bank(query_len),
+            np.zeros(T, dtype=np.int64), np.ones(T, dtype=np.int64),
+            np.zeros(T, dtype=np.int64), np.ones(T, dtype=np.int64),
+            m_bucket=m_bucket, num_text=num_text, sync=False,
+        )
+    if kind == "banded_host":
+        _, band_words, n_bucket, b_bucket = desc
+        from .ops.pallas_myers_banded import myers_pallas_banded
+
+        patterns = [np.zeros(2, dtype=np.uint8)] * b_bucket
+        texts = np.zeros((b_bucket, n_bucket), dtype=np.uint8)
+        return myers_pallas_banded(
+            patterns, texts,
+            np.ones(b_bucket, dtype=np.int64),
+            np.ones(b_bucket, dtype=np.int64),
+            band_words=band_words, sync=False,
+        )
+    if kind == "full_host":
+        _, m_bucket, n_bucket, b_bucket = desc
+        from .ops.myers import myers_distance
+
+        pat = np.zeros((b_bucket, m_bucket), dtype=np.uint8)
+        txt = np.zeros((b_bucket, n_bucket), dtype=np.uint8)
+        return myers_distance(
+            pat, np.ones(b_bucket, dtype=np.int32),
+            txt, np.ones(b_bucket, dtype=np.int32),
+            sync=False,
+        )
+    return None
+
+
+def replay() -> None:
+    """Execute every recorded shape once with trivial dummy inputs.
+
+    Dispatches everything asynchronously first, then syncs, so the remote
+    program loads pipeline instead of paying one round trip each. Called
+    from the device warmup thread only (never on the CPU backend — the
+    Pallas kernels would run in interpret mode there)."""
+    import time as _time
+
+    import numpy as np
+
+    shapes = list(_load())
+    if not shapes:
+        return
+    t0 = _time.monotonic()
+    pending = []
+    for desc in shapes:
+        try:
+            out = _replay_one(desc)
+            if out is not None:
+                pending.append((desc, out))
+        except Exception as error:  # noqa: BLE001 - stale/corrupt entries
+            logger.debug("warm-shape replay dispatch %s: %s", desc, error)
+    ok = 0
+    for desc, out in pending:
+        try:
+            np.asarray(out[0])
+            ok += 1
+        except Exception as error:  # noqa: BLE001
+            logger.debug("warm-shape replay sync %s: %s", desc, error)
+    logger.debug(
+        "warm-shape replay: %d/%d programs in %.1fs",
+        ok, len(shapes), _time.monotonic() - t0,
+    )
