@@ -216,23 +216,39 @@ def main() -> None:
             [], {"FLOXER_TPU_PLATFORM": "cpu"}, timeout_s=3600,
         )
 
+    # host wall-clock noise on this machine is +/-30% run to run
+    # (docs/BENCH.md measurement notes): take the best of N passes per
+    # engine — min-of-N within one bench invocation is the only
+    # trustworthy comparison
+    passes = int(os.environ.get("FLOXER_BENCH_PASSES", "2"))
+
     cpu_align_s = None
     if not os.environ.get("FLOXER_BENCH_SKIP_CPU"):
-        cpu_align_s = _run_aligner(
-            genome, reads, index, data / "bench_cpu.sam",
-            [], {"FLOXER_TPU_PLATFORM": "cpu"}, timeout_s=1800,
-        )
+        for _ in range(passes):
+            got = _run_aligner(
+                genome, reads, index, data / "bench_cpu.sam",
+                [], {"FLOXER_TPU_PLATFORM": "cpu"}, timeout_s=1800,
+            )
+            if got is not None:
+                cpu_align_s = got if cpu_align_s is None else min(
+                    cpu_align_s, got
+                )
 
-    # device pass: a fresh CLI process with --engine device; the tunnel
-    # occasionally fails to register its platform on startup — retry once
+    # device passes: fresh CLI processes with --engine device (the first
+    # also records/warms kernel shapes; the best pass is what steady
+    # production looks like). One extra attempt absorbs a tunnel hiccup.
     device_align_s = None
-    for _ in range(2):
-        device_align_s = _run_aligner(
+    for attempt in range(passes + 1):
+        got = _run_aligner(
             genome, reads, index, data / "bench_dev.sam",
             ["--engine", "device"], {}, timeout_s=1200,
         )
-        if device_align_s is not None:
-            break
+        if got is not None:
+            device_align_s = got if device_align_s is None else min(
+                device_align_s, got
+            )
+            if attempt + 1 >= passes:
+                break
 
     sam_identical = None
     if cpu_align_s is not None and device_align_s is not None:

@@ -85,12 +85,22 @@ def _bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
 
 
 def _occ_checkpoints(bwt: np.ndarray) -> np.ndarray:
-    """(num_blocks + 1, SIGMA) cumulative symbol counts at block boundaries."""
+    """(num_blocks + 1, SIGMA) cumulative symbol counts at block boundaries.
+
+    Per-symbol reshape+sum instead of np.add.at: the scatter path is
+    single-element at a time and costs minutes at genome scale, the six
+    vectorized passes are bandwidth-bound seconds."""
     n = bwt.shape[0]
     num_blocks = n // OCC_BLOCK + 1
     per_block = np.zeros((num_blocks, SIGMA), dtype=np.int64)
-    block_idx = np.arange(n, dtype=np.int64) // OCC_BLOCK
-    np.add.at(per_block, (block_idx, bwt.astype(np.int64)), 1)
+    full = n // OCC_BLOCK
+    if full:
+        view = bwt[: full * OCC_BLOCK].reshape(full, OCC_BLOCK)
+        for symbol in range(SIGMA):
+            np.sum(view == symbol, axis=1, out=per_block[:full, symbol])
+    tail = bwt[full * OCC_BLOCK :]
+    if tail.size:
+        per_block[full] = np.bincount(tail, minlength=SIGMA)[:SIGMA]
     checkpoints = np.zeros((num_blocks + 1, SIGMA), dtype=np.int64)
     np.cumsum(per_block, axis=0, out=checkpoints[1:])
     return checkpoints
@@ -236,23 +246,60 @@ class FmIndex:
         n = self.text.shape[0]
         self.n = n
 
-        sa = suffix_array(self.text)
-        bwt = _bwt_from_sa(self.text, sa)
-        self.fwd = _SingleIndex(bwt, _occ_checkpoints(bwt))
+        # forward and reverse directions build CONCURRENTLY: the SA-IS
+        # call releases the GIL and each direction peaks at roughly
+        # text + (n+1) int64 + n bits (sais.cpp builds in place), so even
+        # an hg38-scale pair fits this host comfortably — and the wall
+        # clock halves on the reference's own multithreaded-build design
+        # point (floxer.cpp:92-97). Each direction frees its SA as soon as
+        # the BWT / SA samples are derived.
+        import threading
 
-        text_rev = self.text[::-1].copy()
-        sa_rev = suffix_array(text_rev)
-        bwt_rev = _bwt_from_sa(text_rev, sa_rev)
-        self.rev = _SingleIndex(bwt_rev, _occ_checkpoints(bwt_rev))
+        results: dict = {}
+        errors: list = []
+
+        def build_forward() -> None:
+            try:
+                sa = suffix_array(self.text)
+                bwt = _bwt_from_sa(self.text, sa)
+                # sampled SA by text position: rows with SA value % rate == 0
+                sampled_mask = sa % sampling_rate == 0
+                rows = np.flatnonzero(sampled_mask).astype(np.int64)
+                values = sa[sampled_mask].astype(np.int64)
+                del sa, sampled_mask
+                results["fwd"] = (bwt, _occ_checkpoints(bwt), rows, values)
+            except Exception as error:  # noqa: BLE001 - re-raised below
+                errors.append(error)
+
+        def build_reverse() -> None:
+            try:
+                text_rev = self.text[::-1].copy()
+                sa_rev = suffix_array(text_rev)
+                bwt_rev = _bwt_from_sa(text_rev, sa_rev)
+                del sa_rev, text_rev
+                results["rev"] = (bwt_rev, _occ_checkpoints(bwt_rev))
+            except Exception as error:  # noqa: BLE001 - re-raised below
+                errors.append(error)
+
+        if n >= (1 << 22):  # threading overhead is wasted on tiny builds
+            rev_thread = threading.Thread(
+                target=build_reverse, name="index-rev-build"
+            )
+            rev_thread.start()
+            build_forward()
+            rev_thread.join()
+        else:
+            build_forward()
+            build_reverse()
+        if errors:
+            raise errors[0]
+        bwt, fwd_occ, self.sampled_rows, self.sampled_values = results["fwd"]
+        self.fwd = _SingleIndex(bwt, fwd_occ)
+        self.rev = _SingleIndex(*results["rev"])
 
         counts = np.bincount(self.text, minlength=SIGMA).astype(np.int64)
         self.C = np.zeros(SIGMA + 1, dtype=np.int64)
         self.C[1:] = np.cumsum(counts)
-
-        # sampled SA by text position: rows whose SA value % rate == 0
-        sampled_mask = sa % sampling_rate == 0
-        self.sampled_rows = np.flatnonzero(sampled_mask).astype(np.int64)
-        self.sampled_values = sa[sampled_mask].astype(np.int64)
         # membership bitset lookup via searchsorted on sampled_rows
 
     # ------------------------------------------------------------------

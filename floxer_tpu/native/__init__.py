@@ -76,6 +76,12 @@ def get_library():
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.floxer_build_suffix_array.restype = ctypes.c_int
+        lib.floxer_build_suffix_array_inplace.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.floxer_build_suffix_array_inplace.restype = ctypes.c_int
         i64p = ctypes.POINTER(ctypes.c_int64)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.floxer_search_seed.argtypes = [
@@ -481,21 +487,25 @@ def native_banded_traceback(
 
 
 def native_suffix_array(text: np.ndarray) -> np.ndarray | None:
-    """SA-IS suffix array via the native library; None if unavailable."""
+    """SA-IS suffix array via the native library; None if unavailable.
+
+    Builds in place in an (n+1)-entry buffer and returns the [1..n] VIEW,
+    so no second 8n-byte array ever exists (genome-scale builds peak at
+    text + one index array + n bits; see sais.cpp)."""
     lib = get_library()
     if lib is None:
         return None
     text = np.ascontiguousarray(text, dtype=np.uint8)
     n = text.shape[0]
-    sa = np.empty(n, dtype=np.int64)
-    status = lib.floxer_build_suffix_array(
+    buf = np.empty(n + 1, dtype=np.int64)
+    status = lib.floxer_build_suffix_array_inplace(
         text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(n),
-        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     if status != 0:
         return None
-    return sa
+    return buf[1:]
 
 
 def native_cache_scan(
