@@ -106,6 +106,55 @@ def _index_structure():
     return DeviceIndex(single, single, zero, zero, zero, zero)
 
 
+def allreduce_stats(sums, mins, maxs):
+    """Cross-PROCESS stats merge over a one-device-per-process mesh:
+    psum for the sum-mergeable slots, pmin/pmax for the order statistics.
+    Every process passes its local vectors (stats.to_merge_arrays) and
+    receives the fully-merged triple — the multi-host version of the
+    reference's global-stats mutex merge (parallelization.cpp:278-281),
+    executed as XLA collectives (SURVEY.md section 5.8)."""
+    from functools import partial as _partial
+
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    per_process = {}
+    for device in jax.devices():
+        per_process.setdefault(device.process_index, device)
+    devices = np.array([per_process[i] for i in sorted(per_process)])
+    mesh = Mesh(devices, ("hosts",))
+    spec = P("hosts")
+    mine = per_process[jax.process_index()]
+
+    def global_rows(vec):
+        local = jnp.asarray(np.asarray(vec, dtype=np.int64)[None, :])
+        return jax.make_array_from_single_device_arrays(
+            (devices.size, local.shape[1]),
+            NamedSharding(mesh, spec),
+            [jax.device_put(local, mine)],
+        )
+
+    from jax import shard_map
+
+    @_partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(P(), P(), P()),
+    )
+    def reduce(s, lo, hi):
+        return (
+            jax.lax.psum(s, "hosts"),
+            jax.lax.pmin(lo, "hosts"),
+            jax.lax.pmax(hi, "hosts"),
+        )
+
+    merged = jax.jit(reduce)(
+        global_rows(sums), global_rows(mins), global_rows(maxs)
+    )
+    return tuple(np.asarray(part)[0] for part in merged)
+
+
 def psum_statistics(mesh: Mesh, per_chip_counts: jax.Array) -> jax.Array:
     """Cross-chip stats merge (the reference's global-stats mutex merge,
     parallelization.cpp:278-281, as a collective)."""

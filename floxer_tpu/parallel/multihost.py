@@ -34,17 +34,55 @@ def shard_queries(
             yield query
 
 
-def maybe_initialize_distributed() -> tuple[int, int]:
-    """Initialize jax.distributed from the standard env variables when a
-    coordinator is configured; returns (process_index, process_count)."""
+def shard_output_path(path: str, host_id: int) -> str:
+    """Per-process shard file next to the requested output, extension
+    preserved so the SAM/BAM writer selection is unchanged:
+    out.sam -> out.shard3.sam."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        import jax
+    base, ext = os.path.splitext(path)
+    return f"{base}.shard{host_id}{ext}"
 
-        jax.distributed.initialize()
-        return jax.process_index(), jax.process_count()
-    return 0, 1
+
+_initialized = False
+
+
+def maybe_initialize_distributed() -> tuple[int, int]:
+    """Initialize jax.distributed from the standard env variables when a
+    coordinator is configured; returns (process_index, process_count).
+
+    Must run before any jax backend initialization. Safe to call again in
+    the same process (returns the live process set)."""
+    import os
+
+    global _initialized
+    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not coordinator:
+        return 0, 1
+    import jax
+
+    if not _initialized:
+        kwargs = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs = dict(
+                coordinator_address=coordinator,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kwargs)
+        # multi-process CPU backends need a collectives implementation;
+        # harmless (unused) on accelerator backends
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # noqa: BLE001 - older/newer jax without the knob
+            pass
+        _initialized = True
+    # report from the distributed service state, NOT jax.process_count():
+    # the latter initializes the backend, and callers must get to pick the
+    # platform (ensure_backend) AFTER joining the process set
+    from jax._src.distributed import global_state
+
+    return int(global_state.process_id), int(global_state.num_processes)
 
 
 def _read_sam_query_groups(path):

@@ -527,6 +527,24 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
             cli.cprofile_path = path
             profiler.dump_stats(path)
             logger.info("cProfile written to %s", path)
+    # multi-process execution: when a jax.distributed coordinator is
+    # configured (JAX_COORDINATOR_ADDRESS), join the process set BEFORE any
+    # backend initialization and derive the query shard from it; explicit
+    # --num-hosts/--host-id still override (file-level sharded workflows)
+    from .parallel.multihost import maybe_initialize_distributed
+
+    process_index, process_count = maybe_initialize_distributed()
+    distributed = process_count > 1
+    if distributed:
+        if cli.num_hosts == 1:
+            cli.num_hosts = process_count
+            cli.host_id = process_index
+        # pin the platform and create the (multi-process) backend now,
+        # while the distributed service is the only jax state
+        from .backend import ensure_backend
+
+        ensure_backend()
+
     if cli.engine == "device":
         from .backend import ensure_backend
 
@@ -571,9 +589,21 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
         return -1
     searcher = make_searcher(cli, index, len(references.records))
 
+    # distributed runs write per-process shard files (extension preserved
+    # so the SAM/BAM writer selection is unchanged); process 0 merges the
+    # canonical output after the post-align barrier below
+    if distributed:
+        from .parallel.multihost import shard_output_path
+
+        effective_output_path = shard_output_path(
+            cli.output_path, cli.host_id
+        )
+    else:
+        effective_output_path = cli.output_path
+
     # checkpoint/resume: a progress cursor on the (sharded) query stream —
     # the reference has no mid-run resume (SURVEY.md aux subsystem 4)
-    progress_path = f"{cli.output_path}.progress"
+    progress_path = f"{effective_output_path}.progress"
     skip = 0
     if cli.resume and os.path.exists(progress_path):
         try:
@@ -584,7 +614,9 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
             logger.info("resuming: skipping %d already-processed queries", skip)
 
     output = AlignmentOutput(
-        cli.output_path, references.records, append=cli.resume and skip > 0
+        effective_output_path,
+        references.records,
+        append=cli.resume and skip > 0,
     )
     stats = SearchAndAlignmentStatistics(cli.stats_input_hint)
 
@@ -836,6 +868,50 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
         align_elapsed,
         _pretty_elapsed_suffix(align_elapsed),
     )
+
+    if distributed:
+        # cross-process stats merge as collectives (psum/pmin/pmax over a
+        # one-device-per-process mesh), then a barrier so every shard file
+        # is closed before process 0 interleaves the canonical output
+        from jax.experimental import multihost_utils
+
+        from .parallel.mesh import allreduce_stats
+        from .parallel.multihost import merge_sam_shards, shard_output_path
+
+        # the gloo CPU-collectives backend prints a connection banner to
+        # raw stdout when its context forms; stdout must stay empty (the
+        # reference's e2e contract), so route fd 1 to stderr around the
+        # first collective
+        saved_stdout = os.dup(1)
+        os.dup2(2, 1)
+        try:
+            stats.apply_merged_arrays(
+                *allreduce_stats(*stats.to_merge_arrays())
+            )
+            multihost_utils.sync_global_devices("floxer-shards-closed")
+        finally:
+            os.dup2(saved_stdout, 1)
+            os.close(saved_stdout)
+        if process_index == 0:
+            if cli.output_path.endswith(".sam"):
+                shard_paths = [
+                    shard_output_path(cli.output_path, h)
+                    for h in range(process_count)
+                ]
+                merged = merge_sam_shards(shard_paths, cli.output_path)
+                logger.info(
+                    "merged %d queries from %d shards into %s",
+                    merged, process_count, cli.output_path,
+                )
+            else:
+                logger.info(
+                    "BAM shard outputs left unmerged (merge with "
+                    "tools/merge_sam on SAM conversions): %s",
+                    shard_output_path(cli.output_path, 0),
+                )
+        else:
+            # one canonical stats report: only process 0 emits
+            return 0
 
     if cli.stats_target is not None:
         if cli.stats_target == "terminal":

@@ -440,3 +440,47 @@ class SearchAndAlignmentStatistics:
             self.counts[name] += other.counts[name]
         for name in self.histograms:
             self.histograms[name].merge_with(other.histograms[name])
+
+    # -- collective merge (multi-host) -----------------------------------
+    # The stats state splits into sum-mergeable scalars (counters, bucket
+    # counts, totals) and order-statistics (min/max). to_merge_arrays
+    # flattens them into three int64 vectors with a layout that is a pure
+    # function of the histogram configuration, so every host produces
+    # congruent vectors; apply_merged_arrays writes an allreduced triple
+    # back. Used by pipeline.run via parallel.mesh.allreduce_stats — the
+    # reference's global-stats mutex merge (parallelization.cpp:278-281)
+    # as psum/pmin/pmax collectives.
+
+    def to_merge_arrays(self):
+        import numpy as np
+
+        sums: list[int] = [self.counts[name] for name in sorted(self.counts)]
+        mins: list[int] = []
+        maxs: list[int] = []
+        for name, _ in _HISTOGRAM_LAYOUT:
+            hist = self.histograms[name]
+            sums.extend([hist.num_values, hist.total])
+            sums.extend(hist.data)
+            mins.append(hist.min_value)
+            maxs.append(hist.max_value)
+        return (
+            np.asarray(sums, dtype=np.int64),
+            np.asarray(mins, dtype=np.int64),
+            np.asarray(maxs, dtype=np.int64),
+        )
+
+    def apply_merged_arrays(self, sums, mins, maxs) -> None:
+        cursor = 0
+        for name in sorted(self.counts):
+            self.counts[name] = int(sums[cursor])
+            cursor += 1
+        for i, (name, _) in enumerate(_HISTOGRAM_LAYOUT):
+            hist = self.histograms[name]
+            hist.num_values = int(sums[cursor])
+            hist.total = int(sums[cursor + 1])
+            cursor += 2
+            width = len(hist.data)
+            hist.data = [int(v) for v in sums[cursor : cursor + width]]
+            cursor += width
+            hist.min_value = int(mins[i])
+            hist.max_value = int(maxs[i])
