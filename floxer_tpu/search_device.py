@@ -19,14 +19,21 @@ Part-boundary bookkeeping (cumulative lower/upper bound checks, jumping to
 the next part's first character) is data-parallel scalar work over small
 scheme tables in SMEM-scale arrays.
 
-Semantics vs the host DFS (search_host.search_seed_groups):
-  - the reported group SET is identical (same canonicalization rules)
-  - report ORDER differs (frontier order vs DFS order) and duplicate groups
-    are removed after the fact, so per-seed raw totals and cap-abort
-    decisions can differ when the anchor caps bind; when they don't (the
-    common case and the e2e workload), downstream output is identical.
-    Seeds that overflow the frontier or report capacity are flagged and
-    re-searched on the host path.
+Semantics vs the host DFS (search_host.search_seed_groups): EXACT,
+including report order and cap behavior. The frontier is maintained in
+DFS order throughout: every state's replacement block (itself when done
+or part-advancing, else its children in the host DFS's edge order —
+match, substitutions by symbol, insertions by symbol, deletion) is
+compacted in place, so a prefix ordering of the search tree is preserved
+at every iteration; finished states become DONE rows that hold their
+frontier slot until the scan ends, and reading the final frontier in slot
+order yields the exact DFS leaf order. Host-side post-processing then
+replays the host's dedup-by-(lb, len, errors)-keeping-first and the
+running-total cap abort (search.cpp:173-188) over that ordered stream,
+which reproduces the native DFS's (groups, total, aborted) bit-exactly —
+hard/soft-cap decisions and anchor choice match the host even when the
+caps bind. Seeds that overflow the frontier or report capacity are
+flagged and re-searched on the host path.
 """
 
 from __future__ import annotations
@@ -98,7 +105,13 @@ class DeviceSearcher:
         self.config = host_searcher.config
 
     def _run_search(self, patterns, errors, expanded):
-        return search_seeds_device(self._device_index, patterns, errors, expanded)
+        return search_seeds_device(
+            self._device_index,
+            patterns,
+            errors,
+            expanded,
+            max_total_count=self._host.search_cap(),
+        )
 
     def _run_block(
         self, padded, seed_class, tables, frontier_cap, report_cap, max_iter
@@ -132,11 +145,10 @@ class DeviceSearcher:
         re-searched by the native DFS. Results are SearchResultSoA, same
         as the host chunk path.
 
-        Deviation (same as the per-query device path, see module
-        docstring): group ORDER is canonical (errors, lb, len) rather than
-        DFS emission order, and `first_reported` raw totals count the full
-        group set — downstream output is identical when the anchor caps
-        don't bind."""
+        Groups reach anchor selection in exact host-DFS emission order
+        with the host's dedup and running-total cap replay (module
+        docstring), so output matches the host chunk path bit-exactly —
+        including when the anchor caps bind."""
         import os
 
         from .native import (
@@ -278,7 +290,13 @@ class DeviceSearcher:
         redo_set_mask = np.zeros(total_seeds, dtype=bool)
         redo_set_mask[redo] = True
 
-        # ---- stage 2: vectorized dedup + canonical per-seed ordering ----
+        # ---- stage 2: vectorized order-preserving dedup + cap replay ----
+        # Reports arrive in frontier slot order: per-seed DFS order, but
+        # interleaved across a block's seeds. A stable per-gid grouping,
+        # keep-first dedup and running-total cap replay reproduce the host
+        # DFS's exact (groups, total, aborted) per seed (search.cpp:173-188)
+        # — group ORDER feeds the unstable introsort in select_one, so even
+        # the no-cap case needs DFS emission order for bit-exact parity.
         rep = (
             np.concatenate(report_rows)
             if report_rows
@@ -286,23 +304,51 @@ class DeviceSearcher:
         )
         if rep.shape[0]:
             rep = rep[~redo_set_mask[rep[:, 0]]]
+        statuses = np.zeros(total_seeds, dtype=np.int64)
         if rep.shape[0]:
-            # canonical order (gid, errors, lb, len); dedup on the same key
-            order = np.lexsort((rep[:, 3], rep[:, 1], rep[:, 4], rep[:, 0]))
-            rep = rep[order]
-            key = rep[:, [0, 4, 1, 3]]
+            # stable per-gid grouping preserves per-seed DFS order
+            rep = rep[np.argsort(rep[:, 0], kind="stable")]
+            # keep-first dedup by (gid, lb, len, err): lexsort is stable, so
+            # the first row of each equal-key run is the first DFS report
+            perm = np.lexsort((rep[:, 4], rep[:, 3], rep[:, 1], rep[:, 0]))
+            key = rep[perm][:, [0, 1, 3, 4]]
             first = np.ones(rep.shape[0], dtype=bool)
             first[1:] = np.any(key[1:] != key[:-1], axis=1)
-            rep = rep[first]
+            rep = rep[np.sort(perm[first])]
         gid_of_group = rep[:, 0]
+
+        if rep.shape[0]:
+            # cap replay (search_cap): group kept iff the running total
+            # BEFORE it is under the cap; the crossing group is included
+            # and the seed is marked aborted (status bit 0)
+            cap = self._host.search_cap()
+            csum = np.cumsum(rep[:, 3])
+            seg_first = np.ones(rep.shape[0], dtype=bool)
+            seg_first[1:] = gid_of_group[1:] != gid_of_group[:-1]
+            base = np.zeros(rep.shape[0], dtype=np.int64)
+            starts_pos = np.flatnonzero(seg_first)
+            base[starts_pos] = csum[starts_pos] - rep[starts_pos, 3]
+            base = np.maximum.accumulate(base)
+            running = csum - base
+            keep = (running - rep[:, 3]) < cap
+            seed_aborted = np.zeros(total_seeds, dtype=bool)
+            np.logical_or.at(
+                seed_aborted, gid_of_group[keep], running[keep] >= cap
+            )
+            statuses[seed_aborted] = 1
+            rep = rep[keep]
+            running = running[keep]
+            gid_of_group = rep[:, 0]
         groups_flat = rep[:, [1, 2, 3, 4]]
 
         group_counts = np.bincount(gid_of_group, minlength=total_seeds)
         group_starts = np.zeros(total_seeds + 1, dtype=np.int64)
         np.cumsum(group_counts, out=group_starts[1:])
         totals = np.zeros(total_seeds, dtype=np.int64)
-        np.add.at(totals, gid_of_group, groups_flat[:, 2])
-        statuses = np.zeros(total_seeds, dtype=np.int64)
+        if rep.shape[0]:
+            # truncated running total at each seed's stop point
+            last_pos = group_starts[1:][group_counts > 0] - 1
+            totals[np.unique(gid_of_group)] = running[last_pos]
 
         # ---- stage 3: anchor selection over the found groups ----
         # On device (caps, ordering, choice, locate, dominance as batched
@@ -504,7 +550,7 @@ class DeviceSearcher:
                     )
                 continue
             expanded = expand_scheme(errors, length)
-            groups_per_seed, overflow = self._run_search(
+            groups_per_seed, totals, _aborted, overflow = self._run_search(
                 patterns, errors, expanded
             )
             for slot, i in enumerate(indices):
@@ -520,7 +566,7 @@ class DeviceSearcher:
                         AnchorGroup(Cursor(lb, lb_rev, ln), er)
                         for lb, lb_rev, ln, er in groups_per_seed[slot]
                     ]
-                    total_raw = sum(g.cursor.length for g in groups)
+                    total_raw = int(totals[slot])
                 result.anchors_by_seed[i] = self._host.process_seed_groups(
                     seeds[i], groups, total_raw
                 )
@@ -621,7 +667,12 @@ def _frontier_search(
     report_capacity: int,
     max_iterations: int,
 ):
-    """Returns (reports [R, 5], num_reports, overflow_flags [num_seeds])."""
+    """Returns (reports [R, 5], num_reports, overflow_flags [num_seeds]).
+
+    Reports come back in EXACT host-DFS order per seed (module docstring):
+    the frontier is a DFS-prefix ordering at every iteration, finished
+    states persist in place as done rows, and the final frontier's done
+    rows in slot order are the DFS leaf order."""
     num_seeds = patterns.shape[0]
     C = frontier_capacity
     R = report_capacity
@@ -629,7 +680,8 @@ def _frontier_search(
 
     n = index_size(index.fwd)
 
-    # initial frontier: one state per (seed, search)
+    # initial frontier: one state per (seed, search) — search-minor order
+    # matches the host's `for search in expanded` loop per seed
     init_count = num_seeds * num_searches
     seed0 = jnp.repeat(jnp.arange(num_seeds, dtype=jnp.int32), num_searches)
     search0 = jnp.tile(jnp.arange(num_searches, dtype=jnp.int32), num_seeds)
@@ -654,16 +706,16 @@ def _frontier_search(
         "errors": blank(0),
         "last_op": blank(_OP_M),
         "seed": blank(0).at[:init_count].set(seed0),
-        "alive": jnp.zeros((C,), dtype=bool).at[:init_count].set(True),
+        "done": jnp.zeros((C,), dtype=bool),
+        "present": jnp.zeros((C,), dtype=bool).at[:init_count].set(True),
     }
 
-    reports0 = jnp.zeros((R, 5), dtype=jnp.int32)
-    num_reports0 = jnp.int32(0)
     overflow0 = jnp.zeros((num_seeds,), dtype=bool)
 
     def expand(carry, _):
-        state, reports, num_reports, overflow = carry
-        alive = state["alive"]
+        state, overflow = carry
+        present = state["present"]
+        alive = present & ~state["done"]
 
         search = state["search"]
         cls = seed_class[state["seed"]]
@@ -683,7 +735,7 @@ def _frontier_search(
         meets_lower = state["errors"] >= lower
         finished = at_boundary & meets_lower & (state["part"] == num_parts - 1)
         advancing = at_boundary & meets_lower & ~finished
-        killed_lower = at_boundary & ~meets_lower
+        # killed_lower states simply contribute no entries below
 
         next_part = jnp.clip(state["part"] + 1, 0, num_parts - 1)
         next_dir = scheme_direction[cls, search, next_part]
@@ -693,37 +745,16 @@ def _frontier_search(
             scheme_end[cls, search, next_part] - 1,
         )
 
-        # emit finished states into the report buffer (drop-mode scatter:
-        # out-of-range slots vanish instead of clobbering a live row)
-        finish_idx = jnp.cumsum(finished.astype(jnp.int32)) - 1
-        slots = num_reports + finish_idx
-        can_write = finished & (slots < R)
-        report_rows = jnp.stack(
-            [
-                state["lb"],
-                state["lb_rev"],
-                state["length"],
-                state["errors"],
-                state["seed"],
-            ],
-            axis=1,
-        )
-        reports = reports.at[jnp.where(can_write, slots, R + 1)].set(
-            report_rows, mode="drop"
-        )
-        report_overflow = finished & (slots >= R)
-        overflow = overflow.at[state["seed"]].max(report_overflow)
-        num_reports = num_reports + jnp.sum(finished.astype(jnp.int32))
-        num_reports = jnp.minimum(num_reports, R)
-
-        # advance boundary states to the next part
-        state = dict(state)
-        state["part"] = jnp.where(advancing, state["part"] + 1, state["part"])
-        state["pos"] = jnp.where(advancing, next_first, state["pos"])
-        state["alive"] = alive & ~finished & ~killed_lower
+        # self-keeping slots: already-done rows hold their DFS position;
+        # finishing rows become done in place; advancing rows step to the
+        # next part without expanding
+        self_keep = (state["done"] & present) | finished | advancing
+        part_self = jnp.where(advancing, state["part"] + 1, state["part"])
+        pos_self = jnp.where(advancing, next_first, state["pos"])
+        done_self = (state["done"] & present) | finished
 
         # ---- character expansion for non-boundary states ----
-        expanding = state["alive"] & ~advancing
+        expanding = alive & ~at_boundary
         left = direction < 0
 
         lb = state["lb"]
@@ -754,15 +785,53 @@ def _frontier_search(
         pattern_symbol = patterns[state["seed"], jnp.clip(state["pos"], 0, patterns.shape[1] - 1)]
         budget_left = state["errors"] < upper
 
-        # children: [C, 11] = 1 match + 4 subs + 5 ins + 1 del
-        child_defs = []
-        # match + substitutions over symbols 1..5
+        # candidate grid [C, 13], row-major = (parent slot, edge) order, so
+        # the cumsum compaction below replaces every present slot by its
+        # ordered block in place — the DFS-prefix invariant. Columns follow
+        # the host DFS's edge order (search_host._run_scheme_search.step):
+        #   0       self (done row, finishing row, or part-advancing row)
+        #   1       match (child at the pattern symbol)
+        #   2..6    substitutions, symbols 1..5 (pattern symbol skipped)
+        #   7..11   insertions, symbols 1..5
+        #   12      deletion
+        sym_col = pattern_symbol[:, None]  # [C, 1]
+        match_lb = jnp.take_along_axis(child_lb, sym_col, axis=1)[:, 0]
+        match_lb_rev = jnp.take_along_axis(child_lb_rev, sym_col, axis=1)[:, 0]
+        match_count = jnp.take_along_axis(counts, sym_col, axis=1)[:, 0]
+
+        child_defs = [
+            # self: carries done/advancing bookkeeping, fields otherwise kept
+            dict(
+                valid=self_keep,
+                lb=lb,
+                lb_rev=lb_rev,
+                length=length,
+                pos=pos_self,
+                errors=state["errors"],
+                last_op=state["last_op"],
+                part=part_self,
+                done=done_self,
+            ),
+            # match
+            dict(
+                valid=expanding & (match_count > 0),
+                lb=match_lb,
+                lb_rev=match_lb_rev,
+                length=match_count,
+                pos=state["pos"] + direction,
+                errors=state["errors"],
+                last_op=jnp.full((C,), _OP_M, dtype=jnp.int32),
+                part=state["part"],
+                done=jnp.zeros((C,), dtype=bool),
+            ),
+        ]
+        # substitutions over symbols 1..5, skipping the match symbol
         for symbol in _EDIT_SYMBOLS:
-            is_match = pattern_symbol == symbol
             valid = (
                 expanding
+                & budget_left
+                & (pattern_symbol != symbol)
                 & (counts[:, symbol] > 0)
-                & (is_match | budget_left)
             )
             child_defs.append(
                 dict(
@@ -771,8 +840,10 @@ def _frontier_search(
                     lb_rev=child_lb_rev[:, symbol],
                     length=counts[:, symbol],
                     pos=state["pos"] + direction,
-                    errors=state["errors"] + (~is_match).astype(jnp.int32),
+                    errors=state["errors"] + 1,
                     last_op=jnp.full((C,), _OP_M, dtype=jnp.int32),
+                    part=state["part"],
+                    done=jnp.zeros((C,), dtype=bool),
                 )
             )
         # insertions (text symbol consumed, pattern position unchanged)
@@ -792,6 +863,8 @@ def _frontier_search(
                     pos=state["pos"],
                     errors=state["errors"] + 1,
                     last_op=jnp.full((C,), _OP_I, dtype=jnp.int32),
+                    part=state["part"],
+                    done=jnp.zeros((C,), dtype=bool),
                 )
             )
         # deletion (pattern symbol skipped, no extension)
@@ -805,10 +878,12 @@ def _frontier_search(
                 pos=state["pos"] + direction,
                 errors=state["errors"] + 1,
                 last_op=jnp.full((C,), _OP_D, dtype=jnp.int32),
+                part=state["part"],
+                done=jnp.zeros((C,), dtype=bool),
             )
         )
 
-        num_kinds = len(child_defs)  # 11
+        num_kinds = len(child_defs)  # 13
 
         def stack(field_name):
             return jnp.stack([c[field_name] for c in child_defs], axis=1)
@@ -826,6 +901,7 @@ def _frontier_search(
             out = jnp.full((C,), fill, dtype=jnp.int32)
             return out.at[jnp.where(write, target, C + 1)].set(flat, mode="drop")
 
+        total = jnp.sum(flat_valid.astype(jnp.int32))
         new_state = {
             "lb": scatter_ok(stack("lb"), 0),
             "lb_rev": scatter_ok(stack("lb_rev"), 0),
@@ -833,42 +909,46 @@ def _frontier_search(
             "pos": scatter_ok(stack("pos"), 0),
             "errors": scatter_ok(stack("errors"), 0),
             "last_op": scatter_ok(stack("last_op"), _OP_M),
+            "part": scatter_ok(stack("part"), 0),
             "search": scatter_ok(
                 jnp.repeat(state["search"], num_kinds).reshape(C, num_kinds), 0
-            ),
-            "part": scatter_ok(
-                jnp.repeat(state["part"], num_kinds).reshape(C, num_kinds), 0
             ),
             "seed": scatter_ok(
                 jnp.repeat(state["seed"], num_kinds).reshape(C, num_kinds), 0
             ),
+            "done": scatter_ok(stack("done").astype(jnp.int32), 0) > 0,
+            "present": jnp.arange(C, dtype=jnp.int32) < jnp.minimum(total, C),
         }
-        # boundary-advancing states survive unexpanded: merge them back
-        keep = advancing & state["alive"]
-        keep_idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
-        base_count = jnp.minimum(jnp.sum(flat_valid.astype(jnp.int32)), C)
-        keep_target = base_count + keep_idx
-        keep_overflow = keep & (keep_target >= C)
-        overflow = overflow.at[state["seed"]].max(keep_overflow)
-        keep_write = keep & (keep_target < C)
 
-        def merge(field_name):
-            return new_state[field_name].at[
-                jnp.where(keep_write, keep_target, C + 1)
-            ].set(state[field_name], mode="drop")
+        return (new_state, overflow), None
 
-        merged = {key: merge(key) for key in new_state}
-        total = base_count + jnp.sum(keep.astype(jnp.int32))
-        merged["alive"] = jnp.arange(C, dtype=jnp.int32) < jnp.minimum(total, C)
-
-        return (merged, reports, num_reports, overflow), None
-
-    (final_state, reports, num_reports, overflow), _ = jax.lax.scan(
+    (final_state, overflow), _ = jax.lax.scan(
         expand,
-        (state, reports0, num_reports0, overflow0),
+        (state, overflow0),
         None,
         length=max_iterations,
     )
+
+    # final frontier's done rows in slot order = exact DFS leaf order
+    done = final_state["done"] & final_state["present"]
+    report_idx = jnp.cumsum(done.astype(jnp.int32)) - 1
+    can_write = done & (report_idx < R)
+    report_rows = jnp.stack(
+        [
+            final_state["lb"],
+            final_state["lb_rev"],
+            final_state["length"],
+            final_state["errors"],
+            final_state["seed"],
+        ],
+        axis=1,
+    )
+    reports = jnp.zeros((R, 5), dtype=jnp.int32).at[
+        jnp.where(can_write, report_idx, R + 1)
+    ].set(report_rows, mode="drop")
+    report_overflow = done & (report_idx >= R)
+    overflow = overflow.at[final_state["seed"]].max(report_overflow)
+    num_reports = jnp.minimum(jnp.sum(done.astype(jnp.int32)), R)
     return reports, num_reports, overflow
 
 
@@ -880,12 +960,17 @@ def search_seeds_device(
     frontier_capacity: int = 1 << 14,
     report_capacity: int = 1 << 12,
     runner=None,
+    max_total_count: int | None = None,
 ):
     """Run the frontier search for a batch of same-(length-class) seeds.
 
     Returns (groups_per_seed: list[list[(lb, lb_rev, len, errors)]],
-    overflow: np.ndarray[bool]) with duplicate groups removed and groups
-    sorted canonically by (errors, lb, len)."""
+    totals, aborted, overflow). Groups come back in EXACT host-DFS order
+    (deduplicated by (lb, len, errors) keeping the first report), truncated
+    by the running-total cap replay of search.cpp:173-188 when
+    max_total_count is given: a group is kept iff the total BEFORE it is
+    under the cap, totals[i] is the running total at the stop point, and
+    aborted[i] mirrors the host DFS's _SearchAborted."""
     tables = SchemeTables.from_searches(expanded_searches)
     max_len = max(len(p) for p in patterns)
     # pad the seed count to a power of two so the jitted kernel sees a
@@ -929,24 +1014,32 @@ def search_seeds_device(
         )
     reports = np.asarray(reports)[: int(num_reports)]
     overflow = np.asarray(overflow)
+    cap = (1 << 62) if max_total_count is None else int(max_total_count)
 
     groups: list[list[tuple[int, int, int, int]]] = [
         [] for _ in range(len(patterns))
     ]
+    totals = np.zeros(len(patterns), dtype=np.int64)
+    aborted = np.zeros(len(patterns), dtype=bool)
     seen: set = set()
+    # reports are in frontier slot order: interleaved across seeds, but in
+    # exact DFS order within each seed — the keep-first dedup and cap
+    # replay below reproduce search_host.search_seed_groups bit-exactly
     for lb, lb_rev, length, errors, seed in reports:
-        if int(seed) >= len(patterns):  # padding seed
+        s = int(seed)
+        if s >= len(patterns):  # padding seed
             continue
-        key = (int(seed), int(lb), int(length), int(errors))
+        if aborted[s]:
+            continue
+        key = (s, int(lb), int(length), int(errors))
         if key in seen:
             continue
         seen.add(key)
-        groups[int(seed)].append(
-            (int(lb), int(lb_rev), int(length), int(errors))
-        )
-    for per_seed in groups:
-        per_seed.sort(key=lambda g: (g[3], g[0], g[2]))
-    return groups, overflow
+        groups[s].append((int(lb), int(lb_rev), int(length), int(errors)))
+        totals[s] += int(length)
+        if totals[s] >= cap:
+            aborted[s] = True
+    return groups, totals, aborted, overflow
 
 
 class ShardedDeviceSearcher(DeviceSearcher):
@@ -984,7 +1077,12 @@ class ShardedDeviceSearcher(DeviceSearcher):
             )
 
         return search_seeds_device(
-            None, patterns, errors, expanded, runner=runner
+            None,
+            patterns,
+            errors,
+            expanded,
+            runner=runner,
+            max_total_count=self._host.search_cap(),
         )
 
 

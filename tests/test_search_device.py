@@ -38,24 +38,28 @@ def test_device_groups_match_host_set(indexes, k):
         patterns.append(pattern)
 
     expanded = expand_scheme(k, length)
-    device_groups, overflow = search_seeds_device(
+    device_groups, totals, aborted_dev, overflow = search_seeds_device(
         device, patterns, k, expanded
     )
     assert not overflow.any()
+    assert not aborted_dev.any()
 
     for i, pattern in enumerate(patterns):
-        host_groups, _, aborted = search_seed_groups(
+        host_groups, host_total, aborted = search_seed_groups(
             host, pattern, k, 1 << 30, allow_native=False
         )
         assert not aborted
         # lb_rev is excluded: the same (lb, len) interval reached through
         # different edit variants can carry different (equally valid)
-        # reverse intervals, and lb_rev is never used after reporting
-        want = sorted(
+        # reverse intervals, and lb_rev is never used after reporting.
+        # ORDER is compared exactly: device reports must come back in the
+        # host DFS's emission order (search_device module docstring)
+        want = [
             (g.cursor.lb, g.cursor.length, g.num_errors) for g in host_groups
-        )
-        got = sorted((lb, ln, er) for lb, _, ln, er in device_groups[i])
+        ]
+        got = [(lb, ln, er) for lb, _, ln, er in device_groups[i]]
         assert got == want, f"seed {i}: {got} != {want}"
+        assert int(totals[i]) == host_total
 
 
 def test_device_search_homopolymer(indexes):
@@ -63,17 +67,17 @@ def test_device_search_homopolymer(indexes):
     host, device, sequences = indexes
     pattern = np.array([2, 2, 2, 2, 2, 2, 2, 2], dtype=np.uint8)
     expanded = expand_scheme(1, len(pattern))
-    device_groups, overflow = search_seeds_device(
+    device_groups, _, _, overflow = search_seeds_device(
         device, [pattern], 1, expanded
     )
     assert not overflow.any()
     host_groups, _, _ = search_seed_groups(
         host, pattern, 1, 1 << 30, allow_native=False
     )
-    want = sorted(
+    want = [
         (g.cursor.lb, g.cursor.length, g.num_errors) for g in host_groups
-    )
-    assert sorted((lb, ln, er) for lb, _, ln, er in device_groups[0]) == want
+    ]
+    assert [(lb, ln, er) for lb, _, ln, er in device_groups[0]] == want
 
 
 def test_device_search_k3(indexes):
@@ -93,7 +97,7 @@ def test_device_search_k3(indexes):
         patterns.append(pattern)
 
     expanded = expand_scheme(3, length)
-    device_groups, overflow = search_seeds_device(
+    device_groups, _, _, overflow = search_seeds_device(
         device, patterns, 3, expanded,
         frontier_capacity=1 << 16, report_capacity=1 << 13,
     )
@@ -103,11 +107,92 @@ def test_device_search_k3(indexes):
         host_groups, _, _ = search_seed_groups(
             host, pattern, 3, 1 << 30, allow_native=False
         )
-        want = sorted(
+        want = [
             (g.cursor.lb, g.cursor.length, g.num_errors) for g in host_groups
-        )
-        got = sorted((lb, ln, er) for lb, _, ln, er in device_groups[i])
+        ]
+        got = [(lb, ln, er) for lb, _, ln, er in device_groups[i]]
         assert got == want, f"seed {i}"
+
+
+@pytest.mark.parametrize("cap", [1, 3, 7, 20])
+def test_device_cap_replay_matches_host_abort(indexes, cap):
+    """search_seeds_device's running-total cap replay must reproduce the
+    host DFS's (groups, total, aborted) exactly when the cap binds
+    (search.cpp:173-188): same truncation point, same inclusive crossing
+    group, same abort flag."""
+    host, device, sequences = indexes
+    rng = np.random.default_rng(999)
+    length = 8  # short seeds: many anchors, caps bind
+    patterns = []
+    for trial in range(6):
+        source = sequences[trial % 2]
+        start = int(rng.integers(0, len(source) - length))
+        patterns.append(source[start : start + length].copy())
+    patterns.append(np.array([1, 1, 1, 1, 2, 2, 2, 2], dtype=np.uint8))
+
+    expanded = expand_scheme(1, length)
+    device_groups, totals, aborted, overflow = search_seeds_device(
+        device, patterns, 1, expanded, max_total_count=cap
+    )
+    assert not overflow.any()
+    for i, pattern in enumerate(patterns):
+        host_groups, host_total, host_aborted = search_seed_groups(
+            host, pattern, 1, cap, allow_native=False
+        )
+        want = [
+            (g.cursor.lb, g.cursor.length, g.num_errors) for g in host_groups
+        ]
+        got = [(lb, ln, er) for lb, _, ln, er in device_groups[i]]
+        assert got == want, f"seed {i} cap {cap}"
+        assert int(totals[i]) == host_total, f"seed {i} cap {cap}"
+        assert bool(aborted[i]) == host_aborted, f"seed {i} cap {cap}"
+
+
+@pytest.mark.parametrize("config_kwargs", [
+    {"max_num_anchors_hard": 5, "max_num_anchors_soft": 3},
+    {"max_num_anchors_hard": 12, "max_num_anchors_soft": 4,
+     "anchor_choice_strategy": "first_reported"},
+    {"max_num_anchors_hard": 8, "max_num_anchors_soft": 8,
+     "anchor_group_order": "errors_first"},
+])
+def test_chunk_device_search_matches_host_when_caps_bind(
+    indexes, config_kwargs
+):
+    """Caps BINDING: short repetitive seeds with tiny hard/soft caps —
+    hard-cap exclusion, soft-cap truncation and first_reported aborts must
+    all match the host chunk path exactly (VERDICT r1 item 7)."""
+    from floxer_tpu.search_device import DeviceSearcher
+    from floxer_tpu.search_host import (
+        AnchorChoiceStrategy,
+        AnchorGroupOrder,
+        SearchConfig,
+        Searcher,
+    )
+
+    host, device, sequences = indexes
+    kwargs = dict(config_kwargs)
+    if "anchor_group_order" in kwargs:
+        kwargs["anchor_group_order"] = AnchorGroupOrder(
+            kwargs["anchor_group_order"]
+        )
+    if "anchor_choice_strategy" in kwargs:
+        kwargs["anchor_choice_strategy"] = AnchorChoiceStrategy(
+            kwargs["anchor_choice_strategy"]
+        )
+    config = SearchConfig(**kwargs)
+    searcher = Searcher(
+        index=host, num_reference_sequences=len(sequences), config=config
+    )
+    device_searcher = DeviceSearcher(searcher, device)
+
+    rng = np.random.default_rng(77)
+    jobs = _make_chunk_jobs(sequences, rng, 14, (6, 12), k=1)
+    assert len(jobs) >= 10
+    want = searcher.search_seeds_many(jobs)
+    got = device_searcher.search_seeds_many(jobs)
+    assert len(got) == len(want)
+    for j, (w, g) in enumerate(zip(want, got)):
+        assert _result_view(g, 2) == _result_view(w, 2), f"job {j}"
 
 
 def _result_view(result, num_references):
