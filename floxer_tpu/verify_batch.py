@@ -667,6 +667,21 @@ class _TaskBatcher:
         return distances, ends
 
 
+class _DeviceTb:
+    """Placeholder for one device-batched traceback task: future-compatible
+    (`.result()`) once resolve_deferred() fills `value` from the batch."""
+
+    __slots__ = ("index", "value")
+
+    def __init__(self, index: int):
+        self.index = index
+        self.value = None
+
+    def result(self):
+        assert self.value is not None, "resolve_deferred not called"
+        return self.value
+
+
 class VerificationTimeout(Exception):
     """Raised between waves when the caller's deadline has passed — the
     TPU-shaped analogue of the reference's per-task `threads_should_stop`
@@ -708,8 +723,13 @@ class BatchVerifier:
         # deferred root tracebacks: futures submitted during the wave loop;
         # resolve_deferred() (cheap, callable from a later pipeline stage)
         # patches begin/cigar into the affected levels and alignment records
-        self._deferred: list = []  # (future, level)
+        self._deferred: list = []  # (future-or-_DeviceTb, level)
         self._patches: list = []  # (QueryAlignment, level)
+        # device-traceback accumulation: recorded-root tasks queued during
+        # the record pass, dispatched as batched direction-bitmap kernels in
+        # resolve_deferred() (ops/traceback_device.py)
+        self._device_tb_tasks: list = []
+        self._device_tb_enabled: bool | None = None
 
     # ------------------------------------------------------------------
 
@@ -1898,6 +1918,30 @@ class BatchVerifier:
                 level.cigar = None
                 self._deferred.append((entry, level))
 
+    def _use_device_traceback(self) -> bool:
+        """Route recorded-root CIGAR tracebacks to the device direction-
+        bitmap kernel (ops/traceback_device.py) instead of the host pool.
+        Default: on when the verifier's device routing is active on a real
+        TPU backend; FLOXER_TPU_DEVICE_TRACEBACK=1/0 forces either way."""
+        if self._device_tb_enabled is None:
+            import os
+
+            env = os.environ.get("FLOXER_TPU_DEVICE_TRACEBACK")
+            if env is not None:
+                self._device_tb_enabled = env not in ("", "0")
+            else:
+                on = (
+                    self.use_device()
+                    if callable(self.use_device)
+                    else bool(self.use_device)
+                )
+                if on:
+                    import jax
+
+                    on = jax.default_backend() == "tpu"
+                self._device_tb_enabled = on
+        return self._device_tb_enabled
+
     def _submit_traceback(self, walk, level, items) -> None:
         """Submit the banded CIGAR traceback for one recorded root level
         (lazy mode); begin/cigar resolve in resolve_deferred()."""
@@ -1923,10 +1967,16 @@ class BatchVerifier:
             window = reference.rank_sequence[
                 level.span.offset : level.span.offset + level.span.length
             ]
-            entry = memo[key] = _traceback_pool().submit(
-                dp_reference.banded_cigar_traceback,
-                window, pattern, level.end_col, level.distance,
-            )
+            if self._use_device_traceback():
+                entry = memo[key] = _DeviceTb(len(self._device_tb_tasks))
+                self._device_tb_tasks.append(
+                    (window, pattern, level.end_col, level.distance)
+                )
+            else:
+                entry = memo[key] = _traceback_pool().submit(
+                    dp_reference.banded_cigar_traceback,
+                    window, pattern, level.end_col, level.distance,
+                )
         if isinstance(entry, tuple):
             begin, cigar = entry
             level.begin = level.span.offset + begin
@@ -1938,6 +1988,22 @@ class BatchVerifier:
         """Await the deferred root tracebacks and patch begin/CIGAR into
         their levels and the alignment records built from them."""
         memo = getattr(self, "_root_memo", None)
+        if self._device_tb_tasks:
+            # one batched device dispatch set for every traceback queued
+            # since the last resolve: direction-bitmap forward + walk on
+            # device, run-length formatting on host
+            from .ops.traceback_device import (
+                banded_cigar_traceback_device_batch,
+            )
+
+            results = banded_cigar_traceback_device_batch(
+                self._device_tb_tasks
+            )
+            if memo:
+                for entry in memo.values():
+                    if isinstance(entry, _DeviceTb) and entry.value is None:
+                        entry.value = results[entry.index]
+            self._device_tb_tasks = []
         for future, level in self._deferred:
             begin, cigar = future.result()
             level.begin = level.span.offset + begin
