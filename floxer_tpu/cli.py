@@ -403,8 +403,9 @@ def build_parser(advanced: bool = False) -> argparse.ArgumentParser:
         "--device-search", dest="device_search", action="store_true",
         **adv(help="Run the FM-index seed search as a masked-frontier "
               "traversal on the JAX backend instead of the native host DFS. "
-              "Identical results while the anchor caps don't bind; when they "
-              "do, the (heuristic) anchor choice may differ."),
+              "Reports are produced in exact host-DFS order with the same "
+              "dedup and cap-abort replay, so results are bit-identical to "
+              "the host engines even when the anchor caps bind."),
     )
     parser.add_argument(
         "--index-shards", dest="index_shards", default=1,

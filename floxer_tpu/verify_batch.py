@@ -1921,25 +1921,18 @@ class BatchVerifier:
     def _use_device_traceback(self) -> bool:
         """Route recorded-root CIGAR tracebacks to the device direction-
         bitmap kernel (ops/traceback_device.py) instead of the host pool.
-        Default: on when the verifier's device routing is active on a real
-        TPU backend; FLOXER_TPU_DEVICE_TRACEBACK=1/0 forces either way."""
+        Opt-in via FLOXER_TPU_DEVICE_TRACEBACK=1: through this machine's
+        tunneled attachment the per-shape compiles and row-scan dispatches
+        cost far more than the overlapped host C++ band walk (measured
+        2026-08-19: E. coli device ladder 7.9 s -> minutes with the device
+        path defaulted on), so the host pool stays the default until the
+        kernel is persistent-shape. On direct-attached hardware set the
+        env to move the whole traceback off the host."""
         if self._device_tb_enabled is None:
             import os
 
             env = os.environ.get("FLOXER_TPU_DEVICE_TRACEBACK")
-            if env is not None:
-                self._device_tb_enabled = env not in ("", "0")
-            else:
-                on = (
-                    self.use_device()
-                    if callable(self.use_device)
-                    else bool(self.use_device)
-                )
-                if on:
-                    import jax
-
-                    on = jax.default_backend() == "tpu"
-                self._device_tb_enabled = on
+            self._device_tb_enabled = env not in (None, "", "0")
         return self._device_tb_enabled
 
     def _submit_traceback(self, walk, level, items) -> None:
