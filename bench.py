@@ -132,6 +132,29 @@ def _run_aligner(
     return float(match.group(1)) if match else None
 
 
+def _tunnel_healthy(timeout_s: int = 150) -> bool:
+    """True when the accelerator answers a trivial computation promptly.
+
+    Runs in a fresh subprocess (the tunnel client is per-process state) so
+    a hung probe can be killed without wedging this script. The threshold
+    is generous: a healthy tunnel syncs a tiny matmul in <15 s cold, a sick
+    one has been observed taking >180 s for the same op.
+    """
+    probe = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "x = jnp.ones((256, 256), jnp.bfloat16);"
+        "np.asarray(x @ x); print('OK')"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", probe],
+            capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return proc.returncode == 0 and "OK" in proc.stdout
+
+
 def _kernel_gcups() -> tuple[float, float, str]:
     """Production banded-kernel microbenchmark at the PEX-root shape.
     Returns (full_dp_equiv_gcups, band_cell_gcups, backend)."""
@@ -237,11 +260,25 @@ def main() -> None:
     # device passes: fresh CLI processes with --engine device (the first
     # also records/warms kernel shapes; the best pass is what steady
     # production looks like). One extra attempt absorbs a tunnel hiccup.
+    # The tunnel has been observed to serve trivial ops at >180 s
+    # latency for stretches of hours; a cheap health probe gates the
+    # expensive passes so a wedged tunnel can't starve the CPU fallback
+    # result (this script must ALWAYS print its JSON line).
     device_align_s = None
+    device_budget_s = float(
+        os.environ.get("FLOXER_BENCH_DEVICE_BUDGET_S", "2400")
+    )
+    device_deadline = time.monotonic() + device_budget_s
     for attempt in range(passes + 1):
+        if not _tunnel_healthy():
+            sys.stderr.write("tunnel probe failed; skipping device pass\n")
+            continue
+        remaining = device_deadline - time.monotonic()
+        if remaining < 60:
+            break
         got = _run_aligner(
             genome, reads, index, data / "bench_dev.sam",
-            ["--engine", "device"], {}, timeout_s=1200,
+            ["--engine", "device"], {}, timeout_s=min(1200, int(remaining)),
         )
         if got is not None:
             device_align_s = got if device_align_s is None else min(
@@ -261,6 +298,11 @@ def main() -> None:
     kernel_backend = "skipped"
     if not os.environ.get("FLOXER_BENCH_SKIP_KERNEL"):
         sys.path.insert(0, str(REPO))
+        if not _tunnel_healthy():
+            # the kernel bench runs in-process with no timeout guard; a
+            # sick tunnel would hang this script past the driver's
+            # patience — measure the host kernel instead
+            os.environ["FLOXER_TPU_PLATFORM"] = "cpu"
         from floxer_tpu.backend import ensure_backend
 
         for _ in range(3):
