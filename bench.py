@@ -138,12 +138,15 @@ def _tunnel_healthy(timeout_s: int = 150) -> bool:
     Runs in a fresh subprocess (the tunnel client is per-process state) so
     a hung probe can be killed without wedging this script. The threshold
     is generous: a healthy tunnel syncs a tiny matmul in <15 s cold, a sick
-    one has been observed taking >180 s for the same op.
+    one has been observed taking >180 s for the same op. The probe prints
+    the backend that actually served the matmul: the tunnel plugin's
+    platform registration is flaky (backend.py) and a silent CPU fallback
+    in the probe subprocess must not report the tunnel as healthy.
     """
     probe = (
         "import jax, jax.numpy as jnp, numpy as np;"
         "x = jnp.ones((256, 256), jnp.bfloat16);"
-        "np.asarray(x @ x); print('OK')"
+        "np.asarray(x @ x); print('OK', jax.default_backend())"
     )
     try:
         proc = subprocess.run(
@@ -152,7 +155,19 @@ def _tunnel_healthy(timeout_s: int = 150) -> bool:
         )
     except subprocess.TimeoutExpired:
         return False
-    return proc.returncode == 0 and "OK" in proc.stdout
+    if proc.returncode != 0:
+        return False
+    for line in proc.stdout.splitlines():
+        if line.startswith("OK "):
+            backend = line.split()[1]
+            if backend in ("cpu", "Host", "host"):
+                sys.stderr.write(
+                    f"tunnel probe served by '{backend}' backend; "
+                    "treating tunnel as unreachable\n"
+                )
+                return False
+            return True
+    return False
 
 
 def _kernel_gcups() -> tuple[float, float, str]:
@@ -269,12 +284,22 @@ def main() -> None:
         os.environ.get("FLOXER_BENCH_DEVICE_BUDGET_S", "2400")
     )
     device_deadline = time.monotonic() + device_budget_s
+    # floor below which a device pass cannot realistically finish on this
+    # workload — launching with a tighter timeout just burns the budget on
+    # a doomed subprocess
+    pass_floor_s = 300.0
+    tunnel_ok = None  # last probe outcome, reused by the kernel bench gate
     for attempt in range(passes + 1):
-        if not _tunnel_healthy():
+        # the probe itself costs up to 150 s: respect the global budget
+        # BEFORE spending it, and skip passes that can't meet the floor
+        if device_deadline - time.monotonic() < pass_floor_s:
+            break
+        tunnel_ok = _tunnel_healthy()
+        if not tunnel_ok:
             sys.stderr.write("tunnel probe failed; skipping device pass\n")
             continue
         remaining = device_deadline - time.monotonic()
-        if remaining < 60:
+        if remaining < pass_floor_s:
             break
         got = _run_aligner(
             genome, reads, index, data / "bench_dev.sam",
@@ -297,25 +322,44 @@ def main() -> None:
     kernel_gcups = kernel_band_gcups = 0.0
     kernel_backend = "skipped"
     if not os.environ.get("FLOXER_BENCH_SKIP_KERNEL"):
-        sys.path.insert(0, str(REPO))
-        if not _tunnel_healthy():
-            # the kernel bench runs in-process with no timeout guard; a
-            # sick tunnel would hang this script past the driver's
-            # patience — measure the host kernel instead
-            os.environ["FLOXER_TPU_PLATFORM"] = "cpu"
-        from floxer_tpu.backend import ensure_backend
-
-        for _ in range(3):
+        # reuse the device loop's probe verdict: if the tunnel was just
+        # observed sick, don't spend another 150 s probe — go straight to
+        # the host kernel. Otherwise (healthy or never probed) run the TPU
+        # kernel bench in a TIMEOUT-BOUNDED subprocess so a tunnel that
+        # wedges between the probe and the result sync can be killed and
+        # the JSON line still prints.
+        if tunnel_ok is None:
+            tunnel_ok = _tunnel_healthy()
+        if tunnel_ok:
             try:
-                if ensure_backend() == "tpu":
-                    break
-            except Exception:  # noqa: BLE001
-                pass
-            time.sleep(5)
-        try:
-            kernel_gcups, kernel_band_gcups, kernel_backend = _kernel_gcups()
-        except Exception as error:  # noqa: BLE001
-            sys.stderr.write(f"kernel bench failed: {error}\n")
+                proc = subprocess.run(
+                    [sys.executable, str(REPO / "bench.py"), "--kernel-bench"],
+                    capture_output=True, text=True, timeout=900, cwd=REPO,
+                )
+                if proc.returncode == 0:
+                    for line in proc.stdout.splitlines():
+                        if line.startswith("KERNEL "):
+                            payload = json.loads(line[len("KERNEL "):])
+                            kernel_gcups = payload["gcups"]
+                            kernel_band_gcups = payload["band_gcups"]
+                            kernel_backend = payload["backend"]
+                else:
+                    sys.stderr.write(proc.stderr[-1000:] + "\n")
+            except subprocess.TimeoutExpired:
+                sys.stderr.write("kernel bench subprocess timed out\n")
+        if kernel_backend == "skipped":
+            # host fallback runs in-process (no tunnel involved, can't hang)
+            sys.path.insert(0, str(REPO))
+            os.environ["FLOXER_TPU_PLATFORM"] = "cpu"
+            from floxer_tpu.backend import ensure_backend
+
+            try:
+                ensure_backend()
+                kernel_gcups, kernel_band_gcups, kernel_backend = (
+                    _kernel_gcups()
+                )
+            except Exception as error:  # noqa: BLE001
+                sys.stderr.write(f"kernel bench failed: {error}\n")
 
     if device_align_s is not None:
         value = num_reads / device_align_s
@@ -359,5 +403,34 @@ def main() -> None:
     )
 
 
+def _kernel_bench_subprocess() -> None:
+    """--kernel-bench mode: run the kernel microbenchmark and print a
+    single 'KERNEL {json}' line for the parent to parse."""
+    sys.path.insert(0, str(REPO))
+    from floxer_tpu.backend import ensure_backend
+
+    for _ in range(3):
+        try:
+            if ensure_backend() == "tpu":
+                break
+        except Exception:  # noqa: BLE001
+            pass
+        time.sleep(5)
+    gcups, band_gcups, backend = _kernel_gcups()
+    print(
+        "KERNEL "
+        + json.dumps(
+            {
+                "gcups": round(gcups, 1),
+                "band_gcups": round(band_gcups, 1),
+                "backend": backend,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--kernel-bench" in sys.argv:
+        _kernel_bench_subprocess()
+    else:
+        main()

@@ -216,6 +216,31 @@ def banded_cigar_traceback(
     return j, cigar
 
 
+# alignment.cpp:81: the reference warns when one DP matrix is estimated
+# above `very_large_memory_usage` = 10 GB. The banded kernels bound their
+# memory by construction, so only this full-matrix oracle path (reached by
+# direct-full verification of a huge span) can grow unboundedly — mirror
+# the warning (alignment.cpp:149-154) before allocating.
+VERY_LARGE_DP_MATRIX_BYTES = 10 * 1024**3
+
+
+def _warn_if_very_large_dp(num_reference: int, num_query: int) -> None:
+    # the reference estimates matrix bytes as cells x trace-cell size; the
+    # numpy matrix here stores int32 cells on (m+1) x (n+1)
+    estimated = (num_reference + 1) * (num_query + 1) * 4
+    if estimated > VERY_LARGE_DP_MATRIX_BYTES:
+        import logging
+
+        logging.getLogger("floxer-tpu").warning(
+            "an alignment used a very large DP matrix: estimated %.1f GiB "
+            "(reference span %d x query %d). This will likely result in "
+            "high running times.",
+            estimated / 1024**3,
+            num_reference,
+            num_query,
+        )
+
+
 def align_semi_global(
     reference: np.ndarray,
     query: np.ndarray,
@@ -227,6 +252,7 @@ def align_semi_global(
     """Drop-in equivalent of alignment::align (alignment.cpp:83-181)."""
     reference = np.asarray(reference, dtype=np.uint8)
     query = np.asarray(query, dtype=np.uint8)
+    _warn_if_very_large_dp(len(reference), len(query))
 
     if mode == AlignmentMode.WITHOUT_CIGAR:
         # reversed-sequence trick (alignment.cpp:115-145): begin position from

@@ -3,11 +3,11 @@
 Replaces fmindex-collection's search_schemes library as used by the
 reference (src/lib/search.cpp:328-350): optimal schemes for up to 3 errors
 ("Optimum Search Schemes for Approximate String Matching Using Bidirectional
-FM-Index", Kianfar et al., arXiv:1711.02035), a pigeonhole-style generator
-beyond that (stand-in for the h2 heuristic, which the reference only reaches
-for seed errors > 3 — unreachable through its CLI, whose --seed-errors
-validator caps at 3, floxer_cli.cpp:299), and expansion of part weights to a
-concrete pattern length.
+FM-Index", Kianfar et al., arXiv:1711.02035), an h2-signature heuristic
+generator beyond that (`h2_scheme`; the reference only reaches h2 for seed
+errors > 3 — unreachable through its CLI, whose --seed-errors validator caps
+at 3, floxer_cli.cpp:299 — see h2_scheme's docstring for provenance), and
+expansion of part weights to a concrete pattern length.
 
 A search is (pi, L, U): pi is the order in which the pattern's parts are
 processed (must be connected: each next part is adjacent to the span already
@@ -56,13 +56,60 @@ class Scheme:
 def _pigeonhole_scheme(num_parts: int, max_errors: int) -> Scheme:
     """One search per part: that part exact first, then expand outward
     right-first. Complete for any k < num_parts by the pigeonhole principle;
-    used beyond k=3 where optima are unknown."""
+    kept as the fallback should `h2_scheme` ever fail its completeness
+    check for some parameterization."""
     searches = []
     for start in range(num_parts):
         pi = tuple(range(start, num_parts)) + tuple(range(start - 1, -1, -1))
         lower = (0,) * num_parts
         upper = (0,) + (max_errors,) * (num_parts - 1)
         searches.append(Search(pi, lower, upper))
+    return Scheme(tuple(searches), num_parts)
+
+
+def h2_scheme(num_parts: int, min_errors: int, max_errors: int) -> Scheme:
+    """Heuristic scheme generator with the reference's h2 call shape.
+
+    The reference delegates k > 3 to `search_schemes::generator::h2(k+2, 0,
+    k)` of fmindex-collection (search.cpp:336-342) — a path its own CLI can
+    never reach (the --seed-errors validator caps at 3,
+    floxer_cli.cpp:299). fmindex-collection is CPM-fetched at the
+    reference's build time and its h2 source is not vendored in this
+    environment, so bit-exact reproduction is impossible to even test;
+    this is an original construction in the same heuristic family
+    (pigeonhole with optimized bounds), with the same signature, the same
+    role, and exhaustively verified completeness (tests/test_schemes.py).
+
+    Construction — "first zero part" assignment: every error distribution
+    with total <= max_errors < num_parts has a leftmost part s with zero
+    errors, and s <= max_errors (parts 0..s-1 each carry >= 1 error).
+    Search s handles exactly those distributions:
+
+      pi      = (s, s+1, .., P-1, s-1, .., 0)   (right first, then wrap)
+      upper   = 0 for part s, max_errors afterwards
+      lower   = 0 while extending right; while wrapping left, the t-th
+                consumed left part raises the cumulative lower bound to t
+                (each of parts 0..s-1 has >= 1 error by assignment)
+
+    vs the plain pigeonhole scheme this (a) needs only max_errors+1
+    searches instead of num_parts and (b) prunes the left extension of
+    search s >= 1 as soon as too few errors have been seen — strictly
+    fewer enumerated candidates, still exactness-preserving (completeness
+    is what the exactness proof needs, README.md:10)."""
+    assert 0 <= min_errors <= max_errors < num_parts
+    searches = []
+    for start in range(min(max_errors + 1, num_parts)):
+        pi = tuple(range(start, num_parts)) + tuple(
+            range(start - 1, -1, -1)
+        )
+        num_right = num_parts - start
+        lower = [0] * num_parts
+        upper = [max_errors] * num_parts
+        upper[0] = 0
+        for t in range(1, start + 1):  # t-th left part consumed
+            lower[num_right - 1 + t] = t
+        lower[num_parts - 1] = max(lower[num_parts - 1], min_errors)
+        searches.append(Search(pi, tuple(lower), tuple(upper)))
     return Scheme(tuple(searches), num_parts)
 
 
@@ -104,7 +151,11 @@ def generate_scheme(max_errors: int) -> Scheme:
         if scheme_is_complete(scheme, 3):
             return scheme
         return _pigeonhole_scheme(4, 3)
-    # h2 stand-in: k+2 parts pigeonhole (search.cpp:341 uses h2(k+2, 0, k))
+    # beyond k=3 the reference uses h2(k+2, 0, k) (search.cpp:341); same
+    # call shape here, completeness-gated with pigeonhole as the fallback
+    scheme = h2_scheme(max_errors + 2, 0, max_errors)
+    if scheme_is_complete(scheme, max_errors):
+        return scheme
     return _pigeonhole_scheme(max_errors + 2, max_errors)
 
 

@@ -23,7 +23,40 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import signal
+
 import pytest
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "timeout(seconds): abort the test if it runs longer. pytest-timeout "
+        "is not installed in this image; this SIGALRM-based implementation "
+        "(conftest.py) makes the mark real so a hung distributed test is "
+        "killed instead of wedging CI.",
+    )
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    marker = item.get_closest_marker("timeout")
+    if marker is None or not marker.args:
+        return (yield)
+    seconds = int(marker.args[0])
+
+    def on_alarm(signum, frame):
+        raise TimeoutError(
+            f"test exceeded its timeout mark of {seconds} seconds"
+        )
+
+    previous = signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+    try:
+        return (yield)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, previous)
 
 
 @pytest.fixture(scope="session")

@@ -215,3 +215,23 @@ def test_without_cigar_mode_reversed_trick():
     assert result.alignment.num_errors == 1
     assert result.alignment.start_in_reference == 2
     assert result.alignment.cigar == []
+
+
+def test_very_large_dp_matrix_warning(caplog):
+    """alignment.cpp:81, 149-154 parity: a direct-full verification whose
+    estimated DP matrix exceeds 10 GB logs a warning (the banded kernels
+    bound memory by construction; only the full-matrix oracle can grow)."""
+    import logging
+
+    from floxer_tpu.ops.dp_reference import _warn_if_very_large_dp
+
+    with caplog.at_level(logging.WARNING, logger="floxer-tpu"):
+        _warn_if_very_large_dp(100_000, 50_000)  # ~18.6 GiB estimated
+    assert any(
+        "very large DP matrix" in record.message for record in caplog.records
+    )
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="floxer-tpu"):
+        _warn_if_very_large_dp(1_000, 500)
+    assert not caplog.records

@@ -38,3 +38,51 @@ def test_expand_directions_are_connected():
                 else:
                     assert part == lo - 1
                     lo = part
+
+
+def test_h2_scheme_shape_and_completeness():
+    """generate_scheme(k>3) emits h2-shaped searches (search.cpp:341 call
+    shape h2(k+2, 0, k)): max_errors+1 searches over k+2 parts with
+    monotone cumulative lower bounds on the wrapped-left extension —
+    strictly fewer searches and tighter bounds than plain pigeonhole."""
+    from floxer_tpu.schemes import _pigeonhole_scheme, h2_scheme
+
+    for k in (4, 5, 6):
+        scheme = generate_scheme(k)
+        assert scheme.num_parts == k + 2
+        assert len(scheme.searches) == k + 1  # pigeonhole would need k+2
+        pigeon = _pigeonhole_scheme(k + 2, k)
+        assert len(scheme.searches) < len(pigeon.searches)
+        for s, search in enumerate(scheme.searches):
+            # right-first then wrapped-left order, part s exact first
+            assert search.pi[0] == s
+            assert search.upper[0] == 0
+            assert list(search.pi) == list(range(s, k + 2)) + list(
+                range(s - 1, -1, -1)
+            )
+            # the t-th consumed left part raises the cumulative lower bound
+            num_right = (k + 2) - s
+            for t in range(1, s + 1):
+                assert search.lower[num_right - 1 + t] == t
+        assert h2_scheme(k + 2, 0, k).searches == scheme.searches
+
+
+def test_h2_scheme_min_errors_bound():
+    from floxer_tpu.schemes import _search_admits, h2_scheme
+
+    scheme = h2_scheme(6, 2, 4)
+    # total < min_errors is rejected by every search
+    for errors in ([0] * 6, [1, 0, 0, 0, 0, 0], [0, 0, 1, 0, 0, 0]):
+        assert not any(
+            _search_admits(search, tuple(errors))
+            for search in scheme.searches
+        )
+    # min_errors <= total <= max_errors distributions are all admitted
+    import itertools
+
+    for errors in itertools.product(range(5), repeat=6):
+        if not 2 <= sum(errors) <= 4:
+            continue
+        assert any(
+            _search_admits(search, errors) for search in scheme.searches
+        ), errors
