@@ -167,21 +167,72 @@ def pack_occ_rows(bwt: np.ndarray, occ_checkpoints: np.ndarray) -> np.ndarray:
     return flat
 
 
-@dataclass
-class _SingleIndex:
-    """One direction's BWT machinery (forward text or reversed text)."""
+def _huge_empty(nbytes: int, dtype=np.uint8) -> np.ndarray:
+    """np.empty with MADV_HUGEPAGE advised BEFORE first touch. On this VM
+    first-touching fresh 4 KiB pages runs at ~0.05 GB/s while advised
+    2 MiB pages fault at ~1.3 GB/s and fill at ~5 GB/s — a 25x difference
+    that dominated the v2 artifact's load time (hg38 ~620 s)."""
+    array = np.empty(nbytes // np.dtype(dtype).itemsize, dtype=dtype)
+    _advise_hugepages(array)
+    return array
 
-    bwt: np.ndarray  # uint8 [n]
-    occ_checkpoints: np.ndarray  # int64 [n // OCC_BLOCK + 2, SIGMA]
+
+class _SingleIndex:
+    """One direction's BWT machinery (forward text or reversed text).
+
+    Holds either the raw (bwt, occ_checkpoints) tables — the build path —
+    or only the interleaved packed-rows buffer (the v3 artifact load
+    path), from which bwt / occ_checkpoints materialize lazily; the
+    native engines consume packed_rows directly, so the hot path never
+    pays the unpack."""
+
+    def __init__(
+        self,
+        bwt: np.ndarray | None = None,  # uint8 [n]
+        occ_checkpoints: np.ndarray | None = None,  # int64 [B + 1, SIGMA]
+        packed: np.ndarray | None = None,  # uint8 [B * OCC_ROW_BYTES]
+        n: int | None = None,
+        totals: np.ndarray | None = None,  # int64 [SIGMA] symbol counts
+    ):
+        self._bwt = bwt
+        self._occ_checkpoints = occ_checkpoints
+        self._packed_rows = packed
+        self._n = n if n is not None else (len(bwt) if bwt is not None else 0)
+        self._totals = totals
+
+    @property
+    def bwt(self) -> np.ndarray:
+        if self._bwt is None:
+            rows = self._packed_rows.reshape(-1, OCC_ROW_BYTES)
+            nibbles = rows[:, OCC_NIBBLE_OFFSET : OCC_NIBBLE_OFFSET + OCC_BLOCK // 2]
+            out = _huge_empty(nibbles.shape[0] * OCC_BLOCK)
+            pairs = out.reshape(nibbles.shape[0], OCC_BLOCK // 2, 2)
+            pairs[:, :, 0] = nibbles & np.uint8(0x0F)
+            pairs[:, :, 1] = nibbles >> np.uint8(4)
+            self._bwt = out[: self._n]
+        return self._bwt
+
+    @property
+    def occ_checkpoints(self) -> np.ndarray:
+        if self._occ_checkpoints is None:
+            rows64 = self._packed_rows.view("<i8").reshape(
+                -1, OCC_ROW_BYTES // 8
+            )
+            num_blocks = rows64.shape[0]
+            full = np.empty((num_blocks + 1, SIGMA), dtype=np.int64)
+            full[:num_blocks] = rows64[:, :SIGMA]
+            # checkpoint past the last block = whole-text symbol counts
+            full[num_blocks] = self._totals
+            self._occ_checkpoints = full
+        return self._occ_checkpoints
 
     def packed_rows(self) -> np.ndarray:
         """Interleaved native scan layout, built lazily and cached."""
-        cached = getattr(self, "_packed_rows", None)
-        if cached is None:
-            cached = self._packed_rows = pack_occ_rows(
-                self.bwt, self.occ_checkpoints
+        if self._packed_rows is None:
+            self._packed_rows = pack_occ_rows(
+                self._bwt, self._occ_checkpoints
             )
-        return cached
+        return self._packed_rows
 
     def occ(self, symbol: int, position: int) -> int:
         """# occurrences of symbol in bwt[:position]."""
@@ -240,7 +291,13 @@ class FmIndex:
             pieces.append(np.asarray(seq, dtype=np.uint8))
             pieces.append(np.zeros(1, dtype=np.uint8))  # sentinel separator
             pos += len(seq) + 1
-        self.text = np.concatenate(pieces) if pieces else np.zeros(0, dtype=np.uint8)
+        self._text = (
+            np.concatenate(pieces) if pieces else np.zeros(0, dtype=np.uint8)
+        )
+        self._text_nib = None
+        self._sampled_rows = None
+        self._sampled_values = None
+        self._sampled_raw = None
         self.seq_starts = np.asarray(starts, dtype=np.int64)
         self.seq_lengths = np.asarray([len(s) for s in sequences], dtype=np.int64)
         n = self.text.shape[0]
@@ -293,7 +350,9 @@ class FmIndex:
             build_reverse()
         if errors:
             raise errors[0]
-        bwt, fwd_occ, self.sampled_rows, self.sampled_values = results["fwd"]
+        bwt, fwd_occ, self._sampled_rows, self._sampled_values = results[
+            "fwd"
+        ]
         self.fwd = _SingleIndex(bwt, fwd_occ)
         self.rev = _SingleIndex(*results["rev"])
 
@@ -301,6 +360,43 @@ class FmIndex:
         self.C = np.zeros(SIGMA + 1, dtype=np.int64)
         self.C[1:] = np.cumsum(counts)
         # membership bitset lookup via searchsorted on sampled_rows
+
+    # ------------------------------------------------------------------
+    # lazily materialized tables (v3 artifact load path)
+    # ------------------------------------------------------------------
+
+    @property
+    def text(self) -> np.ndarray:
+        if self._text is None:
+            out = _huge_empty(self._text_nib.shape[0] * 2)
+            out[0::2] = self._text_nib & np.uint8(0x0F)
+            out[1::2] = self._text_nib >> np.uint8(4)
+            self._text = out[: self.n]
+            self._text_nib = None
+        return self._text
+
+    def _materialize_sampled(self) -> None:
+        rows_raw, values_raw = self._sampled_raw
+        count = rows_raw.shape[0]
+        rows = _huge_empty(count * 8, np.int64)
+        values = _huge_empty(count * 8, np.int64)
+        np.copyto(rows, rows_raw, casting="unsafe")
+        np.copyto(values, values_raw, casting="unsafe")
+        self._sampled_rows = rows
+        self._sampled_values = values
+        self._sampled_raw = None
+
+    @property
+    def sampled_rows(self) -> np.ndarray:
+        if self._sampled_rows is None:
+            self._materialize_sampled()
+        return self._sampled_rows
+
+    @property
+    def sampled_values(self) -> np.ndarray:
+        if self._sampled_values is None:
+            self._materialize_sampled()
+        return self._sampled_values
 
     # ------------------------------------------------------------------
     # cursor operations
@@ -413,38 +509,96 @@ class FmIndex:
     # ------------------------------------------------------------------
 
     def save(self, path) -> None:
-        # Format v2: rank sequences (values 0..5) are nibble-packed two
-        # symbols per byte, and the occ checkpoints / SA samples are
-        # stored as uint32 whenever n < 2^32 — an hg38-scale artifact
-        # drops from ~23 GB to ~11 GB (the reference's cereal archive is
-        # ~11 GB at the same sampling rate, floxer.cpp:90-92), and the
-        # multi-GB write/read go twice as fast. In-RAM layout after load
-        # is unchanged (uint8 symbols, int64 tables — what the native
-        # query paths consume). zlib would shave more but costs tens of
-        # minutes at hg38 scale; beyond 256 Mbp write uncompressed.
-        writer = (
-            np.savez_compressed if self.n < (1 << 28) else np.savez
-        )
+        """Format v3: a raw, 4096-aligned section container (magic
+        b'FLOXIDX3' + JSON header + sections).
+
+        The occ rows are stored in exactly the bytes the runtime's
+        interleaved scan layout needs — per block: SIGMA narrow
+        checkpoints plus 32 nibble-packed symbols — so load is ONE
+        widening strided copy per direction into a hugepage-advised
+        buffer instead of v2's unpack-nibbles + repack-rows (which
+        first-touched ~28 GB of 4 KiB pages at hg38 scale: ~620 s).
+        Text and SA samples are memmapped and materialize lazily. At the
+        reference's ~11 GB hg38 design point (floxer.cpp:90-92):
+        narrow = uint32 whenever n < 2^32."""
         narrow = np.uint32 if self.n < (1 << 32) else np.int64
-        writer(
+        num_blocks = self.n // OCC_BLOCK + 1
+
+        def direction_sections(tag: str, single: _SingleIndex):
+            rows = single.packed_rows().reshape(num_blocks, OCC_ROW_BYTES)
+            occ = (
+                np.ascontiguousarray(rows[:, :OCC_NIBBLE_OFFSET])
+                .view("<i8")
+                .astype(narrow)
+            )
+            nib = np.ascontiguousarray(
+                rows[:, OCC_NIBBLE_OFFSET : OCC_NIBBLE_OFFSET + OCC_BLOCK // 2]
+            )
+            return [(f"{tag}_occ", occ), (f"{tag}_nib", nib)]
+
+        sections = [
+            ("seq_starts", self.seq_starts),
+            ("seq_lengths", self.seq_lengths),
+            ("C", self.C),
+            ("text_nib", _pack_nibbles(self.text)),
+            *direction_sections("fwd", self.fwd),
+            *direction_sections("rev", self.rev),
+            ("sampled_rows", self.sampled_rows.astype(narrow)),
+            ("sampled_values", self.sampled_values.astype(narrow)),
+        ]
+        _write_v3(
             path,
-            format_version=np.int64(2),
-            n=np.int64(self.n),
-            sampling_rate=np.int64(self.sampling_rate),
-            text=_pack_nibbles(self.text),
-            seq_starts=self.seq_starts,
-            seq_lengths=self.seq_lengths,
-            fwd_bwt=_pack_nibbles(self.fwd.bwt),
-            fwd_occ=self.fwd.occ_checkpoints.astype(narrow),
-            rev_bwt=_pack_nibbles(self.rev.bwt),
-            rev_occ=self.rev.occ_checkpoints.astype(narrow),
-            C=self.C,
-            sampled_rows=self.sampled_rows.astype(narrow),
-            sampled_values=self.sampled_values.astype(narrow),
+            {"n": self.n, "sampling_rate": self.sampling_rate},
+            sections,
         )
 
     @classmethod
     def load(cls, path) -> "FmIndex":
+        with open(path, "rb") as handle:
+            magic = handle.read(len(_V3_MAGIC))
+        if magic == _V3_MAGIC:
+            return cls._load_v3(path)
+        return cls._load_npz(path)
+
+    @classmethod
+    def _load_v3(cls, path) -> "FmIndex":
+        meta, sections = _read_v3(path)
+        obj = cls.__new__(cls)
+        obj.n = int(meta["n"])
+        obj.sampling_rate = int(meta["sampling_rate"])
+        obj.seq_starts = np.asarray(sections["seq_starts"])
+        obj.seq_lengths = np.asarray(sections["seq_lengths"])
+        obj.num_sequences = len(obj.seq_starts)
+        obj.C = np.asarray(sections["C"])
+        num_blocks = obj.n // OCC_BLOCK + 1
+        totals = np.diff(obj.C)
+
+        def expand(tag: str) -> _SingleIndex:
+            flat = _huge_empty(num_blocks * OCC_ROW_BYTES)
+            rows = flat.reshape(num_blocks, OCC_ROW_BYTES)
+            rows64 = flat.view("<i8").reshape(num_blocks, OCC_ROW_BYTES // 8)
+            rows64[:, :SIGMA] = sections[f"{tag}_occ"]  # widening copy
+            rows[:, OCC_NIBBLE_OFFSET : OCC_NIBBLE_OFFSET + OCC_BLOCK // 2] = (
+                sections[f"{tag}_nib"]
+            )
+            rows[:, OCC_NIBBLE_OFFSET + OCC_BLOCK // 2 :] = 0
+            return _SingleIndex(packed=flat, n=obj.n, totals=totals)
+
+        obj.fwd = expand("fwd")
+        obj.rev = expand("rev")
+        obj._text = None
+        obj._text_nib = sections["text_nib"]
+        obj._sampled_rows = None
+        obj._sampled_values = None
+        obj._sampled_raw = (
+            sections["sampled_rows"],
+            sections["sampled_values"],
+        )
+        return obj
+
+    @classmethod
+    def _load_npz(cls, path) -> "FmIndex":
+        """Read compatibility for the v1/v2 npz artifacts."""
         data = np.load(path)
         version = int(data["format_version"])
         obj = cls.__new__(cls)
@@ -453,9 +607,11 @@ class FmIndex:
         obj.seq_lengths = data["seq_lengths"]
         obj.num_sequences = len(obj.seq_starts)
         obj.C = data["C"]
+        obj._text_nib = None
+        obj._sampled_raw = None
         if version >= 2:
             obj.n = int(data["n"])
-            obj.text = _unpack_nibbles(data["text"], obj.n)
+            obj._text = _unpack_nibbles(data["text"], obj.n)
             obj.fwd = _SingleIndex(
                 _unpack_nibbles(data["fwd_bwt"], obj.n),
                 data["fwd_occ"].astype(np.int64),
@@ -464,16 +620,82 @@ class FmIndex:
                 _unpack_nibbles(data["rev_bwt"], obj.n),
                 data["rev_occ"].astype(np.int64),
             )
-            obj.sampled_rows = data["sampled_rows"].astype(np.int64)
-            obj.sampled_values = data["sampled_values"].astype(np.int64)
+            obj._sampled_rows = data["sampled_rows"].astype(np.int64)
+            obj._sampled_values = data["sampled_values"].astype(np.int64)
             return obj
-        obj.text = data["text"]
-        obj.n = obj.text.shape[0]
+        obj._text = data["text"]
+        obj.n = obj._text.shape[0]
         obj.fwd = _SingleIndex(data["fwd_bwt"], data["fwd_occ"])
         obj.rev = _SingleIndex(data["rev_bwt"], data["rev_occ"])
-        obj.sampled_rows = data["sampled_rows"]
-        obj.sampled_values = data["sampled_values"]
+        obj._sampled_rows = data["sampled_rows"].astype(np.int64)
+        obj._sampled_values = data["sampled_values"].astype(np.int64)
         return obj
+
+
+_V3_MAGIC = b"FLOXIDX3"
+_V3_ALIGN = 4096
+
+
+def _write_v3(path, meta: dict, sections: list[tuple[str, np.ndarray]]):
+    """Write the aligned raw-section container. Header JSON carries dtype,
+    shape and byte offset per section; offsets are 4096-aligned so loads
+    can memmap every section directly."""
+    import json
+
+    entries = {}
+    # lay out offsets: header first, then aligned sections
+    header_probe = {"meta": meta, "sections": {}}
+    for name, array in sections:
+        header_probe["sections"][name] = {
+            "dtype": np.lib.format.dtype_to_descr(array.dtype),
+            "shape": list(array.shape),
+            "offset": 0,
+        }
+    header_len_guess = 0
+    # two passes: offsets depend on header length which depends on offset
+    # digit counts — iterate until stable (converges in <= 3 rounds)
+    for _ in range(4):
+        offset = len(_V3_MAGIC) + 8 + header_len_guess
+        entries = {}
+        for name, array in sections:
+            offset = -(-offset // _V3_ALIGN) * _V3_ALIGN
+            entries[name] = {
+                "dtype": np.lib.format.dtype_to_descr(array.dtype),
+                "shape": list(array.shape),
+                "offset": offset,
+            }
+            offset += array.nbytes
+        blob = json.dumps({"meta": meta, "sections": entries}).encode()
+        if len(blob) == header_len_guess:
+            break
+        header_len_guess = len(blob)
+    with open(path, "wb") as handle:
+        handle.write(_V3_MAGIC)
+        handle.write(np.uint64(len(blob)).tobytes())
+        handle.write(blob)
+        for name, array in sections:
+            handle.seek(entries[name]["offset"])
+            handle.write(np.ascontiguousarray(array).data)
+
+
+def _read_v3(path):
+    """Memmap every section of a v3 container (read-only)."""
+    import json
+
+    with open(path, "rb") as handle:
+        handle.seek(len(_V3_MAGIC))
+        header_len = int(np.frombuffer(handle.read(8), dtype=np.uint64)[0])
+        header = json.loads(handle.read(header_len))
+    sections = {}
+    for name, entry in header["sections"].items():
+        sections[name] = np.memmap(
+            path,
+            dtype=np.dtype(entry["dtype"]),
+            mode="r",
+            offset=entry["offset"],
+            shape=tuple(entry["shape"]),
+        )
+    return header["meta"], sections
 
 
 def _pack_nibbles(symbols: np.ndarray) -> np.ndarray:

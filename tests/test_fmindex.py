@@ -173,9 +173,11 @@ def test_scheme_search_exactness(k):
             )
 
 
-def test_save_load_round_trip_v2(tmp_path):
-    """Format-v2 artifact (nibble-packed symbols, narrow tables) loads back
-    to a bit-identical in-RAM index, including odd text lengths."""
+def test_save_load_round_trip_v3(tmp_path):
+    """Format-v3 artifact (raw aligned sections, occ rows stored in scan
+    layout) loads back to a bit-identical in-RAM index, including odd text
+    lengths; packed rows equal the built-from-scratch layout byte for
+    byte (the native engines scan them directly)."""
     rng = np.random.default_rng(3)
     sequences = [
         rng.integers(1, 5, size=501).astype(np.uint8),  # odd total with $
@@ -191,6 +193,7 @@ def test_save_load_round_trip_v2(tmp_path):
     assert loaded.text.dtype == np.uint8
     for direction in ("fwd", "rev"):
         got, want = getattr(loaded, direction), getattr(index, direction)
+        assert np.array_equal(got.packed_rows(), want.packed_rows())
         assert np.array_equal(got.bwt, want.bwt)
         assert got.bwt.dtype == np.uint8
         assert np.array_equal(got.occ_checkpoints, want.occ_checkpoints)
@@ -201,13 +204,62 @@ def test_save_load_round_trip_v2(tmp_path):
     assert np.array_equal(loaded.sampled_values, index.sampled_values)
     assert np.array_equal(loaded.seq_starts, index.seq_starts)
     assert np.array_equal(loaded.seq_lengths, index.seq_lengths)
-    # the artifact really is smaller than the raw tables
-    raw = (
-        index.text.nbytes + index.fwd.bwt.nbytes + index.rev.bwt.nbytes
-        + index.fwd.occ_checkpoints.nbytes + index.rev.occ_checkpoints.nbytes
-        + index.sampled_rows.nbytes + index.sampled_values.nbytes
+
+
+def test_v3_artifact_size_near_v2(tmp_path):
+    """v3 trades the per-section 4 KiB alignment overhead for
+    load-time-free scan layout; at any real scale it stays within ~15% of
+    the raw packed information (narrow tables, nibble symbols)."""
+    rng = np.random.default_rng(9)
+    index = FmIndex([rng.integers(1, 5, size=200_000).astype(np.uint8)])
+    path = tmp_path / "idx.npz"
+    index.save(path)
+    n = index.n
+    info = (
+        n // 2  # text nibbles
+        + 2 * (n // 128 + 1) * (6 * 4 + 64)  # occ rows compact
+        + 2 * (n // 4 + 1) * 4  # SA samples narrow
     )
-    assert path.stat().st_size < raw
+    assert path.stat().st_size < info * 1.15
+
+
+def test_load_v2_artifact(tmp_path):
+    """Format-v2 npz artifacts (round-2 builds) still load."""
+    rng = np.random.default_rng(5)
+    sequences = [
+        rng.integers(1, 5, size=501).astype(np.uint8),
+        rng.integers(1, 5, size=250).astype(np.uint8),
+    ]
+    index = FmIndex(sequences)
+    path = tmp_path / "idx_v2.npz"
+    from floxer_tpu.index.fmindex import _pack_nibbles
+
+    narrow = np.uint32
+    np.savez_compressed(
+        path,
+        format_version=np.int64(2),
+        n=np.int64(index.n),
+        sampling_rate=np.int64(index.sampling_rate),
+        text=_pack_nibbles(index.text),
+        seq_starts=index.seq_starts,
+        seq_lengths=index.seq_lengths,
+        fwd_bwt=_pack_nibbles(index.fwd.bwt),
+        fwd_occ=index.fwd.occ_checkpoints.astype(narrow),
+        rev_bwt=_pack_nibbles(index.rev.bwt),
+        rev_occ=index.rev.occ_checkpoints.astype(narrow),
+        C=index.C,
+        sampled_rows=index.sampled_rows.astype(narrow),
+        sampled_values=index.sampled_values.astype(narrow),
+    )
+    loaded = FmIndex.load(path)
+    assert loaded.n == index.n
+    assert np.array_equal(loaded.text, index.text)
+    for direction in ("fwd", "rev"):
+        got, want = getattr(loaded, direction), getattr(index, direction)
+        assert np.array_equal(got.bwt, want.bwt)
+        assert np.array_equal(got.occ_checkpoints, want.occ_checkpoints)
+    assert np.array_equal(loaded.sampled_rows, index.sampled_rows)
+    assert np.array_equal(loaded.sampled_values, index.sampled_values)
 
 
 def test_load_v1_artifact(tmp_path):
