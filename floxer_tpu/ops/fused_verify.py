@@ -1,0 +1,401 @@
+"""One-dispatch fused verification over device-resident banks.
+
+The round-2 device lane dispatched each wave of the verification cascade
+as 3-9 shape-bucketed kernel calls, each a tunnel round trip (~40-70 ms
+measured in a healthy window, 59 dispatches per 250-read chr21 chunk —
+docs/FUSED_VERIFY_DESIGN.md). This module collapses ONE WAVE into ONE
+device dispatch: a single jitted program that, per walk level stage,
+
+  - gathers every task's window/pattern slices from the HBM-resident
+    packed banks (ops/resident.py — offsets only, no host uploads),
+  - gates each task on its walk's in-flight aliveness (a level is only
+    meaningful if every earlier level of the same walk passed),
+  - compacts alive tasks to the front of their segment so the Pallas
+    kernels' dynamic column bounds skip all-dead sublane groups,
+  - runs the production Myers kernels (banded / full-small / full-large,
+    ops/pallas_myers*.py) on the segment,
+  - folds the pass/fail verdicts back into the aliveness vector.
+
+The host reads back one (distances, ends) pair per wave and replays the
+sequential semantics exactly as before (verify_batch.py wave loop); tasks
+after a walk's first failing level return a masked sentinel (distance =
+pattern length, never cached) because their window length is zeroed.
+
+Replaces: the per-anchor seqan3 calls of the reference's verification
+walk (verification.cpp:44-117, alignment.cpp:83-178) — the engine the
+reference names as its bottleneck (CONTRIBUTING.md:3-4) — with a
+TPU-native single-program cascade step.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .myers import MAX_UNROLLED_WORDS, WORD
+from .resident import CHARS_PER_WORD, ResidentBank
+
+BANDED_GROUP = 32  # pallas_myers_banded.SUBLANES padding requirement
+SMALL_GROUP = 128  # pallas_myers.LANES
+LARGE_GROUP = 8  # pallas_myers_large.SUBLANES
+
+KIND_BANDED = "banded"
+KIND_SMALL = "small"
+KIND_LARGE = "large"
+
+_GROUP = {KIND_BANDED: BANDED_GROUP, KIND_SMALL: SMALL_GROUP,
+          KIND_LARGE: LARGE_GROUP}
+
+# dispatch-plan templates: (ref bank words, query bank words) ->
+# {(stage, kind): {shape_words, n_chars, cap}, "walks": N} — monotone
+# maxes so every wave of a workload shares one compiled program
+_PLAN_TEMPLATES: dict[tuple, dict] = {}
+
+
+def classify_task(m: int, n: int, budget: int) -> tuple[str, int]:
+    """(kind, state_words) for one task; mirrors the routing of
+    verify_batch._TaskBatcher (banded whenever its band state is strictly
+    narrower than full state at tile granularity; else full by word
+    count). state_words is the task's own requirement — band words
+    (banded) or pattern words (full); the segment takes the max over its
+    tasks and pads to the kernel's tiling."""
+    if 0 < budget < m and n >= m - budget:
+        band_tiles = -(-(n - m + 2 * budget + 1) // (128 * WORD))
+        full_tiles = -(-(-(-m // WORD)) // 128)
+        if band_tiles < full_tiles:
+            return KIND_BANDED, band_tiles * 128
+    words = -(-m // WORD)
+    if words > MAX_UNROLLED_WORDS:
+        return KIND_LARGE, words
+    return KIND_SMALL, words
+
+
+def _pow2_at_least(x: int, floor: int) -> int:
+    size = floor
+    while size < x:
+        size *= 2
+    return size
+
+
+@dataclass
+class _Segment:
+    kind: str
+    max_words: int = 0  # max per-task state words (shape = padded max)
+    max_win: int = 0  # max window length (n_chars = pow2 of this)
+    # per-task host-side staging (python lists; converted on finalize)
+    win_starts: list = field(default_factory=list)
+    win_lens: list = field(default_factory=list)
+    pat_starts: list = field(default_factory=list)
+    pat_lens: list = field(default_factory=list)
+    budgets: list = field(default_factory=list)
+    walk_slots: list = field(default_factory=list)
+    task_refs: list = field(default_factory=list)  # caller handles
+
+
+class FusedBatch:
+    """Host-side builder for one fused dispatch.
+
+    add_task() stages one (walk, level) task; tasks of the same walk MUST
+    be added in walk order (stage index = how many tasks this walk has
+    staged so far — aliveness is chained through stages). run() issues the
+    single dispatch and returns (distances, ends) aligned with the order
+    of task_refs handed back by add_task."""
+
+    def __init__(self, ref_bank: ResidentBank, query_bank: ResidentBank):
+        self.ref_bank = ref_bank
+        self.query_bank = query_bank
+        # stage -> {kind -> _Segment}; segments take the MAX task shape so
+        # edge-clamped windows and slightly-different budgets share one
+        # segment — fewer kernels per program and far fewer distinct
+        # compiled plans (band/window padding is cheap: the kernels bound
+        # their column loops by each sublane group's max window length)
+        self.stages: list[dict[str, _Segment]] = []
+        self._stage_of_walk: dict[int, int] = {}
+        self._walk_ids: dict[int, int] = {}  # walk_id -> dense slot
+        self.num_tasks = 0
+
+    def add_task(
+        self,
+        walk_id: int,
+        win_start: int,
+        win_len: int,
+        pat_start: int,
+        pat_len: int,
+        budget: int,
+    ) -> tuple[int, str, int]:
+        """Stages a task; returns an opaque ref for result lookup."""
+        stage = self._stage_of_walk.get(walk_id, 0)
+        self._stage_of_walk[walk_id] = stage + 1
+        slot = self._walk_ids.setdefault(walk_id, len(self._walk_ids))
+        kind, state_words = classify_task(pat_len, win_len, budget)
+        while len(self.stages) <= stage:
+            self.stages.append({})
+        seg = self.stages[stage].get(kind)
+        if seg is None:
+            seg = self.stages[stage][kind] = _Segment(kind)
+        seg.max_words = max(seg.max_words, state_words)
+        seg.max_win = max(seg.max_win, win_len)
+        row = len(seg.win_starts)
+        seg.win_starts.append(win_start)
+        seg.win_lens.append(win_len)
+        seg.pat_starts.append(pat_start)
+        seg.pat_lens.append(pat_len)
+        seg.budgets.append(budget)
+        seg.walk_slots.append(slot)
+        ref = (stage, kind, row)
+        seg.task_refs.append(ref)
+        self.num_tasks += 1
+        return ref
+
+    @staticmethod
+    def _segment_shape(seg: _Segment) -> tuple[int, int, int]:
+        """(shape_words, n_chars, cap) — padded static shape of a segment."""
+        if seg.kind == KIND_BANDED:
+            shape_words = -(-seg.max_words // 128) * 128
+            n_chars = _pow2_at_least(seg.max_win, 1024)
+        elif seg.kind == KIND_LARGE:
+            shape_words = -(-seg.max_words // 128) * 128
+            n_chars = _pow2_at_least(seg.max_win, 256)
+        else:
+            shape_words = _pow2_at_least(seg.max_words, 1)
+            n_chars = _pow2_at_least(seg.max_win, 256)
+        cap = _pow2_at_least(len(seg.win_starts), _GROUP[seg.kind])
+        return shape_words, n_chars, cap
+
+    def padded_cells(self) -> int:
+        """Padded DP cells the dispatch will compute (cost-model input):
+        per segment, OCCUPIED capacity x state rows x window chars. Plan
+        templates may pad segments far beyond occupancy, but all-dead
+        sublane groups cost nothing (dynamic column bounds) — so cost is
+        modeled from occupancy rounded to the kernel group size."""
+        total = 0
+        for stage in self.stages:
+            for seg in stage.values():
+                shape_words, n_chars, _ = self._segment_shape(seg)
+                group = _GROUP[seg.kind]
+                occupied = -(-len(seg.win_starts) // group) * group
+                total += occupied * shape_words * WORD * n_chars
+        return total
+
+    def run(self, interpret: bool | None = None):
+        """One device dispatch; returns {task_ref: (distance, end)}.
+
+        The dispatch plan (segment shapes/capacities — the jit compile
+        key) is canonicalized through a module-level TEMPLATE keyed by the
+        bank shapes: each run merges its segments into the template and
+        emits the template's full segment list (missing segments ship as
+        all-pad, which the kernels skip via their dynamic column bounds).
+        Plans therefore converge after the first wave or two — every
+        later wave of every chunk reuses ONE compiled program instead of
+        paying a fresh multi-second Mosaic compile per task-count shape
+        (the round-2 failure mode, 5-14 s per cascade wave)."""
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        if self.num_tasks == 0:
+            return {}
+        template_key = (
+            int(self.ref_bank.flat.shape[0]),
+            int(self.query_bank.flat.shape[0]),
+        )
+        template = _PLAN_TEMPLATES.setdefault(template_key, {})
+        num_walks = 32
+        for walks_used in (len(self._walk_ids), template.get("walks", 1)):
+            num_walks = max(num_walks, _pow2_at_least(max(walks_used, 1), 32))
+        template["walks"] = num_walks
+        # merge this batch into the template (monotone maxes)
+        for stage_index, stage in enumerate(self.stages):
+            for kind, seg in stage.items():
+                shape_words, n_chars, cap = self._segment_shape(seg)
+                slot = template.setdefault((stage_index, kind), {
+                    "shape_words": 0, "n_chars": 0, "cap": _GROUP[kind],
+                })
+                slot["shape_words"] = max(slot["shape_words"], shape_words)
+                slot["n_chars"] = max(slot["n_chars"], n_chars)
+                slot["cap"] = max(slot["cap"], cap)
+        plan = []
+        seg_args = []
+        segments = []
+        for stage_index, kind in sorted(
+            key for key in template if isinstance(key, tuple)
+        ):
+            slot = template[(stage_index, kind)]
+            seg = (
+                self.stages[stage_index].get(kind)
+                if stage_index < len(self.stages)
+                else None
+            )
+            if seg is None:
+                seg = _Segment(kind)  # all-pad: skipped on device
+            segments.append(seg)
+            plan.append(
+                (kind, slot["shape_words"], slot["n_chars"], slot["cap"])
+            )
+            seg_args.append(
+                _segment_device_args(seg, slot["cap"], num_walks)
+            )
+        from ..warm_shapes import record_shape
+
+        record_shape((
+            "fused", tuple(plan), num_walks,
+            int(self.ref_bank.flat.shape[0]),
+            int(self.query_bank.flat.shape[0]),
+        ))
+        dists, ends = _fused_call(
+            self.ref_bank.flat,
+            self.query_bank.flat,
+            tuple(seg_args),
+            plan=tuple(plan),
+            num_walks=num_walks,
+            interpret=interpret,
+        )
+        results = {}
+        for seg, dist, end in zip(segments, dists, ends):
+            dist = np.asarray(dist)
+            end = np.asarray(end)
+            for row, ref in enumerate(seg.task_refs):
+                results[ref] = (int(dist[row]), int(end[row]))
+        return results
+
+def _segment_device_args(seg: _Segment, cap: int, num_walks: int):
+    from .resident import addr_arrays
+
+    count = len(seg.win_starts)
+
+    def pad(values, fill, dtype=np.int64):
+        out = np.full(cap, fill, dtype=dtype)
+        out[:count] = values
+        return out
+
+    win_starts = pad(seg.win_starts, 0)
+    # padding rows: window length 0 => masked out (never eligible),
+    # distance = pattern length. banded pad rows need 0 < budget < m.
+    win_lens = pad(seg.win_lens, 0)
+    pat_starts = pad(seg.pat_starts, 0)
+    pat_lens = pad(seg.pat_lens, 2)
+    budgets = pad(seg.budgets, 1)
+    walk_slots = pad(seg.walk_slots, num_walks, np.int32)
+
+    win_word0, win_phase = addr_arrays(win_starts)
+    pat_word0, pat_phase = addr_arrays(pat_starts)
+    stream_word0, stream_phase = addr_arrays(
+        np.asarray(pat_starts, dtype=np.int64)
+        + np.asarray(budgets, dtype=np.int64)
+    )
+    return {
+        "win_word0": jnp.asarray(win_word0),
+        "win_phase": jnp.asarray(win_phase),
+        "win_len": jnp.asarray(win_lens, dtype=jnp.int32),
+        "pat_word0": jnp.asarray(pat_word0),
+        "pat_phase": jnp.asarray(pat_phase),
+        "stream_word0": jnp.asarray(stream_word0),
+        "stream_phase": jnp.asarray(stream_phase),
+        "pat_len": jnp.asarray(pat_lens, dtype=jnp.int32),
+        "budget": jnp.asarray(budgets, dtype=jnp.int32),
+        "walk": jnp.asarray(walk_slots, dtype=jnp.int32),
+    }
+
+
+def replay_plan(plan, num_walks: int, ref_words: int, query_words: int):
+    """Warm-shape replay hook (warm_shapes.py): dispatch one all-pad fused
+    program of the recorded plan so its first-execution cost is paid on
+    the warmup thread, not the first wave. Returns the async outputs."""
+    import jax.numpy as _jnp
+
+    class _Bank:
+        def __init__(self, n):
+            self.flat = _jnp.zeros(n, dtype=_jnp.uint32)
+
+    plan = tuple(tuple(seg) for seg in plan)
+    seg_args = tuple(
+        _segment_device_args(_Segment(kind), cap, num_walks)
+        for kind, _w, _n, cap in plan
+    )
+    dists, ends = _fused_call(
+        _Bank(ref_words).flat,
+        _Bank(query_words).flat,
+        seg_args,
+        plan=plan,
+        num_walks=num_walks,
+        interpret=False,
+    )
+    # one array is enough of a sync handle: outputs of one executable
+    # materialize together
+    return dists[-1], ends[-1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan", "num_walks", "interpret")
+)
+def _fused_call(ref_flat, bank_flat, seg_args, plan, num_walks, interpret):
+    """The whole wave as one XLA program: per segment, permute alive tasks
+    to the front, zero dead tasks' window lengths (the kernels' dynamic
+    column bounds then skip all-dead sublane groups), run the matching
+    Myers kernel, scatter verdicts into the aliveness vector."""
+    from .resident import _resident_banded_call_core, _resident_full_core
+
+    # slot num_walks is the sink for padding rows: always dead
+    alive = jnp.ones((num_walks + 1,), dtype=jnp.int32)
+    alive = alive.at[num_walks].set(0)
+
+    out_dists = []
+    out_ends = []
+    for (kind, shape_words, n_chars, cap), args in zip(plan, seg_args):
+        a = alive[args["walk"]]  # [cap] 0/1
+        # stable compaction: alive tasks first, so dead tasks cluster into
+        # whole sublane groups whose dynamic column bound is then 0
+        perm = jnp.argsort(1 - a, stable=True)
+        a_p = a[perm]
+        masked_win_len = jnp.where(a_p == 1, args["win_len"][perm], 0)
+
+        def g(name, _perm=perm):
+            return args[name][_perm]
+
+        if kind == KIND_BANDED:
+            dist_p, end_p = _resident_banded_call_core(
+                ref_flat,
+                bank_flat,
+                g("win_word0"),
+                g("win_phase"),
+                masked_win_len,
+                g("pat_word0"),
+                g("pat_phase"),
+                g("stream_word0"),
+                g("stream_phase"),
+                g("pat_len"),
+                g("budget"),
+                band_words=shape_words,
+                num_text=n_chars,
+                interpret=interpret,
+            )
+            dist_p, end_p = dist_p[:, 0], end_p[:, 0]
+        else:
+            dist_p, end_p = _resident_full_core(
+                ref_flat,
+                bank_flat,
+                g("win_word0"),
+                g("win_phase"),
+                masked_win_len,
+                g("pat_word0"),
+                g("pat_phase"),
+                g("pat_len"),
+                num_words=shape_words if kind == KIND_SMALL else None,
+                num_words_padded=(
+                    shape_words if kind == KIND_LARGE else None
+                ),
+                num_text=n_chars,
+                interpret=interpret,
+            )
+        inv = jnp.zeros(cap, dtype=jnp.int32).at[perm].set(
+            jnp.arange(cap, dtype=jnp.int32)
+        )
+        dist = dist_p[inv]
+        end = end_p[inv]
+        ok = ((dist <= args["budget"]) & (a == 1)).astype(jnp.int32)
+        alive = alive.at[args["walk"]].min(ok)
+        out_dists.append(dist)
+        out_ends.append(end)
+    return tuple(out_dists), tuple(out_ends)

@@ -150,10 +150,7 @@ def _pack_bits32(bits):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit, static_argnames=("band_words", "num_text", "interpret")
-)
-def _resident_banded_call(
+def _resident_banded_call_core(
     ref_flat,
     bank_flat,
     win_word0,
@@ -170,6 +167,7 @@ def _resident_banded_call(
     interpret: bool,
 ):
     """On-device rebuild of prepare_banded_batch + the banded kernel call.
+    Unjitted core so fused_verify.py can inline it into a larger program.
 
     Equivalence notes vs the host path (all checked by
     tests/test_resident.py):
@@ -236,6 +234,45 @@ def _resident_banded_call(
         num_text=num_text,
         interpret=interpret,
     )
+
+
+_resident_banded_call = functools.partial(
+    jax.jit, static_argnames=("band_words", "num_text", "interpret")
+)(_resident_banded_call_core)
+
+
+def _resident_full_core(
+    ref_flat,
+    bank_flat,
+    win_word0,
+    win_phase,
+    win_lens,
+    pat_word0,
+    pat_phase,
+    pat_lens,
+    num_words: int | None,
+    num_words_padded: int | None,
+    num_text: int,
+    interpret: bool,
+):
+    """Unjitted small/large full-state dispatch on resident banks (row
+    vectors out, [T]); fused_verify.py inlines it into the wave program."""
+    args = (
+        ref_flat, bank_flat, win_word0, win_phase, win_lens,
+        pat_word0, pat_phase, pat_lens,
+    )
+    if num_words_padded is not None:
+        dist, end = _resident_large_call_core(
+            *args,
+            num_words_padded=num_words_padded,
+            num_text=num_text,
+            interpret=interpret,
+        )
+        return dist[:, 0], end[:, 0]
+    dist, end = _resident_small_call_core(
+        *args, num_words=num_words, num_text=num_text, interpret=interpret
+    )
+    return dist[0, :], end[0, :]
 
 
 def myers_banded_resident(
@@ -311,11 +348,7 @@ def _device_peq(pattern_codes, pat_lens, num_words: int):
     return jnp.stack(planes, axis=1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_words_padded", "num_text", "interpret"),
-)
-def _resident_large_call(
+def _resident_large_call_core(
     ref_flat,
     bank_flat,
     win_word0,
@@ -355,10 +388,13 @@ def _resident_large_call(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_words", "num_text", "interpret")
-)
-def _resident_small_call(
+_resident_large_call = functools.partial(
+    jax.jit,
+    static_argnames=("num_words_padded", "num_text", "interpret"),
+)(_resident_large_call_core)
+
+
+def _resident_small_call_core(
     ref_flat,
     bank_flat,
     win_word0,
@@ -394,6 +430,11 @@ def _resident_small_call(
         num_text=num_text,
         interpret=interpret,
     )
+
+
+_resident_small_call = functools.partial(
+    jax.jit, static_argnames=("num_words", "num_text", "interpret")
+)(_resident_small_call_core)
 
 
 def myers_full_resident(

@@ -95,6 +95,14 @@ def _start_device_warmup() -> None:
                 from .warm_shapes import replay
 
                 replay()
+            # prime the routing cost model's round-trip probe OFF the align
+            # loop: a first execution measured while the chunk loop's
+            # Python threads churn the GIL has been observed at 40-400 s
+            # (vs ~35 ms warm) and both stalls the wave and poisons the
+            # overhead EWMA toward never using the device
+            from .verify_batch import _device_call_overhead
+
+            _device_call_overhead()
             logger.debug("device warmup complete")
         except Exception as error:  # noqa: BLE001 - warmup is best-effort
             logger.debug("device warmup failed: %s", error)
@@ -106,6 +114,22 @@ def _start_device_warmup() -> None:
         target=warm, name="device-warmup", daemon=True
     )
     _WARMUP_THREAD.start()
+
+
+def _accelerator_ready() -> bool:
+    """Non-blocking accelerator availability for the align loop's routing:
+    True only once the background warmup finished AND found a TPU. While
+    the warmup is still in flight this returns False WITHOUT touching the
+    backend — first-execution probes must never run on the GIL-busy align
+    loop (measured 40-400 s there vs 2-15 s on the idle warmup thread).
+    Early chunks simply route to the host engines; later chunks pick up
+    the device. Falls back to the blocking check when no warmup was ever
+    started (non-pipelined callers)."""
+    if _WARMUP_THREAD is None:
+        return _accelerator_available()
+    if _WARMUP_THREAD.is_alive():
+        return False
+    return bool(_ACCELERATOR_AVAILABLE)
 
 
 def _join_device_warmup(timeout: float | None = None) -> None:
@@ -434,9 +458,11 @@ def verify_and_write_chunk(
         use_interval_optimization=cli.use_interval_optimization,
         # lazily resolved: the batched engine only initializes/queries the
         # accelerator backend when a bucket is big enough to benefit, so
-        # tiny workloads never touch the device
+        # tiny workloads never touch the device; readiness is gated on the
+        # background warmup so the align loop never pays a first-execution
+        # stall (see _accelerator_ready)
         use_device=(
-            True if cli.engine == "device" else _accelerator_available
+            True if cli.engine == "device" else _accelerator_ready
         ),
         resident_ref=resident_ref,
         defer_finalize=defer_finalize,

@@ -93,6 +93,13 @@ _NO_RESIDENT = bool(
     __import__("os").environ.get("FLOXER_TPU_NO_RESIDENT", "")
 )
 
+# kill switch for the one-dispatch fused wave path (A/B measurements); and
+# a test hook forcing it regardless of backend (interpret-mode kernels)
+_NO_FUSED = bool(__import__("os").environ.get("FLOXER_TPU_NO_FUSED", ""))
+_FORCE_FUSED = bool(
+    __import__("os").environ.get("FLOXER_TPU_FORCE_FUSED", "")
+)
+
 # Latency-adaptive banded routing: the host lane-parallel banded engine
 # (myers_host.cpp) and the Pallas banded kernel run at comparable band-cell
 # rates (~104 vs ~90 Gcells/s measured), so WHERE a bucket should run is
@@ -157,6 +164,33 @@ def _observe_device_call(observed_s: float, modeled_kernel_s: float) -> None:
         state["ewma"] = max(sample, floor)
     else:
         state["ewma"] = max(0.7 * state["ewma"] + 0.3 * sample, floor)
+
+
+# fixed per-dispatch cost of the FUSED wave program (ops/fused_verify.py):
+# one executable, several kernels, one download. Tracked separately from
+# the bucketed path — its fixed cost is a single round trip plus the
+# program's internal launches.
+_FUSED_OVERHEAD = {"ewma": None}
+
+
+def _fused_call_overhead() -> float:
+    import os
+
+    pinned = os.environ.get("FLOXER_TPU_FUSED_OVERHEAD_S")
+    if pinned:
+        return float(pinned)
+    if _FUSED_OVERHEAD["ewma"] is not None:
+        return _FUSED_OVERHEAD["ewma"]
+    return 2.0 * _device_call_overhead()
+
+
+def _observe_fused_call(observed_s: float, modeled_kernel_s: float) -> None:
+    sample = max(observed_s - modeled_kernel_s, 0.0)
+    state = _FUSED_OVERHEAD
+    if state["ewma"] is None:
+        state["ewma"] = sample
+    else:
+        state["ewma"] = 0.7 * state["ewma"] + 0.3 * sample
 
 
 @dataclass
@@ -957,6 +991,13 @@ class BatchVerifier:
         inv_order = np.empty(n, dtype=np.int64)
         inv_order[order] = np.arange(n, dtype=np.int64)
         CHAIN_K = int(os.environ.get("FLOXER_TPU_CHAIN_K", "8"))
+        # fused waves resolve walks at full depth in ONE dispatch and a
+        # broken walk's masked deep levels cost ~nothing, so chains can be
+        # speculated much deeper — each avoided wave is an avoided round
+        # trip (docs/FUSED_VERIFY_DESIGN.md)
+        CHAIN_K_FUSED = int(os.environ.get("FLOXER_TPU_CHAIN_K_FUSED", "32"))
+        chain_k = [CHAIN_K]
+        self._fused_dispatches = 0
         spec_pending: list[int] = []
 
         def classify_prescreened(wid: int) -> bool:
@@ -982,7 +1023,7 @@ class BatchVerifier:
             p = int(inv_order[wid]) + 1
             end = int(key_end[key])
             found = 0
-            while p < end and found < CHAIN_K:
+            while p < end and found < chain_k[0]:
                 w2 = int(order[p])
                 # only at-risk walks (flag 4: avoided, but every covering
                 # interval is still optimistic) can become needed when a
@@ -1031,6 +1072,38 @@ class BatchVerifier:
                     spec_pending.clear()
                     need_total += len(spec)
                 t0_flat = _time.monotonic()
+                # one-dispatch fused wave: need walks at FULL depth +
+                # speculation at prescreen depth, together in ONE device
+                # dispatch. Need walks resolve terminally (no pending
+                # state), so chains advance a full CHAIN_K per round trip.
+                fused_done = self._try_fused_wave(
+                    table, items, need_list,
+                    spec=spec, spec_depth=CHECK_DEPTH,
+                )
+                any_failed = False
+                if fused_done:
+                    chain_k[0] = CHAIN_K_FUSED
+                    t_flat += _time.monotonic() - t0_flat
+                    passed_fused: set[int] = set()
+                    for wid in spec:
+                        key = int(key_of_walk[wid])
+                        if key in passed_fused:
+                            continue  # next sim decides
+                        if classify_prescreened(wid):
+                            any_failed = True
+                        elif state[wid] == 1:
+                            passed_fused.add(key)
+                    for wid in need_list:
+                        if self._walk_is_broken(table[wid]):
+                            state[wid] = 3
+                            dirty[key_of_walk[wid]] = True
+                            any_failed = True
+                            chain_victims(wid)
+                        else:
+                            state[wid] = 2
+                    if not any_failed:
+                        break
+                    continue
                 self._compute_walks_flat(
                     table, items, need_list,
                     max_depth=None if full else CHECK_DEPTH,
@@ -1046,7 +1119,6 @@ class BatchVerifier:
                         table, items, spec, max_depth=CHECK_DEPTH
                     )
                 t_flat += _time.monotonic() - t0_flat
-                any_failed = False
                 passed_segments: set[int] = set()
                 for wid in spec:
                     key = int(key_of_walk[wid])
@@ -1099,7 +1171,8 @@ class BatchVerifier:
             if not batch_list:
                 break
             t0_flat = _time.monotonic()
-            self._compute_walks_flat(table, items, batch_list)
+            if not self._try_fused_wave(table, items, batch_list):
+                self._compute_walks_flat(table, items, batch_list)
             t_flat += _time.monotonic() - t0_flat
             for wid in batch_list:
                 if self._walk_is_broken(table[wid]):
@@ -1157,12 +1230,13 @@ class BatchVerifier:
         self.last_stats_events = stats_events
         log.debug(
             "verify batch (soa): %d walks, %d waves (%d walks computed, "
-            "%d walks replayed); build %.2fs waves %.2fs (sim %.2fs flat "
-            "%.2fs) record %.2fs",
+            "%d walks replayed, %d fused dispatches); build %.2fs waves "
+            "%.2fs (sim %.2fs flat %.2fs) record %.2fs",
             n,
             waves,
             need_total,
             int(np.count_nonzero(~avoided)),
+            self._fused_dispatches,
             t_build - t0,
             t_waves - t_build,
             t_sim,
@@ -1563,6 +1637,186 @@ class BatchVerifier:
             ref_bank.base(walk.anchor.reference_id) + level.span.offset
         )
         return pat_addr, win_addr
+
+    @staticmethod
+    def _level_key(walk: _AnchorWalk, level: _WalkLevel) -> tuple:
+        return (
+            walk.query_index,
+            walk.orientation,
+            walk.anchor.reference_id,
+            level.node.query_index_from,
+            level.node.query_index_to,
+            level.span.offset,
+            level.span.length,
+        )
+
+    def _try_fused_wave(
+        self,
+        walks,
+        items,
+        subset: list[int],
+        spec: list[int] | None = None,
+        spec_depth: int | None = None,
+    ) -> bool:
+        """Run one wave of walks as a single fused device dispatch
+        (ops/fused_verify.py): `subset` walks at FULL depth, `spec` walks
+        (chain speculation) only to `spec_depth` levels — a passing
+        speculated walk means its root insertion covers the rest of its
+        chain, so computing past the prescreen (let alone its root) is the
+        measured 15x root overcompute. Returns False when the wave should
+        run on the host/bucketed hybrid instead — no resident banks, kill
+        switch, device off, or the cost model picks the host (small
+        cascade waves beat a tunnel round trip on the native engine).
+
+        Semantics contract with the host path: every computed level's
+        `exists` is exact; levels past a walk's first failure keep their
+        default exists=False and their (masked, sentinel) kernel results
+        are never cached — another walk sharing the same task key may be
+        alive and must not read a masked sentinel; accepted roots are
+        finalized exactly like the host path (begin/CIGAR via
+        _finalize_roots)."""
+        import logging
+        import time as _time
+
+        if self._resident is None or _NO_FUSED or not subset:
+            return False
+        if not (_FORCE_FUSED or self._device_resolved_lazy()):
+            return False
+        from .ops.fused_verify import FusedBatch
+
+        ref_bank, query_bank = self._resident
+        cache = self._task_cache
+        batch = FusedBatch(ref_bank, query_bank)
+        staged = []  # (walk_id, [(level, key, ("cached",res)|("task",ref))])
+        useful_band_cells = 0
+        t0 = _time.monotonic()
+
+        def stage_walk(walk_id: int, depth_limit: int | None) -> None:
+            nonlocal useful_band_cells
+            walk = walks[walk_id]
+            item = items[walk.query_index]
+            self._ensure_levels(walk, item, upto=depth_limit)
+            plan = []
+            levels = (
+                walk.levels
+                if depth_limit is None
+                else walk.levels[:depth_limit]
+            )
+            for level in levels:
+                key = self._level_key(walk, level)
+                hit = cache.get(key)
+                if hit is not None:
+                    plan.append((level, key, ("cached", hit)))
+                    if hit[0] > level.node.num_errors:
+                        break  # cached failure: nothing deeper can run
+                    continue
+                pat_addr, win_addr = self._addrs(walk, level)
+                m = (
+                    level.node.query_index_to
+                    - level.node.query_index_from
+                    + 1
+                )
+                n = level.span.length
+                budget = level.node.num_errors
+                ref = batch.add_task(
+                    walk_id, win_addr, n, pat_addr, m, budget
+                )
+                plan.append((level, key, ("task", ref)))
+                useful_band_cells += (
+                    max(min(n - m + 2 * budget + 1, m), 1) * n
+                )
+            staged.append((walk_id, plan))
+
+        # resident addressing is all-or-nothing per chunk (banks cover
+        # every read and reference); bail before staging if absent
+        probe_walk = walks[subset[0]]
+        self._ensure_levels(probe_walk, items[probe_walk.query_index], upto=1)
+        if self._addrs(probe_walk, probe_walk.levels[0])[0] < 0:
+            return False
+        for walk_id in subset:
+            stage_walk(walk_id, None)
+        for walk_id in spec or []:
+            stage_walk(walk_id, spec_depth)
+
+        modeled_kernel_s = batch.padded_cells() / _DEVICE_BAND_RATE
+        log = logging.getLogger("floxer-tpu")
+        if self.use_device is not True and not _FORCE_FUSED:
+            # cost-model routing (VERDICT round 2 item 2): device only when
+            # the single fused dispatch beats the native host engine.
+            # Host threads are priced at HALF the pool: during the 3-stage
+            # pipeline the native FM search of the next chunk runs
+            # concurrently on the same cores, so a host verify wave
+            # effectively gets ~2 of the 4 threads — and every wave pushed
+            # to the chip hands its cycles back to the search stage (the
+            # measured production bottleneck once verification is fused).
+            host_threads = max(1, min(4, max(len(subset), 1)) // 2)
+            host_s = useful_band_cells / (_HOST_BAND_RATE * host_threads)
+            if host_s <= _PROBE_MIN_HOST_S or not self._device_resolved_lazy():
+                return False
+            device_s = _fused_call_overhead() + modeled_kernel_s
+            if host_s <= device_s:
+                log.debug(
+                    "fused route: %d walks %d tasks host %.0fms <= device "
+                    "%.0fms -> host",
+                    len(subset), batch.num_tasks, host_s * 1e3,
+                    device_s * 1e3,
+                )
+                return False
+        if batch.num_tasks == 0:
+            # everything cache-resolved; still apply below
+            results = {}
+        else:
+            results = batch.run()
+        t1 = _time.monotonic()
+        if batch.num_tasks:
+            _observe_fused_call(t1 - t0, modeled_kernel_s)
+            self._fused_dispatches += 1
+            _BATCH_TIMERS["calls"] += 1
+            _BATCH_TIMERS["kernel"] += t1 - t0
+
+        root_tasks = []
+        for walk_id, plan in staged:
+            for level, key, how in plan:
+                if how[0] == "cached":
+                    distance, end = how[1]
+                else:
+                    distance, end = results[how[1]]
+                exists = distance <= level.node.num_errors
+                level.exists = exists
+                if how[0] == "task":
+                    # results below a failure are masked sentinels — only
+                    # levels reached while the walk was alive are real
+                    cache[key] = (distance, end)
+                if level.node.is_root:
+                    if exists:
+                        root_tasks.append((walk_id, level, distance, end))
+                    break
+                if not exists:
+                    break
+        log.debug(
+            "fused wave: %d walks %d tasks (%d segments) in %.2fs "
+            "(%.2fs dispatch+wait), %.0fM useful band cells",
+            len(subset), batch.num_tasks,
+            sum(len(stage) for stage in batch.stages),
+            _time.monotonic() - t0, t1 - t0, useful_band_cells / 1e6,
+        )
+        t0_roots = _time.monotonic()
+        self._finalize_roots(root_tasks, walks, items, lazy_tracebacks=True)
+        if root_tasks:
+            log.debug(
+                "finalize roots (fused): %d tasks in %.2fs",
+                len(root_tasks), _time.monotonic() - t0_roots,
+            )
+        return True
+
+    def _device_resolved_lazy(self) -> bool:
+        if getattr(self, "_device_flag", None) is None:
+            self._device_flag = (
+                self.use_device()
+                if callable(self.use_device)
+                else bool(self.use_device)
+            )
+        return self._device_flag
 
     def _compute_walks(
         self,

@@ -129,6 +129,11 @@ def _replay_one(desc: list):
             np.ones(b_bucket, dtype=np.int64),
             band_words=band_words, sync=False,
         )
+    if kind == "fused":
+        _, plan, num_walks, ref_len, query_len = desc
+        from .ops.fused_verify import replay_plan
+
+        return replay_plan(plan, num_walks, ref_len, query_len)
     if kind == "full_host":
         _, m_bucket, n_bucket, b_bucket = desc
         from .ops.myers import myers_distance

@@ -229,3 +229,37 @@ def test_repetitive_cascade_equivalence(repetitive_workload, tmp_path, args):
         assert proc.returncode == 0, proc.stderr
         outputs[engine] = out.read_text()
     assert outputs["reference"] == outputs["batched"], f"args {args}"
+
+
+def test_fused_engine_equivalence(workload, tmp_path):
+    """engine=device with the fused one-dispatch wave path forced (CPU
+    backend, kernels in interpret mode): the whole pipeline — resident
+    banks, fused wave program, aliveness masking, root finalize — must
+    yield a byte-identical SAM to the sequential reference engine."""
+    outputs = {}
+    for tag, engine, fused in (
+        ("reference", "reference", False),
+        ("fused", "device", True),
+    ):
+        out = tmp_path / f"{tag}.sam"
+        env = dict(os.environ)
+        env["FLOXER_TPU_PLATFORM"] = "cpu"
+        if fused:
+            env["FLOXER_TPU_FORCE_FUSED"] = "1"
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "floxer_tpu",
+                "--reference", str(workload / "ref.fasta"),
+                "--queries", str(workload / "reads.fastq"),
+                "--output", str(out),
+                "--engine", engine,
+                "--error-probability", "0.05",
+                "--interval-optimization",
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+        assert proc.returncode == 0, proc.stderr
+        outputs[tag] = out.read_text()
+    assert outputs["reference"] == outputs["fused"]

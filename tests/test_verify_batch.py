@@ -230,3 +230,64 @@ def test_deadline_check_unexpired_is_neutral():
     assert len(got) == len(want)
     for w, g in zip(want, got):
         assert _as_tuples(w) == _as_tuples(g)
+
+
+@pytest.mark.parametrize("interval_opt", [False, True])
+@pytest.mark.parametrize("without_cigar", [False, True])
+@pytest.mark.parametrize(
+    "kind", [VerificationKind.HIERARCHICAL, VerificationKind.DIRECT_FULL]
+)
+def test_fused_wave_matches_sequential(
+    monkeypatch, interval_opt, without_cigar, kind
+):
+    """The one-dispatch fused wave path (ops/fused_verify.py, interpret
+    mode on CPU) is byte-identical to the sequential verifier — resident
+    banks + forced fused routing."""
+    import floxer_tpu.verify_batch as vb
+    from floxer_tpu.ops.resident import ResidentBank
+
+    monkeypatch.setattr(vb, "_FORCE_FUSED", True)
+    references, items = _make_workload(seed=42)
+    ratio = 0.3
+    want = _run_sequential(
+        references, items, kind, ratio, without_cigar, interval_opt
+    )
+    verifier = BatchVerifier(
+        references,
+        kind=kind,
+        extra_verification_ratio=ratio,
+        without_cigar=without_cigar,
+        use_interval_optimization=interval_opt,
+        use_device=True,
+        resident_ref=ResidentBank([r.rank_sequence for r in references]),
+    )
+    got = verifier.process(items)
+    assert verifier._fused_dispatches > 0, "fused path never dispatched"
+    for qi, (w, g) in enumerate(zip(want, got)):
+        assert _as_tuples(w) == _as_tuples(g), f"query {qi}"
+        assert w.best_num_errors == g.best_num_errors
+
+
+@pytest.mark.parametrize("seed", [1, 7, 13])
+def test_fused_wave_matches_sequential_more_seeds(monkeypatch, seed):
+    import floxer_tpu.verify_batch as vb
+    from floxer_tpu.ops.resident import ResidentBank
+
+    monkeypatch.setattr(vb, "_FORCE_FUSED", True)
+    references, items = _make_workload(seed=seed, num_queries=4, k=6)
+    want = _run_sequential(
+        references, items, VerificationKind.HIERARCHICAL, 0.05, False, True
+    )
+    verifier = BatchVerifier(
+        references,
+        kind=VerificationKind.HIERARCHICAL,
+        extra_verification_ratio=0.05,
+        without_cigar=False,
+        use_interval_optimization=True,
+        use_device=True,
+        resident_ref=ResidentBank([r.rank_sequence for r in references]),
+    )
+    got = verifier.process(items)
+    assert verifier._fused_dispatches > 0
+    for w, g in zip(want, got):
+        assert _as_tuples(w) == _as_tuples(g)
