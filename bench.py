@@ -7,7 +7,7 @@ The metric is the BASELINE.json headline — whole-pipeline reads per second
 is ready: streaming queries, PEX trees, FM search, hierarchical
 verification, CIGARs, SAM output; /root/reference/src/main/floxer.cpp:35-195)
 — on a deterministic chr21-scale workload: a seeded 46 Mb uniform-random
-chromosome with 500 x 20 kb reads at 8% exact edit-distance mutations
+chromosome with 2000 x 20 kb reads at 8% exact edit-distance mutations
 (simulated_dataset tool, reference shape simulated_dataset.cpp:234-239;
 error probability 0.08 per BASELINE.json config 3).
 
@@ -17,7 +17,11 @@ what gets timed. Two passes:
 
   - CPU pass: FLOXER_TPU_PLATFORM=cpu — the 4-core native host engine
     (lane-parallel banded Myers, myers_host.cpp).
-  - device pass: --engine device on whatever accelerator is attached.
+  - device pass: the PRODUCTION DEFAULT engine on the attached
+    accelerator — cost-model routing dispatches big verification waves to
+    the chip as single fused programs (ops/fused_verify.py) and keeps
+    latency-bound cascade waves on the native host engine; the JSON line
+    reports how many fused device dispatches the best pass made.
 
 `value` is the device pass (falls back to the CPU figure, with `backend`
 provenance, when no accelerator is reachable). `vs_baseline` is
@@ -34,7 +38,10 @@ T*M*N cells a full-matrix engine would compute for the same answers; the
 banded kernel computes the provably sufficient band (ops/myers_banded.py).
 `kernel_band_gcups` scores only the band cells actually computed.
 
-Env knobs: FLOXER_BENCH_READS (default 500), FLOXER_BENCH_SKIP_KERNEL,
+Env knobs: FLOXER_BENCH_READS (default 2000; large enough that the
+device lane's one-time per-process warmup — backend first execution +
+fused-plan program loads, ~30-90 s through the tunnel — amortizes like it
+does at the BASELINE ladder scales), FLOXER_BENCH_SKIP_KERNEL,
 FLOXER_BENCH_SKIP_CPU, FLOXER_BENCH_DATA_DIR (default
 ~/.cache/floxer_tpu/bench).
 """
@@ -98,8 +105,9 @@ def _run_aligner(
     engine_args: list[str],
     env_extra: dict,
     timeout_s: int,
-) -> float | None:
-    """One CLI run; returns align-phase seconds (None on failure)."""
+) -> tuple[float, int] | None:
+    """One CLI run; returns (align-phase seconds, fused device dispatches)
+    or None on failure."""
     env = dict(os.environ)
     env.update(env_extra)
     command = [
@@ -112,6 +120,7 @@ def _run_aligner(
         "--interval-optimization",
         "--threads", "4",
         "--batch-size", "250",
+        "--console-debug-logs",
         *engine_args,
     ]
     try:
@@ -129,7 +138,10 @@ def _run_aligner(
         sys.stderr.write(proc.stderr[-2000:] + "\n")
         return None
     match = ALIGN_SECONDS_RE.search(proc.stderr)
-    return float(match.group(1)) if match else None
+    if match is None:
+        return None
+    fused = proc.stderr.count("fused wave:")
+    return float(match.group(1)), fused
 
 
 def _tunnel_healthy(timeout_s: int = 150) -> bool:
@@ -237,7 +249,7 @@ def _kernel_gcups() -> tuple[float, float, str]:
 
 
 def main() -> None:
-    num_reads = int(os.environ.get("FLOXER_BENCH_READS", "500"))
+    num_reads = int(os.environ.get("FLOXER_BENCH_READS", "2000"))
     genome, reads, index = _ensure_workload(num_reads)
     data = _data_dir()
 
@@ -268,18 +280,22 @@ def main() -> None:
                 [], {"FLOXER_TPU_PLATFORM": "cpu"}, timeout_s=1800,
             )
             if got is not None:
-                cpu_align_s = got if cpu_align_s is None else min(
-                    cpu_align_s, got
+                cpu_align_s = got[0] if cpu_align_s is None else min(
+                    cpu_align_s, got[0]
                 )
 
-    # device passes: fresh CLI processes with --engine device (the first
-    # also records/warms kernel shapes; the best pass is what steady
+    # device passes: fresh CLI processes with the PRODUCTION DEFAULT
+    # engine on the live accelerator — cost-model routing sends big
+    # verification waves to the chip as single fused dispatches and keeps
+    # latency-bound cascades on the native host engine (the first pass
+    # also records/warms fused plans; the best pass is what steady
     # production looks like). One extra attempt absorbs a tunnel hiccup.
     # The tunnel has been observed to serve trivial ops at >180 s
     # latency for stretches of hours; a cheap health probe gates the
     # expensive passes so a wedged tunnel can't starve the CPU fallback
     # result (this script must ALWAYS print its JSON line).
     device_align_s = None
+    device_fused = 0
     device_budget_s = float(
         os.environ.get("FLOXER_BENCH_DEVICE_BUDGET_S", "2400")
     )
@@ -303,12 +319,13 @@ def main() -> None:
             break
         got = _run_aligner(
             genome, reads, index, data / "bench_dev.sam",
-            ["--engine", "device"], {}, timeout_s=min(1200, int(remaining)),
+            [], {}, timeout_s=min(1200, int(remaining)),
         )
         if got is not None:
-            device_align_s = got if device_align_s is None else min(
-                device_align_s, got
-            )
+            align_s, fused = got
+            if device_align_s is None or align_s < device_align_s:
+                device_align_s = align_s
+                device_fused = fused
             if attempt + 1 >= passes:
                 break
 
@@ -390,6 +407,7 @@ def main() -> None:
                 ),
                 "device_align_seconds": device_align_s,
                 "cpu_align_seconds": cpu_align_s,
+                "fused_device_dispatches": device_fused,
                 "sam_identical": sam_identical,
                 "kernel_gcups": round(kernel_gcups, 1),
                 "kernel_band_gcups": round(kernel_band_gcups, 1),

@@ -53,4 +53,16 @@ def main(argv=None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    code = main()
+    # hard exit: the TPU tunnel plugin's pthread teardown aborts the
+    # process when a (daemon) warmup thread is still inside an RPC —
+    # "terminate called ... FATAL: exception not rethrown", exit 134
+    # after a fully successful run. os._exit skips that teardown; all
+    # user-visible work (output file, stats, logs) is flushed by run().
+    import logging
+    import os
+
+    logging.shutdown()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(code if code >= 0 else 256 + code)

@@ -39,7 +39,7 @@ import numpy as np
 from .myers import MAX_UNROLLED_WORDS, WORD
 from .resident import CHARS_PER_WORD, ResidentBank
 
-BANDED_GROUP = 32  # pallas_myers_banded.SUBLANES padding requirement
+from .pallas_myers_banded import EFFECTIVE_GROUP as BANDED_GROUP  # noqa: E402
 SMALL_GROUP = 128  # pallas_myers.LANES
 LARGE_GROUP = 8  # pallas_myers_large.SUBLANES
 
@@ -49,6 +49,14 @@ KIND_LARGE = "large"
 
 _GROUP = {KIND_BANDED: BANDED_GROUP, KIND_SMALL: SMALL_GROUP,
           KIND_LARGE: LARGE_GROUP}
+
+# task-table columns (one int32 matrix ships every segment's scalars)
+(
+    COL_WIN_WORD0, COL_WIN_PHASE, COL_WIN_LEN, COL_PAT_WORD0,
+    COL_PAT_PHASE, COL_STREAM_WORD0, COL_STREAM_PHASE, COL_PAT_LEN,
+    COL_BUDGET, COL_WALK,
+) = range(10)
+NUM_COLS = 10
 
 # dispatch-plan templates: (ref bank words, query bank words) ->
 # {(stage, kind): {shape_words, n_chars, cap}, "walks": N} — monotone
@@ -244,20 +252,25 @@ class FusedBatch:
             int(self.ref_bank.flat.shape[0]),
             int(self.query_bank.flat.shape[0]),
         ))
-        dists, ends = _fused_call(
+        table = jnp.asarray(np.concatenate(seg_args, axis=0))
+        packed = _fused_call(
             self.ref_bank.flat,
             self.query_bank.flat,
-            tuple(seg_args),
+            table,
             plan=tuple(plan),
             num_walks=num_walks,
             interpret=interpret,
         )
+        # ONE [sum(caps), 2] download instead of 2 x num_segments round
+        # trips (each D2H copy costs a full tunnel round trip)
+        packed = np.asarray(packed)
         results = {}
-        for seg, dist, end in zip(segments, dists, ends):
-            dist = np.asarray(dist)
-            end = np.asarray(end)
+        offset = 0
+        for (kind, _w, _n, cap), seg in zip(plan, segments):
+            block = packed[offset : offset + cap]
+            offset += cap
             for row, ref in enumerate(seg.task_refs):
-                results[ref] = (int(dist[row]), int(end[row]))
+                results[ref] = (int(block[row, 0]), int(block[row, 1]))
         return results
 
 def _segment_device_args(seg: _Segment, cap: int, num_walks: int):
@@ -285,18 +298,22 @@ def _segment_device_args(seg: _Segment, cap: int, num_walks: int):
         np.asarray(pat_starts, dtype=np.int64)
         + np.asarray(budgets, dtype=np.int64)
     )
-    return {
-        "win_word0": jnp.asarray(win_word0),
-        "win_phase": jnp.asarray(win_phase),
-        "win_len": jnp.asarray(win_lens, dtype=jnp.int32),
-        "pat_word0": jnp.asarray(pat_word0),
-        "pat_phase": jnp.asarray(pat_phase),
-        "stream_word0": jnp.asarray(stream_word0),
-        "stream_phase": jnp.asarray(stream_phase),
-        "pat_len": jnp.asarray(pat_lens, dtype=jnp.int32),
-        "budget": jnp.asarray(budgets, dtype=jnp.int32),
-        "walk": jnp.asarray(walk_slots, dtype=jnp.int32),
-    }
+    # one [cap, NUM_COLS] int32 block per segment; all segments
+    # concatenate into a single task-table upload (a fused dispatch used
+    # to ship ~10 arrays x ~12 segments as separate tunnel transfers —
+    # the measured ~1 s warm-dispatch floor was transfer count, not size)
+    block = np.empty((cap, NUM_COLS), dtype=np.int32)
+    block[:, COL_WIN_WORD0] = win_word0
+    block[:, COL_WIN_PHASE] = win_phase
+    block[:, COL_WIN_LEN] = win_lens
+    block[:, COL_PAT_WORD0] = pat_word0
+    block[:, COL_PAT_PHASE] = pat_phase
+    block[:, COL_STREAM_WORD0] = stream_word0
+    block[:, COL_STREAM_PHASE] = stream_phase
+    block[:, COL_PAT_LEN] = pat_lens
+    block[:, COL_BUDGET] = budgets
+    block[:, COL_WALK] = walk_slots
+    return block
 
 
 def replay_plan(plan, num_walks: int, ref_words: int, query_words: int):
@@ -310,40 +327,50 @@ def replay_plan(plan, num_walks: int, ref_words: int, query_words: int):
             self.flat = _jnp.zeros(n, dtype=_jnp.uint32)
 
     plan = tuple(tuple(seg) for seg in plan)
-    seg_args = tuple(
+    table = jnp.asarray(np.concatenate([
         _segment_device_args(_Segment(kind), cap, num_walks)
         for kind, _w, _n, cap in plan
-    )
-    dists, ends = _fused_call(
+    ], axis=0))
+    packed = _fused_call(
         _Bank(ref_words).flat,
         _Bank(query_words).flat,
-        seg_args,
+        table,
         plan=plan,
         num_walks=num_walks,
         interpret=False,
     )
-    # one array is enough of a sync handle: outputs of one executable
-    # materialize together
-    return dists[-1], ends[-1]
+    return (packed,)
 
 
 @functools.partial(
     jax.jit, static_argnames=("plan", "num_walks", "interpret")
 )
-def _fused_call(ref_flat, bank_flat, seg_args, plan, num_walks, interpret):
+def _fused_call(ref_flat, bank_flat, table, plan, num_walks, interpret):
     """The whole wave as one XLA program: per segment, permute alive tasks
     to the front, zero dead tasks' window lengths (the kernels' dynamic
     column bounds then skip all-dead sublane groups), run the matching
-    Myers kernel, scatter verdicts into the aliveness vector."""
+    Myers kernel, scatter verdicts into the aliveness vector. `table` is
+    the single [sum(caps), NUM_COLS] int32 task table (one upload)."""
     from .resident import _resident_banded_call_core, _resident_full_core
 
     # slot num_walks is the sink for padding rows: always dead
     alive = jnp.ones((num_walks + 1,), dtype=jnp.int32)
     alive = alive.at[num_walks].set(0)
 
+    _COLS = {
+        "win_word0": COL_WIN_WORD0, "win_phase": COL_WIN_PHASE,
+        "win_len": COL_WIN_LEN, "pat_word0": COL_PAT_WORD0,
+        "pat_phase": COL_PAT_PHASE, "stream_word0": COL_STREAM_WORD0,
+        "stream_phase": COL_STREAM_PHASE, "pat_len": COL_PAT_LEN,
+        "budget": COL_BUDGET, "walk": COL_WALK,
+    }
     out_dists = []
     out_ends = []
-    for (kind, shape_words, n_chars, cap), args in zip(plan, seg_args):
+    offset = 0
+    for kind, shape_words, n_chars, cap in plan:
+        block = table[offset : offset + cap]  # static slice per segment
+        offset += cap
+        args = {name: block[:, col] for name, col in _COLS.items()}
         a = alive[args["walk"]]  # [cap] 0/1
         # stable compaction: alive tasks first, so dead tasks cluster into
         # whole sublane groups whose dynamic column bound is then 0
@@ -398,4 +425,6 @@ def _fused_call(ref_flat, bank_flat, seg_args, plan, num_walks, interpret):
         alive = alive.at[args["walk"]].min(ok)
         out_dists.append(dist)
         out_ends.append(end)
-    return tuple(out_dists), tuple(out_ends)
+    return jnp.stack(
+        [jnp.concatenate(out_dists), jnp.concatenate(out_ends)], axis=1
+    )

@@ -68,6 +68,14 @@ from .myers import WORD
 # register spills push the other way. Sweep with
 # scripts/tpu_bench_group_size.py when the body changes.
 SUBLANES = int(os.environ.get("FLOXER_TPU_BANDED_GROUP", "32"))
+# independent dependency chains per grid step: the per-column op chain is
+# serially dependent, so a single chain leaves the VPU stalled between ops;
+# interleaving ILP chains of SUBLANES tasks each gives every op an
+# independent twin to hide latency behind (measured +23% band-cell rate at
+# ILP=2 on v5e, scripts/tpu_bench_group_size.py / /tmp ILP sweep 2026-08-20;
+# results bit-identical). The kernel block is [SUBLANES * ILP, ...].
+ILP = int(os.environ.get("FLOXER_TPU_BANDED_ILP", "2"))
+EFFECTIVE_GROUP = SUBLANES * ILP
 
 # kill switch: force the column loops back to the static padded bound
 # (escape hatch in case a Mosaic version rejects traced fori_loop bounds)
@@ -102,10 +110,10 @@ def _kernel(
     bit0_lane0 = jnp.where(lane0, jnp.uint32(1), jnp.uint32(0))
     last_slice = BW - LANES  # static start of the last lane tile
 
-    tlen = tlen_ref[:, :]
-    j_star = jstar_ref[:, :]
-    top_shift_col = topshift_ref[:, :]
-    m_frozen_pessim = mfrozen_ref[:, :]  # int32 0/1
+    tlen_full = tlen_ref[:, :]
+    jstar_full = jstar_ref[:, :]
+    topshift_full = topshift_ref[:, :]
+    mfrozen_full = mfrozen_ref[:, :]  # int32 0/1
     m_init = minit_ref[:, :]
     b_init = binit_ref[:, :]
 
@@ -123,7 +131,12 @@ def _kernel(
         rolled = pltpu.roll(x, shift=distance, axis=1)
         return jnp.where(lane_iota >= distance, rolled, jnp.uint32(0))
 
-    def step(j, tchars, pchars, carry):
+    def step(j, h, tchars, pchars, carry):
+        lo, hi = h * SUBLANES, (h + 1) * SUBLANES
+        tlen = tlen_full[lo:hi]
+        j_star = jstar_full[lo:hi]
+        top_shift_col = topshift_full[lo:hi]
+        m_frozen_pessim = mfrozen_full[lo:hi]
         vp, vn, p0, p1, p2, am, s_bot, s_m, best, best_end = carry
         col = j + 1
         sliding = col <= j_star  # [S,1]
@@ -245,34 +258,51 @@ def _kernel(
         pblock = stream_ref[:, pl.ds(start, LANES)]
 
         def inner(kw, inner_carry):
-            tb, pb, c = inner_carry
-            tword = tb[:, 0:1]
-            pword = pb[:, 0:1]
+            tb, pb, cs = inner_carry
             base = (b * LANES + kw) * 8
             for s in range(8):  # static nibble extraction per column
-                tch = (tword >> jnp.uint32(4 * s)) & jnp.uint32(0xF)
-                pch = (pword >> jnp.uint32(4 * s)) & jnp.uint32(0xF)
-                c = step(base + s, tch, pch, c)
+                # ILP independent chains interleaved: the compiler is free
+                # to overlap chain h's ops with chain h+1's
+                new_cs = []
+                for h in range(ILP):
+                    lo, hi = h * SUBLANES, (h + 1) * SUBLANES
+                    tch = (tb[lo:hi, 0:1] >> jnp.uint32(4 * s)) & jnp.uint32(
+                        0xF
+                    )
+                    pch = (pb[lo:hi, 0:1] >> jnp.uint32(4 * s)) & jnp.uint32(
+                        0xF
+                    )
+                    new_cs.append(step(base + s, h, tch, pch, cs[h]))
+                cs = tuple(new_cs)
             tb = pltpu.roll(tb, shift=LANES - 1, axis=1)
             pb = pltpu.roll(pb, shift=LANES - 1, axis=1)
-            return tb, pb, c
+            return tb, pb, cs
 
         _, _, carry = jax.lax.fori_loop(0, LANES, inner, (tblock, pblock, carry))
         return carry
 
-    m_v = jnp.broadcast_to(m_init, (SUBLANES, LANES)).astype(jnp.int32)
-    b_v = jnp.broadcast_to(b_init, (SUBLANES, LANES)).astype(jnp.int32)
-    init = (
-        vp0_ref[:, :],
-        jnp.zeros((SUBLANES, BW), dtype=jnp.uint32),
-        planes0_ref[:, 0, :],
-        planes0_ref[:, 1, :],
-        planes0_ref[:, 2, :],
-        planes0_ref[:, 3, :],
-        b_v,
-        m_v,
-        m_v,
-        jnp.zeros((SUBLANES, LANES), dtype=jnp.int32),
+    def half_init(lo, hi):
+        m_v = jnp.broadcast_to(
+            m_init[lo:hi], (SUBLANES, LANES)
+        ).astype(jnp.int32)
+        b_v = jnp.broadcast_to(
+            b_init[lo:hi], (SUBLANES, LANES)
+        ).astype(jnp.int32)
+        return (
+            vp0_ref[lo:hi, :],
+            jnp.zeros((SUBLANES, BW), dtype=jnp.uint32),
+            planes0_ref[lo:hi, 0, :],
+            planes0_ref[lo:hi, 1, :],
+            planes0_ref[lo:hi, 2, :],
+            planes0_ref[lo:hi, 3, :],
+            b_v,
+            m_v,
+            m_v,
+            jnp.zeros((SUBLANES, LANES), dtype=jnp.int32),
+        )
+
+    init = tuple(
+        half_init(h * SUBLANES, (h + 1) * SUBLANES) for h in range(ILP)
     )
     # dynamic column bound: this grid step's tasks only score columns
     # col = j+1 < tlen, so blocks past the group's max tlen are dead work
@@ -283,13 +313,14 @@ def _kernel(
     if STATIC_BOUNDS:
         blocks_needed = num_blocks
     else:
-        max_tlen = jnp.max(tlen)
+        max_tlen = jnp.max(tlen_full)
         blocks_needed = jnp.minimum(
             (max_tlen + (LANES * 8 - 1)) // (LANES * 8), num_blocks
         )
     carry = jax.lax.fori_loop(0, blocks_needed, outer, init)
-    best, best_end = carry[8], carry[9]
-    sel = last_tile_lane
+    best = jnp.concatenate([c[8] for c in carry], axis=0)
+    best_end = jnp.concatenate([c[9] for c in carry], axis=0)
+    sel = jnp.concatenate([last_tile_lane] * ILP, axis=0)
     dist_ref[:, :] = jnp.sum(jnp.where(sel, best, 0), axis=1, keepdims=True)
     end_ref[:, :] = jnp.sum(jnp.where(sel, best_end, 0), axis=1, keepdims=True)
 
@@ -301,7 +332,7 @@ def _pallas_banded_call(
     vp0, planes0, texts, stream, scalars, band_words, num_text, interpret
 ):
     B = vp0.shape[0]
-    grid = (B // SUBLANES,)
+    grid = (B // EFFECTIVE_GROUP,)
     kernel = functools.partial(
         _kernel, band_words=band_words, num_text=num_text
     )
@@ -314,18 +345,18 @@ def _pallas_banded_call(
         kernel,
         grid=grid,
         in_specs=[
-            spec1((SUBLANES, band_words)),
-            spec1((SUBLANES, 4, band_words)),
-            spec1((SUBLANES, num_text // 8)),
-            spec1((SUBLANES, num_text // 8)),
-            spec1((SUBLANES, 1)),
-            spec1((SUBLANES, 1)),
-            spec1((SUBLANES, 1)),
-            spec1((SUBLANES, 1)),
-            spec1((SUBLANES, 1)),
-            spec1((SUBLANES, 1)),
+            spec1((EFFECTIVE_GROUP, band_words)),
+            spec1((EFFECTIVE_GROUP, 4, band_words)),
+            spec1((EFFECTIVE_GROUP, num_text // 8)),
+            spec1((EFFECTIVE_GROUP, num_text // 8)),
+            spec1((EFFECTIVE_GROUP, 1)),
+            spec1((EFFECTIVE_GROUP, 1)),
+            spec1((EFFECTIVE_GROUP, 1)),
+            spec1((EFFECTIVE_GROUP, 1)),
+            spec1((EFFECTIVE_GROUP, 1)),
+            spec1((EFFECTIVE_GROUP, 1)),
         ],
-        out_specs=[spec1((SUBLANES, 1)), spec1((SUBLANES, 1))],
+        out_specs=[spec1((EFFECTIVE_GROUP, 1)), spec1((EFFECTIVE_GROUP, 1))],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
@@ -415,7 +446,7 @@ def myers_pallas_banded(
         interpret = jax.default_backend() != "tpu"
 
     T = len(patterns)
-    Tp = -(-T // SUBLANES) * SUBLANES
+    Tp = -(-T // EFFECTIVE_GROUP) * EFFECTIVE_GROUP
     Np = texts.shape[1]
     assert Np % LANES == 0
     # the kernel consumes 8 packed chars per word over 128 lanes

@@ -290,8 +290,8 @@ def myers_banded_resident(
 ):
     """Drop-in for myers_pallas_banded with offsets instead of arrays.
     Requires 0 < budget < m per task; the caller pads the batch to a
-    SUBLANES multiple with dummy rows (m=2, budget=1, offsets 0)."""
-    from .pallas_myers_banded import SUBLANES
+    EFFECTIVE_GROUP multiple with dummy rows (m=2, budget=1, offsets 0)."""
+    from .pallas_myers_banded import EFFECTIVE_GROUP as SUBLANES
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

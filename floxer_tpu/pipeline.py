@@ -60,6 +60,10 @@ def _accelerator_available() -> bool:
 
 _WARMUP_STARTED = False
 _WARMUP_THREAD = None
+# set when the process is about to exit: the warmup must stop issuing new
+# device work (a daemon thread killed mid-RPC aborts the whole process in
+# the tunnel plugin's teardown — observed exit 134)
+_WARMUP_ABORT = __import__("threading").Event()
 
 
 def _start_device_warmup() -> None:
@@ -74,7 +78,7 @@ def _start_device_warmup() -> None:
 
     def warm() -> None:
         try:
-            if not _accelerator_available():
+            if not _accelerator_available() or _WARMUP_ABORT.is_set():
                 return
             import numpy as np
 
@@ -94,7 +98,7 @@ def _start_device_warmup() -> None:
             if jax.default_backend() == "tpu":
                 from .warm_shapes import replay
 
-                replay()
+                replay(should_abort=_WARMUP_ABORT.is_set)
             # prime the routing cost model's round-trip probe OFF the align
             # loop: a first execution measured while the chunk loop's
             # Python threads churn the GIL has been observed at 40-400 s
@@ -571,19 +575,24 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
 
         ensure_backend()
 
-    if cli.engine == "device":
-        from .backend import ensure_backend
-
-        ensure_backend()
+    if cli.engine in ("device", "batched"):
         # fire the backend's one-time first-execution warmup NOW, while the
-        # upcoming heavy host phases (index build / first search) are still
-        # native and GIL-free. The axon client's first execution is
-        # extremely sensitive to GIL contention: measured 2-14 s on an idle
-        # interpreter but 100-400+ s when Python-level threads churn the
-        # GIL (probe: 4 pure-Python burner threads starve it for minutes,
-        # while 4-core *native* numpy load leaves it at ~10 s). Starting it
-        # here lets it complete during the SA-IS index build, which holds
-        # the GIL released.
+        # upcoming heavy host phases (reference read / index build or load /
+        # first search) are still native and GIL-free. The axon client's
+        # first execution is extremely sensitive to GIL contention:
+        # measured 2-14 s on an idle interpreter but 100-400+ s when
+        # Python-level threads churn the GIL (probe: 4 pure-Python burner
+        # threads starve it for minutes, while 4-core *native* numpy load
+        # leaves it at ~10 s). For the default batched engine this also
+        # decides device readiness (_accelerator_ready): the earlier the
+        # warmup finishes, the earlier waves may route to the chip. The
+        # thread itself probes tunnel reachability and exits immediately
+        # on CPU-only hosts; the tiny-workload guard stays in
+        # _accelerator_available (no accelerator => False, host engines).
+        if cli.engine == "device":
+            from .backend import ensure_backend
+
+            ensure_backend()
         _start_device_warmup()
     initialize_logger(cli.logfile_path, cli.console_debug_logs)
     if extra_log_handler is not None:
@@ -894,6 +903,14 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
         align_elapsed,
         _pretty_elapsed_suffix(align_elapsed),
     )
+
+    # stop the device warmup OUTSIDE the align timer: a daemon thread
+    # killed mid-RPC makes the tunnel plugin's teardown abort the process
+    # (observed exit 134 after a successful run). Best-effort: the
+    # entry point hard-exits (os._exit) as the real guarantee, skipping
+    # the pthread teardown entirely.
+    _WARMUP_ABORT.set()
+    _join_device_warmup(timeout=10)
 
     if distributed:
         # cross-process stats merge as collectives (psum/pmin/pmax over a

@@ -120,6 +120,11 @@ _DEVICE_BAND_RATE = float(
     __import__("os").environ.get("FLOXER_TPU_DEVICE_BAND_GCELLS", "90")
 ) * 1e9  # padded band cells/s of the Pallas banded kernel
 _PROBE_MIN_HOST_S = 0.01  # don't init the backend for < 10 ms of host work
+# latency premium accepted for a fused device wave (it frees ALL host
+# threads for the concurrent search stage); see _try_fused_wave routing
+_FUSED_DEVICE_BIAS = float(
+    __import__("os").environ.get("FLOXER_TPU_FUSED_DEVICE_BIAS", "1.6")
+)
 
 _DEVICE_OVERHEAD = {"rtt": None, "ewma": None}
 
@@ -370,7 +375,9 @@ class _TaskBatcher:
 
         ref_bank, query_bank = self.resident
         if tag == "banded":
-            group = 32  # pallas_myers_banded.SUBLANES padding requirement
+            from .ops.pallas_myers_banded import EFFECTIVE_GROUP
+
+            group = EFFECTIVE_GROUP  # banded batch padding requirement
         elif -(-m_bucket // WORD) > MAX_UNROLLED_WORDS:
             group = 8  # pallas_myers_large.SUBLANES
         else:
@@ -1754,6 +1761,12 @@ class BatchVerifier:
             if host_s <= _PROBE_MIN_HOST_S or not self._device_resolved_lazy():
                 return False
             device_s = _fused_call_overhead() + modeled_kernel_s
+            # prefer the chip up to a latency premium: a device wave costs
+            # the main thread a wait but ZERO host CPU — every cycle goes
+            # to the concurrently-searching next chunk (the pipeline's
+            # actual bottleneck once verification is fused). The premium is
+            # the freed-CPU value; 1.0 disables the preference.
+            device_s = device_s / _FUSED_DEVICE_BIAS
             if host_s <= device_s:
                 log.debug(
                     "fused route: %d walks %d tasks host %.0fms <= device "
@@ -1809,6 +1822,15 @@ class BatchVerifier:
             )
         return True
 
+    def _batcher_use_device(self):
+        """use_device for the host/bucketed batchers: when the fused wave
+        path is available, device work goes through fused dispatches ONLY —
+        a host-routed wave must stay on the host instead of round-tripping
+        its big buckets to the chip one by one (the pre-fused behavior)."""
+        if self._resident is not None and not _NO_FUSED:
+            return False
+        return self.use_device
+
     def _device_resolved_lazy(self) -> bool:
         if getattr(self, "_device_flag", None) is None:
             self._device_flag = (
@@ -1836,7 +1858,9 @@ class BatchVerifier:
             cache = self._task_cache = {}
 
         for depth in range(limit):
-            batcher = _TaskBatcher(self.use_device, resident=self._resident)
+            batcher = _TaskBatcher(
+                self._batcher_use_device(), resident=self._resident
+            )
             slot_of_walk = {}
             cached_of_walk = {}
             for walk_id in active:
@@ -1964,7 +1988,9 @@ class BatchVerifier:
                 root_tasks.append((walk_id, level, distance, end))
 
         # phase 1: one flat pass over every walk's cheap level prefix
-        batcher = _TaskBatcher(self.use_device, resident=self._resident)
+        batcher = _TaskBatcher(
+            self._batcher_use_device(), resident=self._resident
+        )
         pending = []  # (walk_id, depth, key, slot_or_None)
         limits = {}  # walk_id -> (prefix levels taken, level limit)
         for walk_id in subset:
@@ -2014,7 +2040,9 @@ class BatchVerifier:
                 active.append(walk_id)
                 depth_of[walk_id] = take
         while active:
-            batcher = _TaskBatcher(self.use_device, resident=self._resident)
+            batcher = _TaskBatcher(
+                self._batcher_use_device(), resident=self._resident
+            )
             round_pending = []  # (walk_id, level, key, slot_or_None)
             for walk_id in active:
                 walk = walks[walk_id]
@@ -2068,7 +2096,7 @@ class BatchVerifier:
 
         if self.without_cigar:
             # reversed-sequence trick: batch the reversed alignments
-            batcher = _TaskBatcher(self.use_device)
+            batcher = _TaskBatcher(self._batcher_use_device())
             per_task_slot = []
             for walk_id, level, distance, _ in root_tasks:
                 walk = walks[walk_id]

@@ -148,13 +148,16 @@ def _replay_one(desc: list):
     return None
 
 
-def replay() -> None:
+def replay(should_abort=None) -> None:
     """Execute every recorded shape once with trivial dummy inputs.
 
     Dispatches everything asynchronously first, then syncs, so the remote
     program loads pipeline instead of paying one round trip each. Called
     from the device warmup thread only (never on the CPU backend — the
-    Pallas kernels would run in interpret mode there)."""
+    Pallas kernels would run in interpret mode there). `should_abort`
+    (zero-arg callable) is polled between programs so process shutdown
+    can stop the replay instead of killing the thread mid-RPC (the
+    tunnel plugin aborts the whole process on that — exit 134)."""
     import time as _time
 
     import numpy as np
@@ -162,9 +165,20 @@ def replay() -> None:
     shapes = list(_load())
     if not shapes:
         return
+    # fused plans first: they are the production dispatch path, and the
+    # align loop's device routing waits for warmup readiness — a long tail
+    # of stale bucketed shapes must not starve it (measured 130 s for 20
+    # programs through the tunnel). The budget caps the whole replay.
+    shapes.sort(key=lambda desc: desc[0] != "fused")
+    budget_s = float(os.environ.get("FLOXER_TPU_WARM_BUDGET_S", "90"))
     t0 = _time.monotonic()
     pending = []
     for desc in shapes:
+        if should_abort is not None and should_abort():
+            break
+        if _time.monotonic() - t0 > budget_s:
+            logger.debug("warm-shape replay budget reached; stopping")
+            break
         try:
             out = _replay_one(desc)
             if out is not None:
@@ -173,6 +187,8 @@ def replay() -> None:
             logger.debug("warm-shape replay dispatch %s: %s", desc, error)
     ok = 0
     for desc, out in pending:
+        if should_abort is not None and should_abort():
+            break
         try:
             np.asarray(out[0])
             ok += 1

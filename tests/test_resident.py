@@ -118,7 +118,9 @@ def test_banded_resident_matches_host(seed):
         [t["pattern"] for t in tasks], txt, tlen, budgets, band_words
     )
 
-    T = 32  # pad to the banded SUBLANES requirement
+    from floxer_tpu.ops.pallas_myers_banded import EFFECTIVE_GROUP
+
+    T = EFFECTIVE_GROUP  # pad to the banded group requirement
     num_text = -(-txt.shape[1] // 1024) * 1024
     win_starts = np.zeros(T, dtype=np.int64)
     win_lens = np.ones(T, dtype=np.int64)
