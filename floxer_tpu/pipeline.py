@@ -60,6 +60,9 @@ def _accelerator_available() -> bool:
 
 _WARMUP_STARTED = False
 _WARMUP_THREAD = None
+# set by server.serve(): the process hosts many jobs, so per-run shutdown
+# steps (warmup abort) must not run — the warmup persists across jobs
+_PERSISTENT_PROCESS = False
 # set when the process is about to exit: the warmup must stop issuing new
 # device work (a daemon thread killed mid-RPC aborts the whole process in
 # the tunnel plugin's teardown — observed exit 134)
@@ -908,9 +911,11 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
     # killed mid-RPC makes the tunnel plugin's teardown abort the process
     # (observed exit 134 after a successful run). Best-effort: the
     # entry point hard-exits (os._exit) as the real guarantee, skipping
-    # the pthread teardown entirely.
-    _WARMUP_ABORT.set()
-    _join_device_warmup(timeout=10)
+    # the pthread teardown entirely. A server process skips this: the
+    # warmup persists across jobs (server.py sets _PERSISTENT_PROCESS).
+    if not _PERSISTENT_PROCESS:
+        _WARMUP_ABORT.set()
+        _join_device_warmup(timeout=10)
 
     if distributed:
         # cross-process stats merge as collectives (psum/pmin/pmax over a

@@ -104,10 +104,12 @@ def serve(socket_path: str) -> int:
             file=sys.stderr,
         )
 
-    # begin the one-time device warmup now, not at the first job
-    from .pipeline import _start_device_warmup
+    # begin the one-time device warmup now, not at the first job; mark
+    # the process persistent so jobs don't abort the shared warmup
+    from . import pipeline as _pipeline
 
-    _start_device_warmup()
+    _pipeline._PERSISTENT_PROCESS = True
+    _pipeline._start_device_warmup()
 
     job_lock = threading.Lock()
 

@@ -93,6 +93,13 @@ def main():
         if name == "cpu":
             env = {"FLOXER_TPU_PLATFORM": "cpu"}
             extra = []
+        elif name == "default":
+            # production default: cost-model routing (fused device waves
+            # when the chip wins, native host engines otherwise)
+            env = {}
+            extra = []
+            if args.index_shards:
+                extra += ["--index-shards", str(args.index_shards)]
         elif name == "device":
             # device verify engine; search stays on the native host DFS
             env = {}
