@@ -190,7 +190,17 @@ class FusedBatch:
         return total
 
     def run(self, interpret: bool | None = None):
-        """One device dispatch; returns {task_ref: (distance, end)}.
+        """One device dispatch + sync; returns {task_ref: (distance,
+        end)}. Use run_async() + collect() to overlap host work with the
+        device execution (JAX dispatch is asynchronous; the packed-result
+        download in collect() is the sync point)."""
+        if self.run_async(interpret=interpret):
+            return self.collect()
+        return {}
+
+    def run_async(self, interpret: bool | None = None) -> bool:
+        """One device dispatch WITHOUT the sync; returns True when work
+        was dispatched (collect() then returns its results).
 
         The dispatch plan (segment shapes/capacities — the jit compile
         key) is canonicalized through a module-level TEMPLATE keyed by the
@@ -204,7 +214,8 @@ class FusedBatch:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         if self.num_tasks == 0:
-            return {}
+            self._pending = None
+            return False
         template_key = (
             int(self.ref_bank.flat.shape[0]),
             int(self.query_bank.flat.shape[0]),
@@ -261,8 +272,17 @@ class FusedBatch:
             num_walks=num_walks,
             interpret=interpret,
         )
-        # ONE [sum(caps), 2] download instead of 2 x num_segments round
-        # trips (each D2H copy costs a full tunnel round trip)
+        self._pending = (packed, tuple(plan), segments)
+        return True
+
+    def collect(self):
+        """Sync point: ONE [sum(caps), 2] download instead of
+        2 x num_segments round trips (each D2H copy costs a full tunnel
+        round trip). Returns {task_ref: (distance, end)}."""
+        if getattr(self, "_pending", None) is None:
+            return {}
+        packed, plan, segments = self._pending
+        self._pending = None
         packed = np.asarray(packed)
         results = {}
         offset = 0

@@ -1740,52 +1740,108 @@ class BatchVerifier:
         self._ensure_levels(probe_walk, items[probe_walk.query_index], upto=1)
         if self._addrs(probe_walk, probe_walk.levels[0])[0] < 0:
             return False
-        for walk_id in subset:
+
+        def walk_cells_estimate(walk_id: int) -> int:
+            """Useful band cells of one walk's full chain, without
+            materializing level/span objects (routing input only)."""
+            walk = walks[walk_id]
+            total = 0
+            for node in walk.chain:
+                m = node.length_of_query_span
+                b = node.num_errors
+                n = (
+                    walk.root_span.length
+                    if node.is_root
+                    else m + 2 * b + 1
+                )
+                total += max(min(n - m + 2 * b + 1, m), 1) * n
+            return total
+
+        log = logging.getLogger("floxer-tpu")
+        host_set: list[int] = []
+        if self.use_device is True or _FORCE_FUSED:
+            device_set = list(subset)
+            spec_device = list(spec or [])
+        else:
+            # SPLIT routing (round 3): the chip and the 4-thread native
+            # engine run at comparable band-cell rates (~95 vs ~104
+            # Gcells/s measured), so the fastest wave uses BOTH — the
+            # fused dispatch is asynchronous, the host engine computes its
+            # share concurrently, and the device's wait hides under the
+            # host work. Balance X (device share) so modeled device time
+            # (overhead + padded cells) equals modeled host time; host
+            # threads priced at half the pool (the next chunk's FM search
+            # runs concurrently on the same cores).
+            estimates = [walk_cells_estimate(w) for w in subset]
+            total_cells = float(sum(estimates))
+            host_threads = max(1, min(4, max(len(subset), 1)) // 2)
+            host_rate = _HOST_BAND_RATE * host_threads
+            if (
+                total_cells / host_rate <= _PROBE_MIN_HOST_S
+                or not self._device_resolved_lazy()
+            ):
+                return False
+            overhead = _fused_call_overhead()
+            pad_factor = 1.5  # segment padding over useful cells, typical
+            denom = total_cells * (
+                pad_factor / _DEVICE_BAND_RATE + 1.0 / host_rate
+            )
+            x_device = (total_cells / host_rate - overhead) / max(
+                denom, 1e-9
+            )
+            x_device = min(max(x_device, 0.0), 1.0)
+            if x_device < 0.25:
+                log.debug(
+                    "fused route: %d walks %.0fM cells -> host "
+                    "(device share %.2f)",
+                    len(subset), total_cells / 1e6, x_device,
+                )
+                return False
+            device_set, host_set = [], []
+            budget_cells = x_device * total_cells
+            acc = 0.0
+            for walk_id, cells in zip(subset, estimates):
+                if acc < budget_cells:
+                    device_set.append(walk_id)
+                    acc += cells
+                else:
+                    host_set.append(walk_id)
+            spec_device = []
+            log.debug(
+                "fused route: split %d walks -> %d device + %d host "
+                "(device share %.2f of %.0fM cells)",
+                len(subset), len(device_set), len(host_set),
+                x_device, total_cells / 1e6,
+            )
+
+        for walk_id in device_set:
             stage_walk(walk_id, None)
-        for walk_id in spec or []:
+        for walk_id in spec_device:
             stage_walk(walk_id, spec_depth)
 
         modeled_kernel_s = batch.padded_cells() / _DEVICE_BAND_RATE
-        log = logging.getLogger("floxer-tpu")
-        if self.use_device is not True and not _FORCE_FUSED:
-            # cost-model routing (VERDICT round 2 item 2): device only when
-            # the single fused dispatch beats the native host engine.
-            # Host threads are priced at HALF the pool: during the 3-stage
-            # pipeline the native FM search of the next chunk runs
-            # concurrently on the same cores, so a host verify wave
-            # effectively gets ~2 of the 4 threads — and every wave pushed
-            # to the chip hands its cycles back to the search stage (the
-            # measured production bottleneck once verification is fused).
-            host_threads = max(1, min(4, max(len(subset), 1)) // 2)
-            host_s = useful_band_cells / (_HOST_BAND_RATE * host_threads)
-            if host_s <= _PROBE_MIN_HOST_S or not self._device_resolved_lazy():
-                return False
-            device_s = _fused_call_overhead() + modeled_kernel_s
-            # prefer the chip up to a latency premium: a device wave costs
-            # the main thread a wait but ZERO host CPU — every cycle goes
-            # to the concurrently-searching next chunk (the pipeline's
-            # actual bottleneck once verification is fused). The premium is
-            # the freed-CPU value; 1.0 disables the preference.
-            device_s = device_s / _FUSED_DEVICE_BIAS
-            if host_s <= device_s:
-                log.debug(
-                    "fused route: %d walks %d tasks host %.0fms <= device "
-                    "%.0fms -> host",
-                    len(subset), batch.num_tasks, host_s * 1e3,
-                    device_s * 1e3,
-                )
-                return False
-        if batch.num_tasks == 0:
-            # everything cache-resolved; still apply below
-            results = {}
-        else:
-            results = batch.run()
+        dispatched = batch.num_tasks > 0 and batch.run_async()
+        t_disp = _time.monotonic()
+        # host share runs WHILE the device executes (native engine
+        # releases the GIL; the device sync happens in collect below)
+        if host_set:
+            self._compute_walks_flat(walks, items, host_set, max_depth=None)
+        if spec and not spec_device:
+            self._compute_walks_flat(
+                walks, items, list(spec), max_depth=spec_depth
+            )
+        t_host_done = _time.monotonic()
+        results = batch.collect() if dispatched else {}
         t1 = _time.monotonic()
-        if batch.num_tasks:
-            _observe_fused_call(t1 - t0, modeled_kernel_s)
+        if dispatched:
+            # observe only the UNHIDDEN device cost (dispatch + residual
+            # wait after the host share finished) — hidden time is free
+            _observe_fused_call(
+                (t_disp - t0) + (t1 - t_host_done), modeled_kernel_s
+            )
             self._fused_dispatches += 1
             _BATCH_TIMERS["calls"] += 1
-            _BATCH_TIMERS["kernel"] += t1 - t0
+            _BATCH_TIMERS["kernel"] += t1 - t_host_done
 
         root_tasks = []
         for walk_id, plan in staged:
@@ -1807,11 +1863,13 @@ class BatchVerifier:
                 if not exists:
                     break
         log.debug(
-            "fused wave: %d walks %d tasks (%d segments) in %.2fs "
-            "(%.2fs dispatch+wait), %.0fM useful band cells",
-            len(subset), batch.num_tasks,
+            "fused wave: %d walks (%d device / %d host) %d device tasks "
+            "(%d segments) in %.2fs (dispatch %.2fs, host share %.2fs, "
+            "residual device wait %.2fs), %.0fM device band cells",
+            len(subset), len(device_set), len(host_set), batch.num_tasks,
             sum(len(stage) for stage in batch.stages),
-            _time.monotonic() - t0, t1 - t0, useful_band_cells / 1e6,
+            _time.monotonic() - t0, t_disp - t0, t_host_done - t_disp,
+            t1 - t_host_done, useful_band_cells / 1e6,
         )
         t0_roots = _time.monotonic()
         self._finalize_roots(root_tasks, walks, items, lazy_tracebacks=True)

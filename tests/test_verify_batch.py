@@ -291,3 +291,45 @@ def test_fused_wave_matches_sequential_more_seeds(monkeypatch, seed):
     assert verifier._fused_dispatches > 0
     for w, g in zip(want, got):
         assert _as_tuples(w) == _as_tuples(g)
+
+
+def test_fused_split_wave_matches_sequential(monkeypatch):
+    """Cost-model SPLIT routing: part of a wave runs as an async fused
+    device dispatch while the host engine computes the rest concurrently
+    — byte-identical to the sequential verifier, with both shares
+    actually exercised."""
+    import floxer_tpu.verify_batch as vb
+    from floxer_tpu.ops.resident import ResidentBank
+
+    # steer the router into a mid-range device share
+    monkeypatch.setattr(vb, "_fused_call_overhead", lambda: 0.0)
+    monkeypatch.setattr(vb, "_PROBE_MIN_HOST_S", 0.0)
+    monkeypatch.setattr(vb, "_HOST_BAND_RATE", 1e9)
+    monkeypatch.setattr(vb, "_DEVICE_BAND_RATE", 1.5e9)  # pf/dev == 1/host
+
+    references, items = _make_workload(seed=42)
+    want = _run_sequential(
+        references, items, VerificationKind.HIERARCHICAL, 0.3, False, True
+    )
+    verifier = BatchVerifier(
+        references,
+        kind=VerificationKind.HIERARCHICAL,
+        extra_verification_ratio=0.3,
+        without_cigar=False,
+        use_interval_optimization=True,
+        use_device=lambda: True,  # resolved-callable: cost model stays on
+        resident_ref=ResidentBank([r.rank_sequence for r in references]),
+    )
+    splits = []
+    original = vb.BatchVerifier._compute_walks_flat
+
+    def spy(self, walks, items_, subset, max_depth=None):
+        splits.append(list(subset))
+        return original(self, walks, items_, subset, max_depth=max_depth)
+
+    monkeypatch.setattr(vb.BatchVerifier, "_compute_walks_flat", spy)
+    got = verifier.process(items)
+    assert verifier._fused_dispatches > 0, "device share never dispatched"
+    assert splits, "host share never computed"
+    for qi, (w, g) in enumerate(zip(want, got)):
+        assert _as_tuples(w) == _as_tuples(g), f"query {qi}"
