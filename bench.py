@@ -178,7 +178,10 @@ def _server_device_passes(
                 lines.append(line)
 
         threading.Thread(target=pump, daemon=True).start()
-        while time.monotonic() < deadline:
+        # a dead tunnel must not burn the whole device budget waiting for
+        # a readiness line that never comes
+        ready_deadline = min(deadline, time.monotonic() + 600)
+        while time.monotonic() < ready_deadline:
             if any("backend probe ok" in line for line in lines):
                 ready = True
                 break
