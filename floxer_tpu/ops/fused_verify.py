@@ -125,6 +125,7 @@ class FusedBatch:
         self._stage_of_walk: dict[int, int] = {}
         self._walk_ids: dict[int, int] = {}  # walk_id -> dense slot
         self.num_tasks = 0
+        self._pending = None  # (device result handle, plan, segments)
 
     def add_task(
         self,
@@ -279,7 +280,7 @@ class FusedBatch:
         """Sync point: ONE [sum(caps), 2] download instead of
         2 x num_segments round trips (each D2H copy costs a full tunnel
         round trip). Returns {task_ref: (distance, end)}."""
-        if getattr(self, "_pending", None) is None:
+        if self._pending is None:
             return {}
         packed, plan, segments = self._pending
         self._pending = None
@@ -292,6 +293,7 @@ class FusedBatch:
             for row, ref in enumerate(seg.task_refs):
                 results[ref] = (int(block[row, 0]), int(block[row, 1]))
         return results
+
 
 def _segment_device_args(seg: _Segment, cap: int, num_walks: int):
     from .resident import addr_arrays
