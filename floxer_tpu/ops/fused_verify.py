@@ -64,6 +64,11 @@ NUM_COLS = 10
 _PLAN_TEMPLATES: dict[tuple, dict] = {}
 
 
+_FORCE_BANDED = bool(
+    __import__("os").environ.get("FLOXER_TPU_FORCE_BANDED", "")
+)
+
+
 def classify_task(m: int, n: int, budget: int) -> tuple[str, int]:
     """(kind, state_words) for one task; mirrors the routing of
     verify_batch._TaskBatcher (banded whenever its band state is strictly
@@ -74,7 +79,9 @@ def classify_task(m: int, n: int, budget: int) -> tuple[str, int]:
     if 0 < budget < m and n >= m - budget:
         band_tiles = -(-(n - m + 2 * budget + 1) // (128 * WORD))
         full_tiles = -(-(-(-m // WORD)) // 128)
-        if band_tiles < full_tiles:
+        # _FORCE_BANDED: test hook routing every eligible task through the
+        # banded kernel (same semantics as the host batcher's hook)
+        if band_tiles < full_tiles or _FORCE_BANDED:
             return KIND_BANDED, band_tiles * 128
     words = -(-m // WORD)
     if words > MAX_UNROLLED_WORDS:

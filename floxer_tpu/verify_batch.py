@@ -120,11 +120,6 @@ _DEVICE_BAND_RATE = float(
     __import__("os").environ.get("FLOXER_TPU_DEVICE_BAND_GCELLS", "90")
 ) * 1e9  # padded band cells/s of the Pallas banded kernel
 _PROBE_MIN_HOST_S = 0.01  # don't init the backend for < 10 ms of host work
-# latency premium accepted for a fused device wave (it frees ALL host
-# threads for the concurrent search stage); see _try_fused_wave routing
-_FUSED_DEVICE_BIAS = float(
-    __import__("os").environ.get("FLOXER_TPU_FUSED_DEVICE_BIAS", "1.6")
-)
 
 _DEVICE_OVERHEAD = {"rtt": None, "ewma": None}
 
@@ -844,9 +839,10 @@ class BatchVerifier:
 
         from .native import get_library
 
-        if get_library() is not None and not os.environ.get(
+        self._soa_active = get_library() is not None and not os.environ.get(
             "FLOXER_TPU_LEGACY_VERIFY"
-        ):
+        )
+        if self._soa_active:
             result = self._process_soa(items)
         else:
             result = self._process_legacy(items)
@@ -1089,7 +1085,13 @@ class BatchVerifier:
                 )
                 any_failed = False
                 if fused_done:
-                    chain_k[0] = CHAIN_K_FUSED
+                    if self.use_device is True or _FORCE_FUSED:
+                        # forced all-device: every cascade wave is one
+                        # dispatch, so deep speculation is nearly free.
+                        # Cost-model runs keep the host default — their
+                        # cascades route to the native engine, where bulk
+                        # speculation measured slower (round 2).
+                        chain_k[0] = CHAIN_K_FUSED
                     t_flat += _time.monotonic() - t0_flat
                     passed_fused: set[int] = set()
                     for wid in spec:
@@ -1698,12 +1700,20 @@ class BatchVerifier:
         useful_band_cells = 0
         t0 = _time.monotonic()
 
+        # same-wave dedup, restricted to GUARANTEED-ALIVE producers: a
+        # task staged as its walk's first in-flight level always computes
+        # a real result (aliveness can only drop at a failed in-flight
+        # level), so other walks sharing the key may read it. Deeper
+        # tasks can be masked to a sentinel and must not be shared.
+        wave_shared: dict[tuple, tuple] = {}
+
         def stage_walk(walk_id: int, depth_limit: int | None) -> None:
             nonlocal useful_band_cells
             walk = walks[walk_id]
             item = items[walk.query_index]
             self._ensure_levels(walk, item, upto=depth_limit)
             plan = []
+            staged_in_flight = 0
             levels = (
                 walk.levels
                 if depth_limit is None
@@ -1717,6 +1727,11 @@ class BatchVerifier:
                     if hit[0] > level.node.num_errors:
                         break  # cached failure: nothing deeper can run
                     continue
+                shared = wave_shared.get(key)
+                if shared is not None:
+                    plan.append((level, key, ("task", shared)))
+                    staged_in_flight += 1
+                    continue
                 pat_addr, win_addr = self._addrs(walk, level)
                 m = (
                     level.node.query_index_to
@@ -1728,18 +1743,18 @@ class BatchVerifier:
                 ref = batch.add_task(
                     walk_id, win_addr, n, pat_addr, m, budget
                 )
+                if staged_in_flight == 0:
+                    wave_shared[key] = ref
                 plan.append((level, key, ("task", ref)))
+                staged_in_flight += 1
                 useful_band_cells += (
                     max(min(n - m + 2 * budget + 1, m), 1) * n
                 )
             staged.append((walk_id, plan))
 
-        # resident addressing is all-or-nothing per chunk (banks cover
-        # every read and reference); bail before staging if absent
-        probe_walk = walks[subset[0]]
-        self._ensure_levels(probe_walk, items[probe_walk.query_index], upto=1)
-        if self._addrs(probe_walk, probe_walk.levels[0])[0] < 0:
-            return False
+        # resident addressing is all-or-nothing per chunk: the banks are
+        # built from every read and reference (_setup_chunk_state), so
+        # _addrs cannot be partial when self._resident is set
 
         def walk_cells_estimate(walk_id: int) -> int:
             """Useful band cells of one walk's full chain, without
@@ -1820,6 +1835,7 @@ class BatchVerifier:
             stage_walk(walk_id, spec_depth)
 
         modeled_kernel_s = batch.padded_cells() / _DEVICE_BAND_RATE
+        t_staged = _time.monotonic()
         dispatched = batch.num_tasks > 0 and batch.run_async()
         t_disp = _time.monotonic()
         # host share runs WHILE the device executes (native engine
@@ -1834,10 +1850,11 @@ class BatchVerifier:
         results = batch.collect() if dispatched else {}
         t1 = _time.monotonic()
         if dispatched:
-            # observe only the UNHIDDEN device cost (dispatch + residual
-            # wait after the host share finished) — hidden time is free
+            # observe only the UNHIDDEN device cost (the dispatch call +
+            # residual wait after the host share finished) — hidden time
+            # is free, and host-side staging Python is not device cost
             _observe_fused_call(
-                (t_disp - t0) + (t1 - t_host_done), modeled_kernel_s
+                (t_disp - t_staged) + (t1 - t_host_done), modeled_kernel_s
             )
             self._fused_dispatches += 1
             _BATCH_TIMERS["calls"] += 1
@@ -1882,10 +1899,16 @@ class BatchVerifier:
 
     def _batcher_use_device(self):
         """use_device for the host/bucketed batchers: when the fused wave
-        path is available, device work goes through fused dispatches ONLY —
-        a host-routed wave must stay on the host instead of round-tripping
-        its big buckets to the chip one by one (the pre-fused behavior)."""
-        if self._resident is not None and not _NO_FUSED:
+        path owns device work (SoA loop + resident banks), a host-routed
+        wave must stay on the host instead of round-tripping its big
+        buckets to the chip one by one (the pre-fused behavior). The
+        legacy object path never reaches _try_fused_wave, so it keeps the
+        round-2 bucketed-device behavior."""
+        if (
+            getattr(self, "_soa_active", False)
+            and self._resident is not None
+            and not _NO_FUSED
+        ):
             return False
         return self.use_device
 
@@ -2010,16 +2033,7 @@ class BatchVerifier:
         if cache is None:
             cache = self._task_cache = {}
 
-        def level_key(walk, level):
-            return (
-                walk.query_index,
-                walk.orientation,
-                walk.anchor.reference_id,
-                level.node.query_index_from,
-                level.node.query_index_to,
-                level.span.offset,
-                level.span.length,
-            )
+        level_key = self._level_key
 
         def enqueue(batcher, walk, walk_id, level, key):
             item = items[walk.query_index]

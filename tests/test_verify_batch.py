@@ -301,7 +301,9 @@ def test_fused_split_wave_matches_sequential(monkeypatch):
     import floxer_tpu.verify_batch as vb
     from floxer_tpu.ops.resident import ResidentBank
 
-    # steer the router into a mid-range device share
+    # steer the router into a mid-range device share (and neutralize an
+    # ambient FLOXER_TPU_FORCE_FUSED, which would force all-device)
+    monkeypatch.setattr(vb, "_FORCE_FUSED", False)
     monkeypatch.setattr(vb, "_fused_call_overhead", lambda: 0.0)
     monkeypatch.setattr(vb, "_PROBE_MIN_HOST_S", 0.0)
     monkeypatch.setattr(vb, "_HOST_BAND_RATE", 1e9)
