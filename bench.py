@@ -144,19 +144,19 @@ def _run_aligner(
     return float(match.group(1)), fused
 
 
-def _server_device_passes(
-    genome: Path, reads: Path, index: Path, data: Path,
-    deadline: float, passes: int,
-) -> tuple[float, int] | None:
-    """Device passes through a WARM server process (--serve/--server).
+def _start_bench_server(data: Path) -> dict:
+    """Launch the warm alignment service (--serve) in the background.
 
     Production deployments run the aligner as a long-lived service
     (server.py): the backend's one-time per-process costs — first
-    execution, fused-plan program loads — are paid once at service start,
-    not per job. Some tunnel windows have multi-minute first-execution
-    latency but ~30 ms warm dispatches; a fresh-CLI pass can never win
-    there while the warm service is at full speed. Returns the best
-    (align seconds, fused dispatches) or None."""
+    execution, fused-plan program loads — are paid once at service
+    start, not per job. Some tunnel windows have multi-minute
+    first-execution latency but ~30 ms warm dispatches; starting the
+    service at bench start lets that warmup overlap the CPU passes and
+    the fresh-CLI probes. Returns a handle for _server_device_passes /
+    _stop_bench_server."""
+    import threading
+
     sock = data / "bench_server.sock"
     try:
         sock.unlink()
@@ -167,58 +167,73 @@ def _server_device_passes(
         stderr=subprocess.PIPE, stdout=subprocess.DEVNULL,
         text=True, cwd=REPO,
     )
+    lines: list[str] = []
+
+    def pump():
+        for line in server.stderr:
+            lines.append(line)
+
+    threading.Thread(target=pump, daemon=True).start()
+    return {"proc": server, "sock": sock, "lines": lines}
+
+
+def _server_device_passes(
+    handle: dict,
+    genome: Path, reads: Path, index: Path, data: Path,
+    deadline: float, passes: int,
+) -> tuple[float, int] | None:
+    """Run device passes through the warm service; returns the best
+    (align seconds, fused dispatches) or None."""
+    server, sock, lines = handle["proc"], handle["sock"], handle["lines"]
     ready = False
+    # a dead tunnel must not burn the whole device budget waiting for a
+    # readiness line that never comes
+    ready_deadline = min(deadline, time.monotonic() + 600)
+    while time.monotonic() < ready_deadline:
+        if any("backend probe ok" in line for line in lines):
+            ready = True
+            break
+        if any("BACKEND UNHEALTHY" in line for line in lines):
+            break
+        if server.poll() is not None:
+            break
+        time.sleep(2)
+    if not ready:
+        sys.stderr.write("bench server never became ready\n")
+        return None
+    best = None
+    # at least 3 jobs: the first may run while the service warmup is
+    # still in flight (all-host), the first CHIP-ENGAGED job pays any
+    # fused-plan compiles not covered by the warm replay, and only the
+    # one after that shows the steady service state
+    for _ in range(max(passes, 3)):
+        remaining = deadline - time.monotonic()
+        if remaining < 120:
+            break
+        got = _run_aligner(
+            genome, reads, index, data / "bench_dev.sam",
+            ["--server", str(sock)], {},
+            timeout_s=min(1200, int(remaining)),
+        )
+        if got is not None and (best is None or got[0] < best[0]):
+            best = got
+    return best
+
+
+def _stop_bench_server(handle: dict) -> None:
+    server, sock = handle["proc"], handle["sock"]
     try:
-        import threading
-
-        lines: list[str] = []
-
-        def pump():
-            for line in server.stderr:
-                lines.append(line)
-
-        threading.Thread(target=pump, daemon=True).start()
-        # a dead tunnel must not burn the whole device budget waiting for
-        # a readiness line that never comes
-        ready_deadline = min(deadline, time.monotonic() + 600)
-        while time.monotonic() < ready_deadline:
-            if any("backend probe ok" in line for line in lines):
-                ready = True
-                break
-            if any("BACKEND UNHEALTHY" in line for line in lines):
-                break
-            if server.poll() is not None:
-                break
-            time.sleep(2)
-        if not ready:
-            sys.stderr.write("bench server never became ready\n")
-            return None
-        best = None
-        for _ in range(passes):
-            remaining = deadline - time.monotonic()
-            if remaining < 120:
-                break
-            got = _run_aligner(
-                genome, reads, index, data / "bench_dev.sam",
-                ["--server", str(sock)], {},
-                timeout_s=min(1200, int(remaining)),
-            )
-            if got is not None and (best is None or got[0] < best[0]):
-                best = got
-        return best
-    finally:
-        try:
-            subprocess.run(
-                [sys.executable, "-m", "floxer_tpu",
-                 "--shutdown-server", str(sock)],
-                timeout=30, cwd=REPO, capture_output=True,
-            )
-        except Exception:  # noqa: BLE001
-            pass
-        try:
-            server.wait(timeout=15)
-        except Exception:  # noqa: BLE001
-            server.kill()
+        subprocess.run(
+            [sys.executable, "-m", "floxer_tpu",
+             "--shutdown-server", str(sock)],
+            timeout=30, cwd=REPO, capture_output=True,
+        )
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        server.wait(timeout=15)
+    except Exception:  # noqa: BLE001
+        server.kill()
 
 
 def _tunnel_healthy(timeout_s: int = 150) -> bool:
@@ -349,6 +364,16 @@ def main() -> None:
     # trustworthy comparison
     passes = int(os.environ.get("FLOXER_BENCH_PASSES", "2"))
 
+    # start the warm service NOW so its one-time backend warmup overlaps
+    # the CPU passes and the fresh-CLI device probes (it is only consulted
+    # if those fail to engage the chip)
+    server_handle = None
+    if not os.environ.get("FLOXER_BENCH_SKIP_SERVER"):
+        try:
+            server_handle = _start_bench_server(data)
+        except Exception as error:  # noqa: BLE001
+            sys.stderr.write(f"bench server start failed: {error}\n")
+
     cpu_align_s = None
     if not os.environ.get("FLOXER_BENCH_SKIP_CPU"):
         for _ in range(passes):
@@ -408,16 +433,21 @@ def main() -> None:
 
     device_mode = "cold-cli" if device_align_s is not None else None
     # warm-service pass: when fresh-CLI passes were skipped (probe saw a
-    # window with multi-minute first-execution latency) or lost to the
-    # CPU, measure the production service deployment (--serve/--server):
-    # per-process warmup is paid once at service start, outside the jobs
-    if device_align_s is None or (
-        cpu_align_s is not None and device_align_s >= cpu_align_s
+    # window with multi-minute first-execution latency), never actually
+    # engaged the chip (0 fused dispatches: warmup outlived the align
+    # phase, so readiness gating kept every wave on the host), or lost
+    # to the CPU, measure the production service deployment
+    # (--serve/--server): per-process warmup is paid once at service
+    # start, outside the jobs
+    if (
+        device_align_s is None
+        or device_fused == 0
+        or (cpu_align_s is not None and device_align_s >= cpu_align_s)
     ):
         remaining = device_deadline - time.monotonic()
-        if remaining > 420:
+        if server_handle is not None and remaining > 300:
             got = _server_device_passes(
-                genome, reads, index, data,
+                server_handle, genome, reads, index, data,
                 deadline=device_deadline, passes=passes,
             )
             if got is not None and (
@@ -425,6 +455,8 @@ def main() -> None:
             ):
                 device_align_s, device_fused = got
                 device_mode = "warm-server"
+    if server_handle is not None:
+        _stop_bench_server(server_handle)
 
     sam_identical = None
     if cpu_align_s is not None and device_align_s is not None:
