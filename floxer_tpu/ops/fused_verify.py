@@ -63,6 +63,11 @@ NUM_COLS = 10
 # maxes so every wave of a workload shares one compiled program
 _PLAN_TEMPLATES: dict[tuple, dict] = {}
 
+# plans dispatched (or warm-replayed) in THIS process: dispatching a plan
+# not in this set compiles a fresh multi-second program mid-wave — the
+# router avoids that for waves too small to amortize it
+_DISPATCHED_PLANS: set[tuple] = set()
+
 
 _FORCE_BANDED = bool(
     __import__("os").environ.get("FLOXER_TPU_FORCE_BANDED", "")
@@ -206,6 +211,40 @@ class FusedBatch:
             return self.collect()
         return {}
 
+    def plan_preview(self) -> tuple:
+        """The plan tuple run_async() would dispatch (after merging this
+        batch into the template), plus whether that plan has already been
+        dispatched in this process — WITHOUT mutating the template."""
+        template_key = (
+            int(self.ref_bank.flat.shape[0]),
+            int(self.query_bank.flat.shape[0]),
+        )
+        template = _PLAN_TEMPLATES.get(template_key, {})
+        merged: dict[tuple, tuple] = {}
+        for key in template:
+            if isinstance(key, tuple):
+                slot = template[key]
+                merged[key] = (
+                    slot["shape_words"], slot["n_chars"], slot["cap"]
+                )
+        num_walks = 32
+        for walks_used in (len(self._walk_ids), template.get("walks", 1)):
+            num_walks = max(num_walks, _pow2_at_least(max(walks_used, 1), 32))
+        for stage_index, stage in enumerate(self.stages):
+            for kind, seg in stage.items():
+                shape_words, n_chars, cap = self._segment_shape(seg)
+                old = merged.get((stage_index, kind), (0, 0, _GROUP[kind]))
+                merged[(stage_index, kind)] = (
+                    max(old[0], shape_words),
+                    max(old[1], n_chars),
+                    max(old[2], cap),
+                )
+        plan = tuple(
+            (kind, *merged[(stage_index, kind)])
+            for stage_index, kind in sorted(merged)
+        )
+        return plan, (plan, num_walks) in _DISPATCHED_PLANS
+
     def run_async(self, interpret: bool | None = None) -> bool:
         """One device dispatch WITHOUT the sync; returns True when work
         was dispatched (collect() then returns its results).
@@ -271,6 +310,7 @@ class FusedBatch:
             int(self.ref_bank.flat.shape[0]),
             int(self.query_bank.flat.shape[0]),
         ))
+        _DISPATCHED_PLANS.add((tuple(plan), num_walks))
         table = jnp.asarray(np.concatenate(seg_args, axis=0))
         packed = _fused_call(
             self.ref_bank.flat,
@@ -356,6 +396,7 @@ def replay_plan(plan, num_walks: int, ref_words: int, query_words: int):
             self.flat = _jnp.zeros(n, dtype=_jnp.uint32)
 
     plan = tuple(tuple(seg) for seg in plan)
+    _DISPATCHED_PLANS.add((plan, num_walks))
     table = jnp.asarray(np.concatenate([
         _segment_device_args(_Segment(kind), cap, num_walks)
         for kind, _w, _n, cap in plan

@@ -120,6 +120,16 @@ _DEVICE_BAND_RATE = float(
     __import__("os").environ.get("FLOXER_TPU_DEVICE_BAND_GCELLS", "90")
 ) * 1e9  # padded band cells/s of the Pallas banded kernel
 _PROBE_MIN_HOST_S = 0.01  # don't init the backend for < 10 ms of host work
+# below this many useful band cells a wave always stays on the host: a
+# tunnel round trip costs more than the native engine's whole cascade
+_FUSED_MIN_DEVICE_CELLS = float(
+    __import__("os").environ.get("FLOXER_TPU_FUSED_MIN_CELLS", "4e9")
+)
+# a never-compiled plan is only worth its multi-second compile for waves
+# of at least this many device walks
+_FUSED_NEW_PLAN_MIN_WALKS = int(
+    __import__("os").environ.get("FLOXER_TPU_FUSED_NEW_PLAN_WALKS", "64")
+)
 
 _DEVICE_OVERHEAD = {"rtt": None, "ewma": None}
 
@@ -1805,6 +1815,11 @@ class BatchVerifier:
                 denom, 1e-9
             )
             x_device = min(max(x_device, 0.0), 1.0)
+            # absolute floor: cascade-sized waves never beat a tunnel
+            # round trip regardless of what the (noisy at small C) balance
+            # says — and must never trigger a fresh plan compile
+            if total_cells < _FUSED_MIN_DEVICE_CELLS:
+                x_device = 0.0
             if x_device < 0.25:
                 log.debug(
                     "fused route: %d walks %.0fM cells -> host "
@@ -1833,6 +1848,26 @@ class BatchVerifier:
             stage_walk(walk_id, None)
         for walk_id in spec_device:
             stage_walk(walk_id, spec_depth)
+
+        if (
+            self.use_device is not True
+            and not _FORCE_FUSED
+            and batch.num_tasks
+        ):
+            plan, already_compiled = batch.plan_preview()
+            if (
+                not already_compiled
+                and len(device_set) < _FUSED_NEW_PLAN_MIN_WALKS
+            ):
+                # dispatching a never-seen plan compiles a fresh
+                # multi-second program (observed 13 s mid-job); only
+                # wave-1-scale waves can amortize that — smaller waves
+                # fall back to the host and leave the template unchanged
+                log.debug(
+                    "fused route: %d walks -> host (new plan, wave too "
+                    "small to amortize its compile)", len(subset),
+                )
+                return False
 
         modeled_kernel_s = batch.padded_cells() / _DEVICE_BAND_RATE
         t_staged = _time.monotonic()

@@ -165,11 +165,15 @@ def replay(should_abort=None) -> None:
     shapes = list(_load())
     if not shapes:
         return
-    # fused plans first: they are the production dispatch path, and the
-    # align loop's device routing waits for warmup readiness — a long tail
-    # of stale bucketed shapes must not starve it (measured 130 s for 20
-    # programs through the tunnel). The budget caps the whole replay.
-    shapes.sort(key=lambda desc: desc[0] != "fused")
+    # fused plans first, newest first: they are the production dispatch
+    # path, the most recently recorded plan is the converged template
+    # (earlier ones are its growth steps), and the align loop's device
+    # routing waits for warmup readiness — a long tail of stale shapes
+    # must not starve it (measured 130 s for 20 programs through the
+    # tunnel). The budget caps the whole replay.
+    shapes = [d for d in reversed(shapes) if d[0] == "fused"] + [
+        d for d in shapes if d[0] != "fused"
+    ]
     budget_s = float(os.environ.get("FLOXER_TPU_WARM_BUDGET_S", "90"))
     t0 = _time.monotonic()
     pending = []

@@ -308,6 +308,8 @@ def test_fused_split_wave_matches_sequential(monkeypatch):
     monkeypatch.setattr(vb, "_PROBE_MIN_HOST_S", 0.0)
     monkeypatch.setattr(vb, "_HOST_BAND_RATE", 1e9)
     monkeypatch.setattr(vb, "_DEVICE_BAND_RATE", 1.5e9)  # pf/dev == 1/host
+    monkeypatch.setattr(vb, "_FUSED_MIN_DEVICE_CELLS", 0.0)
+    monkeypatch.setattr(vb, "_FUSED_NEW_PLAN_MIN_WALKS", 0)
 
     references, items = _make_workload(seed=42)
     want = _run_sequential(
