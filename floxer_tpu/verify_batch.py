@@ -1821,6 +1821,13 @@ class BatchVerifier:
             if total_cells < _FUSED_MIN_DEVICE_CELLS:
                 x_device = 0.0
             if x_device < 0.25:
+                # slow decay while routing host: a bad tunnel window can
+                # inflate the overhead EWMA for the lifetime of a server
+                # process; decaying it on host-routed waves lets the
+                # router re-probe the device once windows improve instead
+                # of staying priced out forever
+                if _FUSED_OVERHEAD["ewma"] is not None:
+                    _FUSED_OVERHEAD["ewma"] *= 0.98
                 log.debug(
                     "fused route: %d walks %.0fM cells -> host "
                     "(device share %.2f)",
