@@ -1894,9 +1894,17 @@ class BatchVerifier:
         if dispatched:
             # observe only the UNHIDDEN device cost (the dispatch call +
             # residual wait after the host share finished) — hidden time
-            # is free, and host-side staging Python is not device cost
+            # is free, and host-side staging Python is not device cost.
+            # In SPLIT mode the kernel time is supposed to hide under the
+            # concurrent host share, so the whole unhidden cost is
+            # overhead (subtracting modeled kernel time there made
+            # net-losing splits look cheap and kept the router engaging
+            # through windows with slow dispatches — measured -20% on the
+            # 10k-read ladder). Only an all-device wave subtracts its
+            # modeled kernel time.
+            unhidden = (t_disp - t_staged) + (t1 - t_host_done)
             _observe_fused_call(
-                (t_disp - t_staged) + (t1 - t_host_done), modeled_kernel_s
+                unhidden, modeled_kernel_s if not host_set else 0.0
             )
             self._fused_dispatches += 1
             _BATCH_TIMERS["calls"] += 1
