@@ -92,6 +92,8 @@ def get_library():
             i64p, i64p,  # outputs
         ]
         lib.floxer_search_seed.restype = ctypes.c_int
+        lib.floxer_search_stats.argtypes = [i64p, ctypes.c_int64]
+        lib.floxer_search_stats.restype = None
         lib.floxer_sort_groups_probe.argtypes = [
             i64p, i64p, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
@@ -193,6 +195,19 @@ def get_library():
         logger.debug("native library load failed: %s", error)
         _lib = None
     return _lib
+
+
+def search_stats(reset: bool = False):
+    """(occ_all_calls, occ_pair_calls, dfs_steps) from the native DFS
+    counters — meaningful only when FLOXER_TPU_SEARCH_STATS was set
+    before the first search (the counters are opt-in, search.cpp:26-35).
+    Returns None without the native library."""
+    lib = get_library()
+    if lib is None:
+        return None
+    out = np.zeros(3, dtype=np.int64)
+    lib.floxer_search_stats(_as_i64p(out), ctypes.c_int64(1 if reset else 0))
+    return tuple(int(v) for v in out)
 
 
 def _as_i64p(array: np.ndarray):

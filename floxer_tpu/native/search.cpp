@@ -343,6 +343,34 @@ struct SearchState {
         Cursor children[SIGMA];
         extend_all(*index, cur, left, children);
 
+        // Prefetch the rows each surviving child's own extension will
+        // scan (addresses are fully determined by the child's interval);
+        // siblings wait in the recursion while earlier branches run, so
+        // their fetches overlap that work. Measured neutral at chr21
+        // scale (the OoO window already covers the close-by pops, and
+        // 82% of scans are extend_one chains below, which this cannot
+        // reach); kept for genome-scale indexes where a sibling's row is
+        // a guaranteed DRAM miss. Pure hints: DFS order, results and
+        // cap/abort decisions are untouched.
+#if defined(__AVX512BW__) && defined(__BMI2__)
+        {
+            const SingleIndex& nidx = left ? index->fwd : index->rev;
+            for (int s = 1; s < SIGMA; s++) {
+                if (children[s].len <= 0) continue;
+                int64_t const b = left ? children[s].lb : children[s].lb_rev;
+                const char* lo_row = reinterpret_cast<const char*>(
+                    nidx.packed + (b / OCC_BLOCK) * OCC_ROW_BYTES);
+                const char* hi_row = reinterpret_cast<const char*>(
+                    nidx.packed +
+                    ((b + children[s].len) / OCC_BLOCK) * OCC_ROW_BYTES);
+                _mm_prefetch(lo_row, _MM_HINT_T0);
+                _mm_prefetch(lo_row + 64, _MM_HINT_T0);
+                _mm_prefetch(hi_row, _MM_HINT_T0);
+                _mm_prefetch(hi_row + 64, _MM_HINT_T0);
+            }
+        }
+#endif
+
         if (children[pattern_symbol].len > 0)
             step(children[pattern_symbol], part_idx, next_pos, errors, 0);
         if (aborted) return;
