@@ -407,6 +407,252 @@ struct SearchState {
     }
 };
 
+// ---------------------------------------------------------------------------
+// Fiber-interleaved DFS: the measured hot loop is memory-stall-bound on
+// serially-dependent occ scans — 82% of row scans at chr21 bench scale sit
+// in extend_one chains (one scan decides the next scan's address), so
+// within ONE seed there is nothing to overlap. Seeds are fully independent,
+// though: each worker thread therefore runs F seeds' DFSs as explicit-stack
+// fibers, round-robin one "quantum" (= one scan site) at a time, and
+// prefetches a frame's occ rows when it is PUSHED — by the time the
+// scheduler rotates back (F-1 other quanta later) the lines are in cache.
+//
+// Parity: a fiber is a faithful transliteration of SearchState::step with
+// the recursion replaced by a LIFO stack (children pushed in reverse
+// processing order), so per-seed DFS order, dedup, caps and abort points
+// are bit-identical to search_one — asserted by the Python-oracle parity
+// tests, which run both engines on the same seeds.
+// ---------------------------------------------------------------------------
+
+struct Frame {
+    Cursor cur;
+    int32_t part_idx;
+    int32_t char_pos;
+    int32_t errors;
+    int32_t last_op;  // 0 = match/sub, 1 = insertion, 2 = deletion
+};
+
+inline int fiber_count_from_env() {
+    static int const value = [] {
+        const char* raw = std::getenv("FLOXER_TPU_SEARCH_FIBERS");
+        if (raw == nullptr) return 8;  // measured best on this VM (see BENCH)
+        int v = std::atoi(raw);
+        if (v < 1) v = 1;
+        if (v > 64) v = 64;
+        return v;
+    }();
+    return value;
+}
+
+struct Fiber {
+    SearchState st;
+    std::vector<Frame> stack;
+    const int64_t* parts_flat = nullptr;
+    int64_t num_parts = 0;
+    int64_t num_searches = 0;
+    int64_t search_idx = 0;
+    int64_t seed = -1;  // batch seed index this fiber is running
+
+    void reset_for_seed(const BiIndex& index, const uint8_t* pattern,
+                        const int64_t* parts, int64_t searches,
+                        int64_t parts_per_search, int64_t max_total,
+                        int64_t max_groups, int64_t* out_groups,
+                        int64_t seed_index) {
+        st.index = &index;
+        st.pattern = pattern;
+        st.num_parts = parts_per_search;
+        st.max_total = max_total;
+        st.max_groups = max_groups;
+        st.out_groups = out_groups;
+        st.num_groups = 0;
+        st.total = 0;
+        st.aborted = false;
+        st.overflow = false;
+        st.seen.clear();
+        stack.clear();
+        parts_flat = parts;
+        num_parts = parts_per_search;
+        num_searches = searches;
+        search_idx = 0;
+        seed = seed_index;
+    }
+
+    // prefetch the occ rows the frame's first scan will touch (both
+    // 64-byte halves of both rows); skipped when the frame starts on a
+    // finished part (its continuation is scan-free until deeper)
+    inline void prefetch_frame(const Frame& fr) const {
+#if defined(__AVX512BW__) && defined(__BMI2__)
+        const PartSpec& part = st.parts[fr.part_idx];
+        bool const done = part.direction > 0 ? fr.char_pos >= part.end
+                                             : fr.char_pos < part.start;
+        if (done) return;
+        bool const left = part.direction < 0;
+        const SingleIndex& idx = left ? st.index->fwd : st.index->rev;
+        int64_t const base = left ? fr.cur.lb : fr.cur.lb_rev;
+        const char* lo_row = reinterpret_cast<const char*>(
+            idx.packed + (base / OCC_BLOCK) * OCC_ROW_BYTES);
+        const char* hi_row = reinterpret_cast<const char*>(
+            idx.packed +
+            ((base + fr.cur.len) / OCC_BLOCK) * OCC_ROW_BYTES);
+        _mm_prefetch(lo_row, _MM_HINT_T0);
+        _mm_prefetch(lo_row + 64, _MM_HINT_T0);
+        _mm_prefetch(hi_row, _MM_HINT_T0);
+        _mm_prefetch(hi_row + 64, _MM_HINT_T0);
+#else
+        (void)fr;
+#endif
+    }
+
+    inline void push(const Frame& fr) {
+        prefetch_frame(fr);
+        stack.push_back(fr);
+    }
+
+    // start the next scheme search, or return false when the seed is done
+    bool start_next_search() {
+        if (st.aborted || search_idx >= num_searches) return false;
+        st.parts = reinterpret_cast<const PartSpec*>(
+            parts_flat + search_idx * num_parts * 5);
+        search_idx++;
+        // process_part(root, 0, 0, 0) up to its first step()
+        Frame fr;
+        fr.cur = Cursor{0, 0, st.index->n};
+        fr.part_idx = 0;
+        const PartSpec& part = st.parts[0];
+        fr.char_pos =
+            (int32_t)(part.direction > 0 ? part.start : part.end - 1);
+        fr.errors = 0;
+        fr.last_op = 0;
+        push(fr);
+        return true;
+    }
+
+    // one quantum: pop a frame, run it to its scan site (or its report),
+    // push its children. Mirrors SearchState::step exactly.
+    void quantum() {
+        Frame fr = stack.back();
+        stack.pop_back();
+        if (st.aborted) {
+            stack.clear();
+            return;
+        }
+        // scan-free done-part transitions (step's done branch +
+        // process_part, iterated)
+        for (;;) {
+            if (g_count_stats)
+                g_dfs_steps.fetch_add(1, std::memory_order_relaxed);
+            const PartSpec& part = st.parts[fr.part_idx];
+            bool const done = part.direction > 0 ? fr.char_pos >= part.end
+                                                 : fr.char_pos < part.start;
+            if (!done) break;
+            if (fr.errors < part.lower) return;
+            fr.part_idx++;
+            if (fr.part_idx == st.num_parts) {
+                st.report(fr.cur, fr.errors);
+                return;
+            }
+            const PartSpec& next = st.parts[fr.part_idx];
+            fr.char_pos = (int32_t)(next.direction > 0 ? next.start
+                                                       : next.end - 1);
+        }
+
+        const PartSpec& part = st.parts[fr.part_idx];
+        int const pattern_symbol = st.pattern[fr.char_pos];
+        bool const left = part.direction < 0;
+        int32_t const next_pos = (int32_t)(fr.char_pos + part.direction);
+
+        if (fr.errors >= part.upper) {
+            Cursor const child =
+                extend_one(*st.index, fr.cur, left, (uint8_t)pattern_symbol);
+            if (child.len > 0)
+                push(Frame{child, fr.part_idx, next_pos, fr.errors, 0});
+            return;
+        }
+
+        Cursor children[SIGMA];
+        extend_all(*st.index, fr.cur, left, children);
+
+        // push in reverse of the recursive processing order (LIFO):
+        // deletion, insertions 5..1, substitutions 5..1, match — pops
+        // then run match, subs 1..5, ins 1..5, deletion, like step()
+        if (fr.last_op != 1)
+            push(Frame{fr.cur, fr.part_idx, next_pos,
+                       (int32_t)(fr.errors + 1), 2});
+        if (fr.last_op != 2) {
+            for (int s = SIGMA - 1; s >= 1; s--)
+                if (children[s].len > 0)
+                    push(Frame{children[s], fr.part_idx, fr.char_pos,
+                               (int32_t)(fr.errors + 1), 1});
+        }
+        for (int s = SIGMA - 1; s >= 1; s--)
+            if (s != pattern_symbol && children[s].len > 0)
+                push(Frame{children[s], fr.part_idx, next_pos,
+                           (int32_t)(fr.errors + 1), 0});
+        if (children[pattern_symbol].len > 0)
+            push(Frame{children[pattern_symbol], fr.part_idx, next_pos,
+                       fr.errors, 0});
+    }
+
+    int status() const {
+        return (st.aborted ? 1 : 0) | (st.overflow ? 2 : 0);
+    }
+};
+
+// Run seeds [begin, end) through F interleaved fibers on this thread.
+// pattern_of(i) yields seed i's pattern; groups_of(fiber, i) the output
+// buffer seed i should write groups into (the fiber slot lets the select
+// path hand each fiber its own reusable scratch buffer); finalize(i,
+// state, status) runs when seed i's DFS completes (in fiber completion
+// order — callers' outputs are indexed by seed, so order doesn't matter).
+template <typename PatternOf, typename GroupsOf, typename Finalize>
+void run_fiber_range(const BiIndex& index, PatternOf&& pattern_of,
+                     GroupsOf&& groups_of, Finalize&& finalize,
+                     const int64_t* parts_flat, int64_t num_searches,
+                     int64_t num_parts, int64_t max_total,
+                     int64_t max_groups, int64_t begin, int64_t end,
+                     int num_fibers) {
+    if (begin >= end) return;
+    int const F =
+        (int)std::min<int64_t>(std::max(num_fibers, 1), end - begin);
+    std::vector<Fiber> fibers(F);
+    for (auto& f : fibers) f.stack.reserve(256);
+    int64_t next_seed = begin;
+    int active = 0;
+    for (int i = 0; i < F; i++) {
+        fibers[i].reset_for_seed(index, pattern_of(next_seed), parts_flat,
+                                 num_searches, num_parts, max_total,
+                                 max_groups, groups_of(i, next_seed),
+                                 next_seed);
+        fibers[i].start_next_search();
+        next_seed++;
+        active++;
+    }
+    while (active > 0) {
+        for (int i = 0; i < F; i++) {
+            Fiber& f = fibers[i];
+            if (f.seed < 0) continue;
+            if (!f.stack.empty()) {
+                f.quantum();
+                continue;
+            }
+            if (f.start_next_search()) continue;
+            // seed complete
+            finalize(f.seed, f.st, f.status());
+            if (next_seed < end) {
+                f.reset_for_seed(index, pattern_of(next_seed), parts_flat,
+                                 num_searches, num_parts, max_total,
+                                 max_groups, groups_of(i, next_seed),
+                                 next_seed);
+                f.start_next_search();
+                next_seed++;
+            } else {
+                f.seed = -1;
+                active--;
+            }
+        }
+    }
+}
+
 }  // namespace
 
 namespace {
@@ -680,6 +926,24 @@ int floxer_search_seeds_batch(
     BiIndex const index{{packed_fwd}, {packed_rev}, C, n};
 
     auto worker = [&](int64_t begin, int64_t end) {
+        int const fibers = fiber_count_from_env();
+        if (fibers > 1) {
+            run_fiber_range(
+                index,
+                [&](int64_t i) { return patterns + i * pattern_len; },
+                [&](int fiber, int64_t i) {
+                    (void)fiber;
+                    return out_groups + i * max_groups_per_seed * 4;
+                },
+                [&](int64_t i, SearchState& st, int status) {
+                    out_meta[i * 3] = st.num_groups;
+                    out_meta[i * 3 + 1] = st.total;
+                    out_meta[i * 3 + 2] = status;
+                },
+                parts_flat, num_searches, num_parts, max_total,
+                max_groups_per_seed, begin, end, fibers);
+            return;
+        }
         for (int64_t i = begin; i < end; i++) {
             int const status = search_one(
                 index, patterns + i * pattern_len, parts_flat, num_searches,
@@ -729,6 +993,31 @@ static int run_select_batch(
                                           : pattern_base + i * pattern_stride;
     };
     auto worker = [&](int64_t begin, int64_t end) {
+        int const fibers = fiber_count_from_env();
+        if (fibers > 1) {
+            // one scratch group buffer per fiber slot (a fiber finalizes
+            // its seed before reusing the slot for the next one)
+            std::vector<std::vector<int64_t>> scratch(
+                (size_t)std::min<int64_t>(fibers, std::max<int64_t>(
+                                                      end - begin, 1)));
+            for (auto& buf : scratch)
+                buf.resize((size_t)max_groups_per_seed * 4);
+            run_fiber_range(
+                index, pattern_of,
+                [&](int fiber, int64_t i) {
+                    (void)i;
+                    return scratch[(size_t)fiber].data();
+                },
+                [&](int64_t i, SearchState& st, int status) {
+                    select_one(index, loc, sel, st.out_groups,
+                               st.num_groups, st.total, status,
+                               out_anchors + i * soft_cap * 3,
+                               out_counts + i * 5);
+                },
+                parts_flat, num_searches, num_parts, max_total,
+                max_groups_per_seed, begin, end, fibers);
+            return;
+        }
         std::vector<int64_t> groups(max_groups_per_seed * 4);
         int64_t meta[2];
         for (int64_t i = begin; i < end; i++) {

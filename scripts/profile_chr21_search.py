@@ -22,11 +22,15 @@ STEM = "chr21s_46000000_2000x20000_s20260819"
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 250
 THREADS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
+REF = os.environ.get("FLOXER_PROFILE_REF", str(DATA / f"{STEM}.fasta"))
+QUERIES = os.environ.get("FLOXER_PROFILE_QUERIES", str(DATA / f"{STEM}.fastq"))
+INDEX = os.environ.get("FLOXER_PROFILE_INDEX", str(DATA / f"{STEM}.index.npz"))
+
 cli = parse_and_validate(
     [
-        "--reference", str(DATA / f"{STEM}.fasta"),
-        "--queries", str(DATA / f"{STEM}.fastq"),
-        "--index", str(DATA / f"{STEM}.index.npz"),
+        "--reference", REF,
+        "--queries", QUERIES,
+        "--index", INDEX,
         "--output", "/tmp/profile_chr21_search.sam",
         "--error-probability", "0.08",
         "--interval-optimization",
