@@ -23,6 +23,7 @@ full-array argsorts — vectorized, no Python-per-char loops).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -175,6 +176,28 @@ def _huge_empty(nbytes: int, dtype=np.uint8) -> np.ndarray:
     array = np.empty(nbytes // np.dtype(dtype).itemsize, dtype=dtype)
     _advise_hugepages(array)
     return array
+
+
+def _parallel_rows(total: int, fn, threads: int | None = None) -> None:
+    """Run fn(lo, hi) over a row range split across host threads. The
+    first-touch page faulting of a fresh buffer is kernel-side work that
+    scales with threads (measured 3.1x on 4 cores for a 3.2 GB widening
+    copy), and numpy's cast/copy loops release the GIL — so the big v3
+    load copies (occ-row expansion, SA-sample widening) go wide."""
+    import concurrent.futures as cf
+
+    if threads is None:
+        threads = min(4, os.cpu_count() or 1)
+    if threads <= 1 or total < (1 << 21):
+        fn(0, total)
+        return
+    bounds = [
+        (k * total // threads, (k + 1) * total // threads)
+        for k in range(threads)
+    ]
+    with cf.ThreadPoolExecutor(threads) as pool:
+        for future in [pool.submit(fn, lo, hi) for lo, hi in bounds]:
+            future.result()
 
 
 class _SingleIndex:
@@ -368,9 +391,14 @@ class FmIndex:
     @property
     def text(self) -> np.ndarray:
         if self._text is None:
-            out = _huge_empty(self._text_nib.shape[0] * 2)
-            out[0::2] = self._text_nib & np.uint8(0x0F)
-            out[1::2] = self._text_nib >> np.uint8(4)
+            nib = self._text_nib
+            out = _huge_empty(nib.shape[0] * 2)
+
+            def unpack(lo: int, hi: int) -> None:
+                out[2 * lo : 2 * hi : 2] = nib[lo:hi] & np.uint8(0x0F)
+                out[2 * lo + 1 : 2 * hi : 2] = nib[lo:hi] >> np.uint8(4)
+
+            _parallel_rows(nib.shape[0], unpack)
             self._text = out[: self.n]
             self._text_nib = None
         return self._text
@@ -380,8 +408,12 @@ class FmIndex:
         count = rows_raw.shape[0]
         rows = _huge_empty(count * 8, np.int64)
         values = _huge_empty(count * 8, np.int64)
-        np.copyto(rows, rows_raw, casting="unsafe")
-        np.copyto(values, values_raw, casting="unsafe")
+
+        def widen(lo: int, hi: int) -> None:
+            np.copyto(rows[lo:hi], rows_raw[lo:hi], casting="unsafe")
+            np.copyto(values[lo:hi], values_raw[lo:hi], casting="unsafe")
+
+        _parallel_rows(count, widen)
         self._sampled_rows = rows
         self._sampled_values = values
         self._sampled_raw = None
@@ -577,11 +609,17 @@ class FmIndex:
             flat = _huge_empty(num_blocks * OCC_ROW_BYTES)
             rows = flat.reshape(num_blocks, OCC_ROW_BYTES)
             rows64 = flat.view("<i8").reshape(num_blocks, OCC_ROW_BYTES // 8)
-            rows64[:, :SIGMA] = sections[f"{tag}_occ"]  # widening copy
-            rows[:, OCC_NIBBLE_OFFSET : OCC_NIBBLE_OFFSET + OCC_BLOCK // 2] = (
-                sections[f"{tag}_nib"]
-            )
-            rows[:, OCC_NIBBLE_OFFSET + OCC_BLOCK // 2 :] = 0
+            occ = sections[f"{tag}_occ"]
+            nib = sections[f"{tag}_nib"]
+
+            def fill(lo: int, hi: int) -> None:
+                rows64[lo:hi, :SIGMA] = occ[lo:hi]  # widening copy
+                rows[
+                    lo:hi, OCC_NIBBLE_OFFSET : OCC_NIBBLE_OFFSET + OCC_BLOCK // 2
+                ] = nib[lo:hi]
+                rows[lo:hi, OCC_NIBBLE_OFFSET + OCC_BLOCK // 2 :] = 0
+
+            _parallel_rows(num_blocks, fill)
             return _SingleIndex(packed=flat, n=obj.n, totals=totals)
 
         obj.fwd = expand("fwd")
