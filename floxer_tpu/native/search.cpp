@@ -435,7 +435,7 @@ struct Frame {
 inline int fiber_count_from_env() {
     static int const value = [] {
         const char* raw = std::getenv("FLOXER_TPU_SEARCH_FIBERS");
-        if (raw == nullptr) return 8;  // measured best on this VM (see BENCH)
+        if (raw == nullptr) return 16;  // measured best on this VM (see BENCH)
         int v = std::atoi(raw);
         if (v < 1) v = 1;
         if (v > 64) v = 64;
