@@ -94,6 +94,8 @@ def get_library():
         lib.floxer_search_seed.restype = ctypes.c_int
         lib.floxer_search_stats.argtypes = [i64p, ctypes.c_int64]
         lib.floxer_search_stats.restype = None
+        lib.floxer_stage_ns.argtypes = [i64p, ctypes.c_int64]
+        lib.floxer_stage_ns.restype = None
         lib.floxer_sort_groups_probe.argtypes = [
             i64p, i64p, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
@@ -207,6 +209,18 @@ def search_stats(reset: bool = False):
         return None
     out = np.zeros(3, dtype=np.int64)
     lib.floxer_search_stats(_as_i64p(out), ctypes.c_int64(1 if reset else 0))
+    return tuple(int(v) for v in out)
+
+
+def stage_ns(reset: bool = False):
+    """(worker_ns, select_ns) summed across select-batch worker threads;
+    only accumulated when FLOXER_TPU_SEARCH_STATS is set. None without
+    the native library."""
+    lib = get_library()
+    if lib is None:
+        return None
+    out = np.zeros(2, dtype=np.int64)
+    lib.floxer_stage_ns(_as_i64p(out), ctypes.c_int64(1 if reset else 0))
     return tuple(int(v) for v in out)
 
 

@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <chrono>
 #include <thread>
 #include <unordered_set>
 #include <vector>
@@ -33,6 +34,21 @@ static std::atomic<int64_t> g_occ_pair_calls{0};
 static std::atomic<int64_t> g_dfs_steps{0};
 static bool const g_count_stats =
     std::getenv("FLOXER_TPU_SEARCH_STATS") != nullptr;
+
+// stage wall-time split (ns), also only accumulated when the opt-in
+// stats env is set: worker = whole seed range (DFS + select), select =
+// the post-DFS anchor selection incl. locate walks. Diagnostic only.
+static std::atomic<int64_t> g_worker_ns{0};
+static std::atomic<int64_t> g_select_ns{0};
+
+extern "C" void floxer_stage_ns(int64_t* out2, int64_t reset) {
+    out2[0] = g_worker_ns.load(std::memory_order_relaxed);
+    out2[1] = g_select_ns.load(std::memory_order_relaxed);
+    if (reset) {
+        g_worker_ns.store(0, std::memory_order_relaxed);
+        g_select_ns.store(0, std::memory_order_relaxed);
+    }
+}
 
 extern "C" void floxer_search_stats(int64_t* out3, int64_t reset) {
     out3[0] = g_occ_all_calls.load(std::memory_order_relaxed);
@@ -993,6 +1009,20 @@ static int run_select_batch(
                                           : pattern_base + i * pattern_stride;
     };
     auto worker = [&](int64_t begin, int64_t end) {
+        std::chrono::steady_clock::time_point w0;
+        if (g_count_stats) w0 = std::chrono::steady_clock::now();
+        struct WorkerTimer {
+            std::chrono::steady_clock::time_point t0;
+            bool on;
+            ~WorkerTimer() {
+                if (on)
+                    g_worker_ns.fetch_add(
+                        std::chrono::duration_cast<std::chrono::nanoseconds>(
+                            std::chrono::steady_clock::now() - t0)
+                            .count(),
+                        std::memory_order_relaxed);
+            }
+        } timer{w0, g_count_stats};
         int const fibers = fiber_count_from_env();
         if (fibers > 1) {
             // one scratch group buffer per fiber slot (a fiber finalizes
@@ -1009,10 +1039,19 @@ static int run_select_batch(
                     return scratch[(size_t)fiber].data();
                 },
                 [&](int64_t i, SearchState& st, int status) {
+                    std::chrono::steady_clock::time_point t0;
+                    if (g_count_stats) t0 = std::chrono::steady_clock::now();
                     select_one(index, loc, sel, st.out_groups,
                                st.num_groups, st.total, status,
                                out_anchors + i * soft_cap * 3,
                                out_counts + i * 5);
+                    if (g_count_stats)
+                        g_select_ns.fetch_add(
+                            std::chrono::duration_cast<
+                                std::chrono::nanoseconds>(
+                                std::chrono::steady_clock::now() - t0)
+                                .count(),
+                            std::memory_order_relaxed);
                 },
                 parts_flat, num_searches, num_parts, max_total,
                 max_groups_per_seed, begin, end, fibers);

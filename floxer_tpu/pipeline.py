@@ -219,6 +219,12 @@ def build_or_load_index(cli: CommandLineInput, references: References) -> FmInde
             return cached
         logger.info("loading index from %s", cli.index_path)
         index = FmIndex.load(cli.index_path)
+        # force the v3 artifact's lazily-memmapped SA samples to
+        # materialize NOW, inside the load phase — otherwise the first
+        # chunk's locate pays it inside the align phase (measured ~5.5 s
+        # at 500 Mb genome scale, ~20 s projected at hg38) and stalls the
+        # pipeline's first search stage
+        index.sampled_rows
         _cache_index(cache_key, index)
         return index
 

@@ -62,6 +62,14 @@ def search_stats(reset=False):
         return None
 
 
+def stage_ns(reset=False):
+    try:
+        from floxer_tpu import native
+        return native.stage_ns(reset)
+    except Exception:
+        return None
+
+
 def run_once(tag):
     t0 = time.monotonic()
     jobs = []
@@ -71,15 +79,20 @@ def run_once(tag):
         jobs.append((seeds, query.reverse_complement_rank_sequence))
     t1 = time.monotonic()
     search_stats(reset=True)
+    stage_ns(reset=True)
     searched = searcher.search_seeds_many(jobs)
     t2 = time.monotonic()
     stats = search_stats()
+    stages = stage_ns()
     print(f"[{tag}] prepare(pex+seeds): {t1-t0:.3f}s   "
           f"native search_many ({THREADS} threads): {t2-t1:.3f}s   "
           f"({N/(t2-t1):.1f} reads/s search-only)")
     if stats is not None:
         print(f"    occ_all={stats[0]/1e6:.1f}M occ_pair={stats[1]/1e6:.1f}M "
               f"dfs_steps={stats[2]/1e6:.1f}M")
+    if stages is not None and stages[0]:
+        print(f"    worker={stages[0]/1e9:.2f}s select={stages[1]/1e9:.2f}s "
+              f"(thread-summed)")
     return searched
 
 
