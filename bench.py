@@ -345,6 +345,14 @@ def main() -> None:
     genome, reads, index = _ensure_workload(num_reads)
     data = _data_dir()
 
+    # pre-build the native library so no timed pass pays the one-time g++
+    # compile: a fresh checkout invalidates the .so's mtime cache and the
+    # ~20-40 s rebuild would otherwise land inside the first subprocess's
+    # align timing (observed once on 2026-08-20: device pass +~30%)
+    from floxer_tpu import native as _native
+
+    _native.get_library()
+
     # index build (cached): its own phase, excluded from reads/s — the
     # reference reuses a saved index the same way (floxer.cpp:63-107).
     # A 1-read query file keeps the build pass from aligning the workload.
