@@ -2,7 +2,7 @@
 
 NATIVE_DIR := floxer_tpu/native
 NATIVE_LIB := $(NATIVE_DIR)/libfloxer_native.so
-NATIVE_SRCS := $(NATIVE_DIR)/sais.cpp $(NATIVE_DIR)/search.cpp $(NATIVE_DIR)/traceback.cpp $(NATIVE_DIR)/cachescan.cpp $(NATIVE_DIR)/myers_host.cpp
+NATIVE_SRCS := $(NATIVE_DIR)/sais.cpp $(NATIVE_DIR)/search.cpp $(NATIVE_DIR)/traceback.cpp $(NATIVE_DIR)/cachescan.cpp $(NATIVE_DIR)/myers_host.cpp $(NATIVE_DIR)/pextree.cpp
 
 .PHONY: all native check bench clean
 

@@ -193,7 +193,10 @@ def get_library():
         ]
         lib.floxer_build_pex_tree.restype = ctypes.c_int
         _lib = lib
-    except OSError as error:
+    except (OSError, AttributeError) as error:
+        # AttributeError: a stale libfloxer_native.so (fresh mtime, old
+        # build, e.g. touched/copied without rebuild) missing a symbol must
+        # degrade to the pure-Python path, not crash every native entry.
         logger.debug("native library load failed: %s", error)
         _lib = None
     return _lib

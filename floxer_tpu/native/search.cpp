@@ -448,16 +448,16 @@ struct Frame {
     int32_t last_op;  // 0 = match/sub, 1 = insertion, 2 = deletion
 };
 
+// Re-read per batch call (one getenv per native call, not per quantum) so
+// in-process tests and the long-running server can change the fiber count
+// between batches.
 inline int fiber_count_from_env() {
-    static int const value = [] {
-        const char* raw = std::getenv("FLOXER_TPU_SEARCH_FIBERS");
-        if (raw == nullptr) return 16;  // measured best on this VM (see BENCH)
-        int v = std::atoi(raw);
-        if (v < 1) v = 1;
-        if (v > 64) v = 64;
-        return v;
-    }();
-    return value;
+    const char* raw = std::getenv("FLOXER_TPU_SEARCH_FIBERS");
+    if (raw == nullptr) return 16;  // measured best on this VM (see BENCH)
+    int v = std::atoi(raw);
+    if (v < 1) v = 1;
+    if (v > 64) v = 64;
+    return v;
 }
 
 struct Fiber {
@@ -534,6 +534,15 @@ struct Fiber {
         Frame fr;
         fr.cur = Cursor{0, 0, st.index->n};
         fr.part_idx = 0;
+        if (num_parts == 0) {
+            // mirror process_part's part_idx == num_parts branch: a
+            // zero-part scheme reports the root cursor instead of
+            // dereferencing parts[0]
+            st.report(fr.cur, 0);
+            return !st.aborted && search_idx < num_searches
+                       ? start_next_search()
+                       : false;
+        }
         const PartSpec& part = st.parts[0];
         fr.char_pos =
             (int32_t)(part.direction > 0 ? part.start : part.end - 1);

@@ -141,9 +141,9 @@ _HISTOGRAM_LAYOUT = [
     ("kept anchors per kept seed", "kept_anchor_per_seed"),
     ("excluded raw anchors by soft cap per kept seed", "kept_anchor_per_seed"),
     ("excluded raw anchors by erase useless per kept seed", "kept_anchor_per_seed"),
-    ("reference span sizes aligned inner nodes", "query_length"),
-    ("reference span sizes aligned root", "query_length"),
-    ("reference span sizes avoided root", "query_length"),
+    ("reference span sizes aligned of inner nodes", "query_length"),
+    ("reference span sizes aligned of roots", "query_length"),
+    ("reference span sizes alignment avoided of roots", "query_length"),
     ("alignments per query", "small"),
     ("alignments edit distance", "edit_distance"),
     ("milliseconds spent in search per query", "time"),
@@ -202,18 +202,18 @@ class SearchAndAlignmentStatistics:
         self._add("excluded raw anchors by erase useless per kept seed", v)
 
     def add_reference_span_size_aligned_inner_node(self, v):
-        self._add("reference span sizes aligned inner nodes", v)
+        self._add("reference span sizes aligned of inner nodes", v)
 
     def add_reference_span_size_aligned_root(self, v):
-        self._add("reference span sizes aligned root", v)
+        self._add("reference span sizes aligned of roots", v)
 
     def add_reference_span_size_avoided_root(self, v):
-        self._add("reference span sizes avoided root", v)
+        self._add("reference span sizes alignment avoided of roots", v)
 
     def add_reference_span_sizes_avoided_root_many(self, values):
         """Vectorized bulk add (the batch verifier's avoided-root span
         lengths arrive as one numpy array per chunk)."""
-        self.histograms["reference span sizes avoided root"].add_values(
+        self.histograms["reference span sizes alignment avoided of roots"].add_values(
             values
         )
 

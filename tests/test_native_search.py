@@ -228,3 +228,65 @@ def test_search_seeds_many_matches_per_job(index, order, choice):
             (a.pex_leaf_index, a.reference_id, a.reference_position)
             for a in soa.iter_anchors()
         ]
+
+
+@pytest.mark.parametrize("fibers", ["1", "3", "16"])
+def test_fiber_engine_matches_recursive(index, fibers):
+    """Recursive (FLOXER_TPU_SEARCH_FIBERS=1) vs fiber engine on identical
+    seed batches: anchors, counters, and iteration order byte-identical.
+    The env var is re-read per native batch call, so in-process switching
+    is reliable (search.cpp fiber_count_from_env)."""
+    import os
+    from unittest import mock
+
+    from floxer_tpu.pex import Seed
+    from floxer_tpu.search_host import (
+        AnchorChoiceStrategy,
+        AnchorGroupOrder,
+        SearchConfig,
+        Searcher,
+    )
+
+    idx, sequences = index
+    rng = np.random.default_rng(4242)
+    config = SearchConfig(
+        max_num_anchors_hard=40,
+        max_num_anchors_soft=7,
+        anchor_group_order=AnchorGroupOrder("count_first"),
+        anchor_choice_strategy=AnchorChoiceStrategy("round_robin"),
+        erase_useless_anchors=True,
+    )
+    searcher = Searcher(
+        index=idx, num_reference_sequences=2, config=config, num_threads=2
+    )
+
+    jobs = []
+    for trial in range(6):
+        source = sequences[trial % 2]
+        qlen = int(rng.integers(60, 140))
+        start = int(rng.integers(0, len(source) - qlen))
+        query = source[start : start + qlen].copy()
+        for _ in range(4):
+            pos = int(rng.integers(0, qlen))
+            query[pos] = 1 + (query[pos] % 4)
+        seeds = []
+        cursor = 0
+        while cursor + 8 < qlen and len(seeds) < 6:
+            length = int(rng.integers(8, min(22, qlen - cursor)))
+            seeds.append(
+                Seed(
+                    query_position=cursor,
+                    length=length,
+                    num_errors=int(rng.integers(0, 3)),
+                    pex_leaf_index=len(seeds),
+                )
+            )
+            cursor += length
+        jobs.append((seeds, query))
+
+    with mock.patch.dict(os.environ, {"FLOXER_TPU_SEARCH_FIBERS": "1"}):
+        recursive = searcher.search_seeds_many(jobs)
+    with mock.patch.dict(os.environ, {"FLOXER_TPU_SEARCH_FIBERS": fibers}):
+        fiber = searcher.search_seeds_many(jobs)
+    for a, b in zip(recursive, fiber):
+        _equal_results(a, b)

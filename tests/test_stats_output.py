@@ -125,3 +125,43 @@ def test_terminal_format_matches_reference_layout():
     assert query_lengths.startswith("histogram for query lengths (total: 1)")
     assert "threshold:" in query_lengths
     assert "min = 42, mean = 42.00, max = 42" in query_lengths
+
+
+def test_toml_key_set_matches_reference_names():
+    """Golden key-set parity: the TOML dump's counter key and histogram
+    table names must be exactly the reference's declared names with
+    spaces replaced by underscores (statistics.hpp:72-101 declaration
+    order, statistics.cpp:67-70/128-131 underscoring)."""
+    import re
+
+    reference_names = [
+        "completely excluded queries",
+        "query lengths",
+        "seed lengths",
+        "errors per seed",
+        "seeds per query",
+        "fully excluded seeds per query",
+        "kept anchors per query",
+        "excluded raw anchors by soft cap per query",
+        "excluded raw anchors by erase useless per query",
+        "kept anchors per kept seed",
+        "excluded raw anchors by soft cap per kept seed",
+        "excluded raw anchors by erase useless per kept seed",
+        "reference span sizes aligned of inner nodes",
+        "reference span sizes aligned of roots",
+        "reference span sizes alignment avoided of roots",
+        "alignments per query",
+        "alignments edit distance",
+        "milliseconds spent in search per query",
+        "milliseconds spent in verification per query",
+    ]
+    expected_counter = reference_names[0].replace(" ", "_")
+    expected_tables = [n.replace(" ", "_") for n in reference_names[1:]]
+
+    stats = SearchAndAlignmentStatistics()
+    toml = stats.format_as_toml()
+    prefix = toml.split("[", 1)[0]
+    counters = re.findall(r"^([a-z_]+) = \d+$", prefix, flags=re.MULTILINE)
+    tables = re.findall(r"^\[([a-z_]+)\]$", toml, flags=re.MULTILINE)
+    assert counters == [expected_counter]
+    assert tables == expected_tables
