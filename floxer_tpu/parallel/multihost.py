@@ -134,3 +134,76 @@ def merge_sam_shards(shard_paths: list[str], output_path: str) -> int:
                 exhausted += 1
             shard = (shard + 1) % len(shards)
     return total
+
+
+def _read_bam_query_groups(path):
+    """(header_blob, groups) from a BGZF BAM shard, where header_blob is the
+    raw uncompressed bytes from the BAM magic through the reference list and
+    groups are per-query runs of raw record blobs (block_size prefix
+    included) in file order. Byte-level so the merge is lossless."""
+    import gzip
+    import struct
+
+    raw = gzip.decompress(open(path, "rb").read())
+    if raw[:4] != b"BAM\x01":
+        raise ValueError(f"{path} is not a BAM file")
+    l_text = struct.unpack("<i", raw[4:8])[0]
+    offset = 8 + l_text
+    n_ref = struct.unpack("<i", raw[offset : offset + 4])[0]
+    offset += 4
+    for _ in range(n_ref):
+        l_name = struct.unpack("<i", raw[offset : offset + 4])[0]
+        offset += 4 + l_name + 4
+    header_blob = raw[:offset]
+
+    groups = []
+    current_qname = None
+    while offset < len(raw):
+        block_size = struct.unpack("<i", raw[offset : offset + 4])[0]
+        blob = raw[offset : offset + 4 + block_size]
+        offset += 4 + block_size
+        l_read_name = blob[4 + 8]
+        qname = blob[4 + 32 : 4 + 32 + l_read_name - 1]
+        if qname != current_qname:
+            groups.append((qname, []))
+            current_qname = qname
+        groups[-1][1].append(blob)
+    return header_blob, groups
+
+
+def merge_bam_shards(shard_paths: list[str], output_path: str) -> int:
+    """Round-robin interleave of strided BAM shards into one BGZF BAM
+    ordered by query internal id (the BAM counterpart of merge_sam_shards;
+    reference writes BAM directly in all modes, output.cpp:25-108).
+    Record blobs are copied byte-for-byte; only the BGZF framing is new.
+    Returns the number of merged queries."""
+    from ..io.sam import _BgzfWriter
+
+    shards = [_read_bam_query_groups(path) for path in shard_paths]
+    header = shards[0][0]
+    for other_header, _ in shards[1:]:
+        if other_header != header:
+            raise ValueError("shard headers disagree; not outputs of one run")
+
+    groups = [groups for _, groups in shards]
+    positions = [0] * len(shards)
+    total = 0
+    writer = _BgzfWriter(open(output_path, "wb"))
+    try:
+        writer.write(header)
+        exhausted = 0
+        shard = 0
+        while exhausted < len(shards):
+            if positions[shard] < len(groups[shard]):
+                _, blobs = groups[shard][positions[shard]]
+                for blob in blobs:
+                    writer.write(blob)
+                positions[shard] += 1
+                total += 1
+                exhausted = 0
+            else:
+                exhausted += 1
+            shard = (shard + 1) % len(shards)
+    finally:
+        writer.close()
+    return total

@@ -947,22 +947,22 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
             os.dup2(saved_stdout, 1)
             os.close(saved_stdout)
         if process_index == 0:
-            if cli.output_path.endswith(".sam"):
-                shard_paths = [
-                    shard_output_path(cli.output_path, h)
-                    for h in range(process_count)
-                ]
-                merged = merge_sam_shards(shard_paths, cli.output_path)
-                logger.info(
-                    "merged %d queries from %d shards into %s",
-                    merged, process_count, cli.output_path,
-                )
-            else:
-                logger.info(
-                    "BAM shard outputs left unmerged (merge with "
-                    "tools/merge_sam on SAM conversions): %s",
-                    shard_output_path(cli.output_path, 0),
-                )
+            from .parallel.multihost import merge_bam_shards
+
+            shard_paths = [
+                shard_output_path(cli.output_path, h)
+                for h in range(process_count)
+            ]
+            merge = (
+                merge_sam_shards
+                if cli.output_path.endswith(".sam")
+                else merge_bam_shards
+            )
+            merged = merge(shard_paths, cli.output_path)
+            logger.info(
+                "merged %d queries from %d shards into %s",
+                merged, process_count, cli.output_path,
+            )
         else:
             # one canonical stats report: only process 0 emits
             return 0

@@ -128,3 +128,30 @@ def test_two_process_distributed_run_matches_single(tmp_path):
     ) == _stable_stats_lines(tmp_path / "stats_single.toml")
     # non-zero processes emit no stats report
     assert not (tmp_path / "stats_1.toml").exists()
+
+
+@pytest.mark.timeout(600)
+def test_two_process_distributed_bam_merge(tmp_path):
+    """Distributed BAM output: process 0 merges the BGZF shards into one
+    BAM whose records match the single-process run (reference writes BAM
+    directly in all modes, output.cpp:25-108)."""
+    from floxer_tpu.io.sam import read_alignment_records
+
+    port = _free_port()
+    procs = [
+        _spawn(process_id, 2, port, tmp_path, "dist.bam")
+        for process_id in range(2)
+    ]
+    outs = [proc.communicate(timeout=420) for proc in procs]
+    for proc, (stdout, stderr) in zip(procs, outs):
+        assert proc.returncode == 0, stderr
+        assert stdout == "", "stdout must stay empty"
+
+    single = _single_run(tmp_path)
+
+    merged = tmp_path / "dist.bam"
+    assert merged.exists()
+    # BGZF magic + BAM magic parse, and record streams match exactly
+    merged_records = list(read_alignment_records(merged))
+    single_records = list(read_alignment_records(single))
+    assert merged_records == single_records

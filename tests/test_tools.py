@@ -146,3 +146,36 @@ def test_compare_aligner_outputs(tmp_path, simulated):
     assert "floxer_unmapped_and_minimap_mapped = 0" in proc.stdout
     assert "minimap_unmapped_and_floxer_mapped = 0" in proc.stdout
     assert "[floxer_stats_if_floxer_mapped]" in proc.stdout
+
+
+def test_compare_aligner_outputs_accepts_bam(tmp_path, simulated):
+    """BAM input parity with seqan3's sam_file_input: comparing the SAM
+    against the BAM of the same run must classify identically to
+    SAM-vs-SAM (compare_aligner_outputs.cpp input handling)."""
+    tmp, genome, reads = simulated
+    sam = tmp / "aligned.sam"
+    bam = tmp_path / "aligned.bam"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "floxer_tpu",
+            "--reference", str(genome),
+            "--queries", str(reads),
+            "--output", str(bam),
+            "--error-probability", "0.05",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+
+    sam_vs_bam = run_tool(
+        "compare_aligner_outputs",
+        ["-r", str(sam), "-n", str(bam), "-e", "0.05"],
+    )
+    assert sam_vs_bam.returncode == 0, sam_vs_bam.stderr
+    sam_vs_sam = run_tool(
+        "compare_aligner_outputs",
+        ["-r", str(sam), "-n", str(sam), "-e", "0.05"],
+    )
+    assert sam_vs_sam.returncode == 0, sam_vs_sam.stderr
+    assert sam_vs_bam.stdout == sam_vs_sam.stdout
