@@ -113,12 +113,60 @@ _FORCE_FUSED = bool(
 # the overhead term starts from a measured round-trip probe and is updated
 # by an EWMA of observed call times, so compile spikes push routing toward
 # the host automatically.
-_HOST_BAND_RATE = float(
-    __import__("os").environ.get("FLOXER_TPU_HOST_BAND_GCELLS", "26")
-) * 1e9  # band cells/s per host thread (engine scales ~linearly to 4)
-_DEVICE_BAND_RATE = float(
-    __import__("os").environ.get("FLOXER_TPU_DEVICE_BAND_GCELLS", "90")
-) * 1e9  # padded band cells/s of the Pallas banded kernel
+# Self-calibrating band rates (round 4): the env values are only the
+# STARTING estimates; as real waves run, observed (cells, seconds) samples
+# update an EWMA so the cost model reflects the actual attachment (tunnel
+# vs direct chip) and host, not this VM's constants. An env override PINS
+# the rate (calibration off) for reproducible tests.
+_BAND_RATES = {
+    # band cells/s per host thread (engine scales ~linearly to 4)
+    "host": float(
+        __import__("os").environ.get("FLOXER_TPU_HOST_BAND_GCELLS", "26")
+    ) * 1e9,
+    # padded band cells/s of the Pallas banded kernel
+    "device": float(
+        __import__("os").environ.get("FLOXER_TPU_DEVICE_BAND_GCELLS", "90")
+    ) * 1e9,
+    "host_pinned": "FLOXER_TPU_HOST_BAND_GCELLS" in __import__("os").environ,
+    "device_pinned": (
+        "FLOXER_TPU_DEVICE_BAND_GCELLS" in __import__("os").environ
+    ),
+}
+
+
+def _host_band_rate() -> float:
+    return _BAND_RATES["host"]
+
+
+def _device_band_rate() -> float:
+    return _BAND_RATES["device"]
+
+
+def _observe_host_band_rate(cells: float, seconds: float, threads: int):
+    """EWMA-update the per-thread host band rate from a timed native banded
+    call. Samples outside [1, 1000] Gcells/s/thread are attachment noise
+    (timer quantization, page faults) and are dropped."""
+    if _BAND_RATES["host_pinned"] or seconds <= 1e-4 or cells < 1e7:
+        return
+    sample = cells / seconds / max(threads, 1)
+    if not (1e9 <= sample <= 1e12):
+        return
+    _BAND_RATES["host"] = 0.7 * _BAND_RATES["host"] + 0.3 * sample
+
+
+def _observe_device_band_rate(padded_cells: float, kernel_seconds: float):
+    """EWMA-update the device band rate from an observed kernel execution
+    (overhead already removed by the caller's estimate)."""
+    if (
+        _BAND_RATES["device_pinned"]
+        or kernel_seconds <= 1e-4
+        or padded_cells < 1e8
+    ):
+        return
+    sample = padded_cells / kernel_seconds
+    if not (1e9 <= sample <= 1e12):
+        return
+    _BAND_RATES["device"] = 0.7 * _BAND_RATES["device"] + 0.3 * sample
 _PROBE_MIN_HOST_S = 0.01  # don't init the backend for < 10 ms of host work
 # below this many useful band cells a wave always stays on the host: a
 # tunnel round trip costs more than the native engine's whole cascade
@@ -557,7 +605,7 @@ class _TaskBatcher:
                     rows = min(n - m + 2 * self.budgets[i] + 1, m)
                     band_cells += max(rows, 1) * n
                 host_s = band_cells / (
-                    _HOST_BAND_RATE * min(4, len(slots))
+                    _host_band_rate() * min(4, len(slots))
                 )
                 if self.use_device is True:
                     # --engine device / direct construction: hard override,
@@ -571,7 +619,7 @@ class _TaskBatcher:
                         b_pad *= 2
                     modeled_kernel_s = (
                         m_bucket * 32 * n_bucket * b_pad
-                    ) / _DEVICE_BAND_RATE
+                    ) / _device_band_rate()
                     device_s = _device_call_overhead() + modeled_kernel_s
                     on_device = device_s < host_s
                     _logging.getLogger("floxer-tpu").debug(
@@ -599,6 +647,12 @@ class _TaskBatcher:
                     dist_arr, end_arr = native
                     distances[slots] = dist_arr
                     ends[slots] = end_arr
+                    if tag == "banded":
+                        _observe_host_band_rate(
+                            band_cells,
+                            _time.monotonic() - t0,
+                            min(4, len(slots)),
+                        )
                 else:
                     for i in slots:
                         dp = dp_reference.semi_global_dp_matrix(
@@ -1800,7 +1854,7 @@ class BatchVerifier:
             estimates = [walk_cells_estimate(w) for w in subset]
             total_cells = float(sum(estimates))
             host_threads = max(1, min(4, max(len(subset), 1)) // 2)
-            host_rate = _HOST_BAND_RATE * host_threads
+            host_rate = _host_band_rate() * host_threads
             if (
                 total_cells / host_rate <= _PROBE_MIN_HOST_S
                 or not self._device_resolved_lazy()
@@ -1809,7 +1863,7 @@ class BatchVerifier:
             overhead = _fused_call_overhead()
             pad_factor = 1.5  # segment padding over useful cells, typical
             denom = total_cells * (
-                pad_factor / _DEVICE_BAND_RATE + 1.0 / host_rate
+                pad_factor / _device_band_rate() + 1.0 / host_rate
             )
             x_device = (total_cells / host_rate - overhead) / max(
                 denom, 1e-9
@@ -1876,14 +1930,21 @@ class BatchVerifier:
                 )
                 return False
 
-        modeled_kernel_s = batch.padded_cells() / _DEVICE_BAND_RATE
+        modeled_kernel_s = batch.padded_cells() / _device_band_rate()
         t_staged = _time.monotonic()
         dispatched = batch.num_tasks > 0 and batch.run_async()
         t_disp = _time.monotonic()
         # host share runs WHILE the device executes (native engine
         # releases the GIL; the device sync happens in collect below)
         if host_set:
+            t_hs = _time.monotonic()
             self._compute_walks_flat(walks, items, host_set, max_depth=None)
+            cells_by_walk = dict(zip(subset, estimates)) if host_set else {}
+            _observe_host_band_rate(
+                sum(cells_by_walk.get(w, 0) for w in host_set),
+                _time.monotonic() - t_hs,
+                max(1, min(4, max(len(subset), 1)) // 2),
+            )
         if spec and not spec_device:
             self._compute_walks_flat(
                 walks, items, list(spec), max_depth=spec_depth
@@ -1906,6 +1967,14 @@ class BatchVerifier:
             _observe_fused_call(
                 unhidden, modeled_kernel_s if not host_set else 0.0
             )
+            if not host_set:
+                # all-device wave: the residual wait minus the estimated
+                # per-call overhead is real kernel execution — calibrate
+                # the device band rate from it
+                _observe_device_band_rate(
+                    batch.padded_cells(),
+                    (t1 - t_host_done) - _fused_call_overhead(),
+                )
             self._fused_dispatches += 1
             _BATCH_TIMERS["calls"] += 1
             _BATCH_TIMERS["kernel"] += t1 - t_host_done
