@@ -36,9 +36,15 @@ from .fmindex import OCC_BLOCK, FmIndex
 class DeviceSingleIndex:
     bwt: jax.Array  # uint8 [n]
     occ: jax.Array  # int32 [nb, SIGMA]
+    # bit-plane occ dictionary (TPU-native EPR analogue, fmindex.hpp:8):
+    # uint32 [nb, SIGMA, OCC_BLOCK // 32]; bit j of word w in block b set
+    # iff bwt[b * OCC_BLOCK + 32 * w + j] == symbol. rank = checkpoint
+    # gather + masked lax.population_count — ~4x less gather traffic and
+    # ~20x less VPU work than the dense one-hot window path.
+    planes: jax.Array | None = None
 
     def tree_flatten(self):
-        return (self.bwt, self.occ), None
+        return (self.bwt, self.occ, self.planes), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -77,6 +83,7 @@ class DeviceIndex:
             return DeviceSingleIndex(
                 jnp.asarray(host.bwt, dtype=jnp.uint8),
                 jnp.asarray(host.occ_checkpoints, dtype=jnp.int32),
+                jnp.asarray(pack_bit_planes(host.bwt)),
             )
 
         return cls(
@@ -124,6 +131,65 @@ def index_size(index) -> int:
     return index.bwt.shape[0]
 
 
+def pack_bit_planes(bwt) -> "np.ndarray":
+    """Host-side bit-plane packing of a BWT for the planes rank path:
+    uint32 [num_blocks, SIGMA, OCC_BLOCK // 32], little-endian bit order
+    within each word (bit j of word w in block b <=> position
+    b * OCC_BLOCK + 32 * w + j)."""
+    import numpy as np
+
+    n = bwt.shape[0]
+    num_blocks = n // OCC_BLOCK + 1
+    padded = np.full(num_blocks * OCC_BLOCK, SIGMA, dtype=np.uint8)
+    padded[:n] = bwt  # pad symbol SIGMA: set in no plane
+    words_per_block = OCC_BLOCK // 32
+    planes = np.empty(
+        (num_blocks, SIGMA, words_per_block), dtype=np.uint32
+    )
+    view = padded.reshape(num_blocks, words_per_block, 32)
+    for symbol in range(SIGMA):
+        bits = view == symbol  # [nb, W, 32] bool
+        packed = np.packbits(bits, axis=-1, bitorder="little")  # [nb, W, 4]
+        planes[:, symbol, :] = (
+            np.ascontiguousarray(packed).view("<u4").reshape(
+                num_blocks, words_per_block
+            )
+        )
+    return planes
+
+
+def _rank_all_planes(occ, planes, positions) -> jax.Array:
+    """Bit-plane rank: [B] -> [B, SIGMA] via one checkpoint gather + one
+    plane-row gather + masked popcounts (the EPR checkpoint+prefix scheme
+    in TPU form)."""
+    block = positions // OCC_BLOCK
+    base = occ[block]  # [B, SIGMA]
+    r = (positions - block * OCC_BLOCK).astype(jnp.uint32)  # [B]
+    words_per_block = planes.shape[2]
+    rows = planes[block]  # [B, SIGMA, W]
+    # per-word masks: word w keeps its lowest clamp(r - 32w, 0, 32) bits
+    w_base = (
+        jnp.arange(words_per_block, dtype=jnp.uint32)[None, :] * 32
+    )  # [1, W]
+    bits_below = jnp.clip(
+        r[:, None].astype(jnp.int32) - w_base.astype(jnp.int32), 0, 32
+    )
+    partial = (
+        jnp.left_shift(
+            jnp.uint32(1), jnp.clip(bits_below, 0, 31).astype(jnp.uint32)
+        )
+        - jnp.uint32(1)
+    )
+    mask = jnp.where(
+        bits_below >= 32, jnp.uint32(0xFFFFFFFF), partial
+    )  # [B, W]
+    counts = jnp.sum(
+        jax.lax.population_count(rows & mask[:, None, :]).astype(jnp.int32),
+        axis=2,
+    )  # [B, SIGMA]
+    return base + counts
+
+
 def _rank_all_dense(bwt, occ, positions) -> jax.Array:
     block = positions // OCC_BLOCK
     base = occ[block]  # [B, SIGMA]
@@ -158,6 +224,8 @@ def rank_all(index, positions: jax.Array) -> jax.Array:
             index.bwt, index.occ.astype(jnp.int32), local_pos
         )
         return jax.lax.psum(local, index.axis_name)
+    if getattr(index, "planes", None) is not None:
+        return _rank_all_planes(index.occ, index.planes, positions)
     return _rank_all_dense(index.bwt, index.occ, positions)
 
 

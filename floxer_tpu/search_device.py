@@ -97,6 +97,15 @@ class DeviceSearcher:
     choice strategies, dominance sweep). Seeds that overflow the device
     buffers transparently fall back to the host DFS."""
 
+    # one fused dispatch per chunk (default) vs the legacy loop of one
+    # dispatch per [_BLOCK_SEEDS]-seed block per error class. The sharded
+    # searcher overrides this: its shard_map program is per-block.
+    _one_dispatch_chunk = not _os.environ.get(
+        "FLOXER_TPU_SEARCH_NO_CHUNK_FUSE"
+    )
+    # counts fused chunk dispatches for tests/diagnostics
+    _chunk_dispatches = 0
+
     def __init__(self, host_searcher, device_index: DeviceIndex):
         self._host = host_searcher
         self._device_index = device_index
@@ -133,6 +142,167 @@ class DeviceSearcher:
             report_cap,
             max_iter,
         )
+
+    def _run_chunk_fused(self, arrays):
+        """ONE device dispatch for a whole chunk's eligible seeds: every
+        (errors, length) pair becomes a class of one unified SchemeTables
+        (heterogeneous padding, see from_length_classes), seeds are packed
+        into [num_blocks, _BLOCK_SEEDS, pad_len] in gid order, and
+        _frontier_search_chunk scans the blocks inside a single jitted
+        program. Returns (report rows [k, 5] = gid, lb, lb_rev, len, err;
+        overflow gids)."""
+        eligible = np.flatnonzero(arrays.length_g <= _MAX_DEVICE_PATTERN)
+        if eligible.size == 0:
+            return (
+                np.zeros((0, 5), dtype=np.int64),
+                np.zeros(0, dtype=np.int64),
+            )
+        buffer = arrays.buffer
+        err_len = np.stack(
+            [arrays.errors_g[eligible], arrays.length_g[eligible]], axis=1
+        )
+        uniq_pairs, class_of = np.unique(
+            err_len, axis=0, return_inverse=True
+        )
+        class_searches = [
+            expand_scheme(int(e), int(length)) for e, length in uniq_pairs
+        ]
+        tables = SchemeTables.from_length_classes(class_searches)
+        pad_len = (
+            -(-int(arrays.length_g[eligible].max()) // _LEN_QUANTUM)
+            * _LEN_QUANTUM
+        )
+        max_iterations = (
+            pad_len + int(uniq_pairs[:, 0].max()) + 2 * tables.num_parts + 2
+        )
+
+        gather = arrays.offsets_g[eligible][:, None] + np.arange(
+            pad_len, dtype=np.int64
+        )
+        in_range = (
+            np.arange(pad_len, dtype=np.int64)[None, :]
+            < arrays.length_g[eligible][:, None]
+        )
+        patterns = np.where(
+            in_range,
+            buffer[np.minimum(gather, buffer.shape[0] - 1)],
+            0,
+        ).astype(np.int32)
+
+        S = _BLOCK_SEEDS
+        num_blocks = -(-eligible.size // S)
+        B = 1
+        while B < num_blocks:
+            B *= 2
+        pat_blocks = np.zeros((B * S, pad_len), dtype=np.int32)
+        pat_blocks[: eligible.size] = patterns
+        cls_blocks = np.full(B * S, tables.dead_class, dtype=np.int32)
+        cls_blocks[: eligible.size] = class_of
+        gid_blocks = np.zeros(B * S, dtype=np.int32)
+        gid_blocks[: eligible.size] = eligible
+
+        # shared global report budget: the legacy loop's 32 rows/seed,
+        # rounded to a power of two for a bounded compile-key set
+        r_total = 1 << 13
+        while r_total < 32 * eligible.size:
+            r_total *= 2
+
+        reports, count, overflow = _frontier_search_chunk(
+            self._device_index,
+            jnp.asarray(pat_blocks.reshape(B, S, pad_len)),
+            jnp.asarray(cls_blocks.reshape(B, S)),
+            jnp.asarray(gid_blocks.reshape(B, S)),
+            tables.start,
+            tables.end,
+            tables.direction,
+            tables.lower,
+            tables.upper,
+            tables.num_searches,
+            tables.num_parts,
+            _BLOCK_FRONTIER,
+            r_total,
+            max_iterations,
+        )
+        type(self)._chunk_dispatches += 1
+        count = int(np.asarray(count))
+        # download only the used prefix (padded to a power of two so the
+        # slice program set stays bounded)
+        n_pad = 1
+        while n_pad < max(count, 1):
+            n_pad *= 2
+        n_pad = min(n_pad, r_total)
+        raw = np.asarray(reports[:n_pad])[:count]
+        overflow = np.asarray(overflow).reshape(-1)
+
+        rows = np.empty((count, 5), dtype=np.int64)
+        rows[:, 0] = raw[:, 4]  # gid (written on device)
+        rows[:, 1:] = raw[:, :4]
+        ovf_gids = gid_blocks[
+            np.flatnonzero(overflow[: B * S])
+        ]
+        # padding seeds never report and never overflow (dead class), but
+        # gid 0 padding rows must not drag seed 0 into the redo set
+        ovf_gids = ovf_gids[
+            np.flatnonzero(overflow[: B * S]) < eligible.size
+        ]
+        return rows, np.unique(ovf_gids).astype(np.int64)
+
+    def _legacy_block_loop(self, arrays, inflight, drain_one):
+        """One _run_block dispatch per [_BLOCK_SEEDS]-seed block per error
+        class (the pre-round-4 execution shape; the sharded searcher's
+        shard_map program still runs this way)."""
+        buffer = arrays.buffer
+        for errors in np.unique(arrays.errors_g).tolist():
+            sel = np.flatnonzero(
+                (arrays.errors_g == errors)
+                & (arrays.length_g <= _MAX_DEVICE_PATTERN)
+            )
+            if sel.shape[0] == 0:
+                continue
+            lengths = arrays.length_g[sel]
+            uniq_lens, len_class = np.unique(lengths, return_inverse=True)
+            class_searches = [
+                expand_scheme(errors, int(length)) for length in uniq_lens
+            ]
+            tables = SchemeTables.from_length_classes(class_searches)
+            pad_len = -(-int(uniq_lens.max()) // _LEN_QUANTUM) * _LEN_QUANTUM
+            max_iterations = (
+                pad_len + int(errors) + 2 * tables.num_parts + 2
+            )
+            # gather all patterns of this class: [n_sel, pad_len]
+            gather = arrays.offsets_g[sel][:, None] + np.arange(
+                pad_len, dtype=np.int64
+            )
+            in_range = (
+                np.arange(pad_len, dtype=np.int64)[None, :]
+                < lengths[:, None]
+            )
+            patterns = np.where(
+                in_range,
+                buffer[np.minimum(gather, buffer.shape[0] - 1)],
+                0,
+            ).astype(np.int32)
+
+            for base in range(0, sel.shape[0], _BLOCK_SEEDS):
+                stop = min(base + _BLOCK_SEEDS, sel.shape[0])
+                n_real = stop - base
+                padded = np.zeros((_BLOCK_SEEDS, pad_len), dtype=np.int32)
+                padded[:n_real] = patterns[base:stop]
+                seed_class = np.full(
+                    _BLOCK_SEEDS, tables.dead_class, dtype=np.int32
+                )
+                seed_class[:n_real] = len_class[base:stop]
+                out = self._run_block(
+                    padded,
+                    seed_class,
+                    tables,
+                    _BLOCK_FRONTIER,
+                    _BLOCK_REPORTS,
+                    max_iterations,
+                )
+                inflight.append((out, sel[base:stop], n_real))
+                while len(inflight) >= _INFLIGHT_BLOCKS:
+                    drain_one()
 
     def search_seeds_many(self, jobs):
         """Chunk-level device search: every job's seeds (all queries of a
@@ -217,71 +387,29 @@ class DeviceSearcher:
         # They join the native-DFS redo set, which is faster for them anyway.
         long_gids = np.flatnonzero(arrays.length_g > _MAX_DEVICE_PATTERN)
 
-        for errors in np.unique(arrays.errors_g).tolist():
-            sel = np.flatnonzero(
-                (arrays.errors_g == errors)
-                & (arrays.length_g <= _MAX_DEVICE_PATTERN)
-            )
-            if sel.shape[0] == 0:
-                continue
-            lengths = arrays.length_g[sel]
-            uniq_lens, len_class = np.unique(lengths, return_inverse=True)
-            class_searches = [
-                expand_scheme(errors, int(length)) for length in uniq_lens
-            ]
-            tables = SchemeTables.from_length_classes(class_searches)
-            pad_len = -(-int(uniq_lens.max()) // _LEN_QUANTUM) * _LEN_QUANTUM
-            max_iterations = (
-                pad_len + int(errors) + 2 * tables.num_parts + 2
-            )
-            # gather all patterns of this class: [n_sel, pad_len]
-            gather = arrays.offsets_g[sel][:, None] + np.arange(
-                pad_len, dtype=np.int64
-            )
-            in_range = (
-                np.arange(pad_len, dtype=np.int64)[None, :]
-                < lengths[:, None]
-            )
-            patterns = np.where(
-                in_range,
-                buffer[np.minimum(gather, buffer.shape[0] - 1)],
-                0,
-            ).astype(np.int32)
-
-            for base in range(0, sel.shape[0], _BLOCK_SEEDS):
-                stop = min(base + _BLOCK_SEEDS, sel.shape[0])
-                n_real = stop - base
-                padded = np.zeros((_BLOCK_SEEDS, pad_len), dtype=np.int32)
-                padded[:n_real] = patterns[base:stop]
-                seed_class = np.full(
-                    _BLOCK_SEEDS, tables.dead_class, dtype=np.int32
-                )
-                seed_class[:n_real] = len_class[base:stop]
-                out = self._run_block(
-                    padded,
-                    seed_class,
-                    tables,
-                    _BLOCK_FRONTIER,
-                    _BLOCK_REPORTS,
-                    max_iterations,
-                )
-                inflight.append((out, sel[base:stop], n_real))
-                while len(inflight) >= _INFLIGHT_BLOCKS:
-                    drain_one()
-        while inflight:
-            drain_one()
-
         report_rows = []  # each [k, 5]: gid, lb, lb_rev, len, err
         overflow_gids = []
-        for reports, num_reports, overflow, gids, n_real in pending:
-            reports = reports[:num_reports]
-            local = reports[:, 4]
-            keep = local < n_real
-            rows = np.empty((int(keep.sum()), 5), dtype=np.int64)
-            rows[:, 0] = gids[local[keep]]
-            rows[:, 1:] = reports[keep, :4]
+        if self._one_dispatch_chunk:
+            # ONE device dispatch for the whole chunk (all error classes,
+            # all length classes): see _frontier_search_chunk
+            rows, ovf_gids = self._run_chunk_fused(arrays)
             report_rows.append(rows)
-            overflow_gids.append(gids[np.flatnonzero(overflow[:n_real])])
+            overflow_gids.append(ovf_gids)
+        else:
+            self._legacy_block_loop(arrays, inflight, drain_one)
+            while inflight:
+                drain_one()
+            for reports, num_reports, overflow, gids, n_real in pending:
+                reports = reports[:num_reports]
+                local = reports[:, 4]
+                keep = local < n_real
+                rows = np.empty((int(keep.sum()), 5), dtype=np.int64)
+                rows[:, 0] = gids[local[keep]]
+                rows[:, 1:] = reports[keep, :4]
+                report_rows.append(rows)
+                overflow_gids.append(
+                    gids[np.flatnonzero(overflow[:n_real])]
+                )
 
         redo_parts = [long_gids] + (
             [np.concatenate(overflow_gids)] if overflow_gids else []
@@ -606,9 +734,22 @@ class SchemeTables:
     def from_length_classes(
         cls, class_searches: list[tuple[ExpandedSearch, ...]]
     ):
+        """Classes may be heterogeneous (different error counts => different
+        search and part counts): shapes pad to the maxima. A class's missing
+        SEARCHES get dead rows (empty span, lower 1: the initial state dies
+        at its first boundary check without expanding or reporting). A
+        search's missing trailing PARTS become continuation pads (empty
+        span, direction +1, lower/upper copied from the search's last real
+        part): a state finishing the real scheme steps through each pad in
+        one boundary-advance iteration and reports at the global last part
+        — same reports, same DFS order."""
         num_real = len(class_searches)
-        num_searches = len(class_searches[0])
-        num_parts = len(class_searches[0][0].pi)
+        num_searches = max(len(s) for s in class_searches)
+        num_parts = max(
+            len(search.pi)
+            for searches in class_searches
+            for search in searches
+        )
         num_classes = 2
         while num_classes < num_real + 1:
             num_classes *= 2
@@ -620,11 +761,17 @@ class SchemeTables:
         upper = np.zeros_like(start)
         for c, searches in enumerate(class_searches):
             for s, search in enumerate(searches):
-                for j in range(num_parts):
+                real_parts = len(search.pi)
+                for j in range(real_parts):
                     start[c, s, j], end[c, s, j] = search.part_spans[j]
                     direction[c, s, j] = search.directions[j]
                     lower[c, s, j] = search.lower[j]
                     upper[c, s, j] = search.upper[j]
+                for j in range(real_parts, num_parts):
+                    start[c, s, j] = end[c, s, j] = 0
+                    direction[c, s, j] = 1
+                    lower[c, s, j] = search.lower[real_parts - 1]
+                    upper[c, s, j] = search.upper[real_parts - 1]
         return cls(
             jnp.asarray(start),
             jnp.asarray(end),
@@ -642,20 +789,10 @@ class SchemeTables:
         return cls.from_length_classes([list(searches)])
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "num_searches",
-        "num_parts",
-        "frontier_capacity",
-        "report_capacity",
-        "max_iterations",
-    ),
-)
-def _frontier_search(
-    index: DeviceIndex,
-    patterns: jnp.ndarray,  # int32 [num_seeds, max_len] padded
-    seed_class: jnp.ndarray,  # int32 [num_seeds] scheme-class per seed
+def _frontier_block(
+    index,
+    patterns,  # int32 [num_seeds, max_len] padded
+    seed_class,  # int32 [num_seeds] scheme-class per seed
     scheme_start,  # int32 [num_classes, num_searches, num_parts]
     scheme_end,
     scheme_direction,
@@ -664,18 +801,14 @@ def _frontier_search(
     num_searches: int,
     num_parts: int,
     frontier_capacity: int,
-    report_capacity: int,
     max_iterations: int,
 ):
-    """Returns (reports [R, 5], num_reports, overflow_flags [num_seeds]).
-
-    Reports come back in EXACT host-DFS order per seed (module docstring):
-    the frontier is a DFS-prefix ordering at every iteration, finished
-    states persist in place as done rows, and the final frontier's done
-    rows in slot order are the DFS leaf order."""
+    """One block's frontier program: initial frontier, expand scan,
+    returning (final_state, overflow [num_seeds]). Shared by the
+    per-block jit (_frontier_search) and the one-dispatch chunk program
+    (_frontier_search_chunk)."""
     num_seeds = patterns.shape[0]
     C = frontier_capacity
-    R = report_capacity
     from .index.device_index import index_size
 
     n = index_size(index.fwd)
@@ -928,6 +1061,55 @@ def _frontier_search(
         None,
         length=max_iterations,
     )
+    return final_state, overflow
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_searches",
+        "num_parts",
+        "frontier_capacity",
+        "report_capacity",
+        "max_iterations",
+    ),
+)
+def _frontier_search(
+    index: DeviceIndex,
+    patterns: jnp.ndarray,  # int32 [num_seeds, max_len] padded
+    seed_class: jnp.ndarray,  # int32 [num_seeds] scheme-class per seed
+    scheme_start,  # int32 [num_classes, num_searches, num_parts]
+    scheme_end,
+    scheme_direction,
+    scheme_lower,
+    scheme_upper,
+    num_searches: int,
+    num_parts: int,
+    frontier_capacity: int,
+    report_capacity: int,
+    max_iterations: int,
+):
+    """Returns (reports [R, 5], num_reports, overflow_flags [num_seeds]).
+
+    Reports come back in EXACT host-DFS order per seed (module docstring):
+    the frontier is a DFS-prefix ordering at every iteration, finished
+    states persist in place as done rows, and the final frontier's done
+    rows in slot order are the DFS leaf order."""
+    R = report_capacity
+    final_state, overflow = _frontier_block(
+        index,
+        patterns,
+        seed_class,
+        scheme_start,
+        scheme_end,
+        scheme_direction,
+        scheme_lower,
+        scheme_upper,
+        num_searches,
+        num_parts,
+        frontier_capacity,
+        max_iterations,
+    )
 
     # final frontier's done rows in slot order = exact DFS leaf order
     done = final_state["done"] & final_state["present"]
@@ -950,6 +1132,96 @@ def _frontier_search(
     overflow = overflow.at[final_state["seed"]].max(report_overflow)
     num_reports = jnp.minimum(jnp.sum(done.astype(jnp.int32)), R)
     return reports, num_reports, overflow
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_searches",
+        "num_parts",
+        "frontier_capacity",
+        "report_capacity",
+        "max_iterations",
+    ),
+)
+def _frontier_search_chunk(
+    index: DeviceIndex,
+    patterns: jnp.ndarray,  # int32 [num_blocks, block_seeds, max_len]
+    seed_class: jnp.ndarray,  # int32 [num_blocks, block_seeds]
+    gids: jnp.ndarray,  # int32 [num_blocks, block_seeds] global seed ids
+    scheme_start,  # int32 [num_classes, num_searches, num_parts]
+    scheme_end,
+    scheme_direction,
+    scheme_lower,
+    scheme_upper,
+    num_searches: int,
+    num_parts: int,
+    frontier_capacity: int,
+    report_capacity: int,
+    max_iterations: int,
+):
+    """ONE-dispatch chunk search (VERDICT r3 item 2): every block of the
+    chunk runs inside a single jitted program — a lax.scan over blocks,
+    each step the same frontier program as _frontier_search — with all
+    blocks' reports compacted into one global buffer. Per-chunk device
+    cost: one upload + one dispatch + one (count, prefix) download,
+    mirroring what ops/fused_verify.py does for verification waves.
+
+    Returns (reports [R, 5] = (lb, lb_rev, length, errors, gid),
+    num_reports, overflow [num_blocks, block_seeds]). Reports preserve
+    per-seed DFS order: within a block by the frontier-slot invariant,
+    across blocks because each seed lives in exactly one block and blocks
+    append in order."""
+    R = report_capacity
+
+    def one_block(carry, xs):
+        buffer, count = carry
+        patterns_blk, class_blk, gids_blk = xs
+        final_state, ovf = _frontier_block(
+            index,
+            patterns_blk,
+            class_blk,
+            scheme_start,
+            scheme_end,
+            scheme_direction,
+            scheme_lower,
+            scheme_upper,
+            num_searches,
+            num_parts,
+            frontier_capacity,
+            max_iterations,
+        )
+        done = final_state["done"] & final_state["present"]
+        local_idx = jnp.cumsum(done.astype(jnp.int32)) - 1
+        global_idx = count + local_idx
+        can_write = done & (global_idx < R)
+        rows = jnp.stack(
+            [
+                final_state["lb"],
+                final_state["lb_rev"],
+                final_state["length"],
+                final_state["errors"],
+                gids_blk[final_state["seed"]],
+            ],
+            axis=1,
+        )
+        buffer = buffer.at[
+            jnp.where(can_write, global_idx, R + 1)
+        ].set(rows, mode="drop")
+        # a seed with ANY dropped report must be redone on the host; its
+        # already-written rows are discarded there by the redo mask
+        report_ovf = done & (global_idx >= R)
+        ovf = ovf.at[final_state["seed"]].max(report_ovf)
+        count = jnp.minimum(count + jnp.sum(done.astype(jnp.int32)), R)
+        return (buffer, count), ovf
+
+    buffer0 = jnp.zeros((R, 5), dtype=jnp.int32)
+    (buffer, count), overflow = jax.lax.scan(
+        one_block,
+        (buffer0, jnp.int32(0)),
+        (patterns, seed_class, gids),
+    )
+    return buffer, count, overflow
 
 
 def search_seeds_device(
@@ -1048,6 +1320,10 @@ class ShardedDeviceSearcher(DeviceSearcher):
     hg38-scale configuration where the occurrence table does not fit one
     chip's HBM. Anchor post-processing and locate stay on the host path,
     identical to DeviceSearcher."""
+
+    # the shard_map frontier program is built per block; chunk fusion of
+    # the sharded program is future work
+    _one_dispatch_chunk = False
 
     def __init__(self, host_searcher, mesh, sharded_host_index):
         self._host = host_searcher

@@ -74,3 +74,32 @@ def test_locate_batch_matches_host():
     for i, row in enumerate(rows):
         want_seq, want_pos = host.locate(int(row))
         assert (seq_ids[i], positions[i]) == (want_seq, want_pos), f"row {row}"
+
+
+def test_rank_all_planes_matches_dense():
+    """Bit-plane rank (population_count path) == dense one-hot rank at
+    every position incl. block boundaries and n itself."""
+    from floxer_tpu.index.device_index import _rank_all_dense
+
+    rng = np.random.default_rng(5)
+    seqs = [rng.integers(1, 6, size=517).astype(np.uint8)]
+    host = FmIndex(seqs)
+    device = DeviceIndex.from_host(host)
+    assert device.fwd.planes is not None
+    n = host.fwd.bwt.shape[0]
+    positions = np.unique(
+        np.concatenate(
+            [
+                rng.integers(0, n + 1, size=256),
+                np.arange(0, n + 1, 128),
+                np.array([0, 1, 31, 32, 33, 63, 64, 127, 128, 129, n]),
+            ]
+        )
+    ).astype(np.int32)
+    got = np.asarray(rank_all(device.fwd, jnp.asarray(positions)))
+    want = np.asarray(
+        _rank_all_dense(
+            device.fwd.bwt, device.fwd.occ, jnp.asarray(positions)
+        )
+    )
+    assert np.array_equal(got, want)

@@ -430,15 +430,18 @@ def test_chunk_device_search_long_seeds_use_host_redo(indexes):
         jobs.append((seeds, query))
 
     dispatched_lengths = []
-    orig = device_searcher._run_block
+    orig_chunk = sd._frontier_search_chunk
 
-    def traced(padded, seed_class, tables, fcap, rcap, max_iter):
-        dispatched_lengths.append(padded.shape[1])
-        return orig(padded, seed_class, tables, fcap, rcap, max_iter)
+    def traced_chunk(index, patterns, *args, **kwargs):
+        dispatched_lengths.append(patterns.shape[2])
+        return orig_chunk(index, patterns, *args, **kwargs)
 
-    device_searcher._run_block = traced
-    want = searcher.search_seeds_many(jobs)
-    got = device_searcher.search_seeds_many(jobs)
+    sd._frontier_search_chunk = traced_chunk
+    try:
+        want = searcher.search_seeds_many(jobs)
+        got = device_searcher.search_seeds_many(jobs)
+    finally:
+        sd._frontier_search_chunk = orig_chunk
     assert dispatched_lengths, "short seeds should still use the device"
     assert max(dispatched_lengths) <= sd._MAX_DEVICE_PATTERN + 31
     assert len(got) == len(want)
@@ -446,8 +449,49 @@ def test_chunk_device_search_long_seeds_use_host_redo(indexes):
         assert _result_view(g, 2) == _result_view(w, 2), f"job {j}"
 
     # the per-query path takes the same guard
-    device_searcher._run_block = orig
     for seeds, query in jobs:
         per_query = device_searcher.search_seeds(seeds, query)
         chunk = device_searcher.search_seeds_many([(seeds, query)])[0]
         assert _result_view(per_query, 2) == _result_view(chunk, 2)
+
+
+def test_chunk_search_is_one_dispatch(indexes):
+    """VERDICT r3 item 2: the whole chunk — mixed error counts and seed
+    lengths — runs as ONE _frontier_search_chunk dispatch, bit-equal to
+    the host chunk path."""
+    from floxer_tpu import search_device as sd
+    from floxer_tpu.search_host import SearchConfig, Searcher
+
+    host, device, sequences = indexes
+    rng = np.random.default_rng(99)
+    searcher = Searcher(
+        index=host, num_reference_sequences=len(sequences),
+        config=SearchConfig(),
+    )
+    device_searcher = sd.DeviceSearcher(searcher, device)
+    jobs = _make_chunk_jobs(sequences, rng, 10, (8, 20), k=2)
+    # assert the mix really spans several error classes
+    errors = {
+        s.num_errors for seeds, _ in jobs for s in seeds
+    }
+    assert len(errors) > 1
+
+    calls = []
+    orig = sd._frontier_search_chunk
+
+    def traced(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    sd._frontier_search_chunk = traced
+    try:
+        got = device_searcher.search_seeds_many(jobs)
+    finally:
+        sd._frontier_search_chunk = orig
+    assert len(calls) == 1, f"{len(calls)} dispatches for one chunk"
+
+    want = searcher.search_seeds_many(jobs)
+    for j, (w, g) in enumerate(zip(want, got)):
+        assert _result_view(g, len(sequences)) == _result_view(
+            w, len(sequences)
+        ), f"job {j}"
