@@ -102,8 +102,8 @@ def _index_structure():
     from ..index.device_index import DeviceSingleIndex
 
     zero = jnp.zeros((1,), dtype=jnp.int32)
-    single = DeviceSingleIndex(zero, zero)
-    return DeviceIndex(single, single, zero, zero, zero, zero)
+    single = DeviceSingleIndex(zero, zero, zero)
+    return DeviceIndex(single, single, zero, zero, zero, zero, zero, zero)
 
 
 def allreduce_stats(sums, mins, maxs):

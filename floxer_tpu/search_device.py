@@ -191,9 +191,12 @@ class DeviceSearcher:
 
         S = _BLOCK_SEEDS
         num_blocks = -(-eligible.size // S)
-        B = 1
-        while B < num_blocks:
-            B *= 2
+        # round the block count up to 3 significant bits: bounded
+        # compile-key set (~3 shapes per octave) at <= 14% padding waste —
+        # a full power-of-two round-up would double the scan length for a
+        # 1043-block chr21 chunk
+        granule = 1 << max(0, num_blocks.bit_length() - 3)
+        B = -(-num_blocks // granule) * granule
         pat_blocks = np.zeros((B * S, pad_len), dtype=np.int32)
         pat_blocks[: eligible.size] = patterns
         cls_blocks = np.full(B * S, tables.dead_class, dtype=np.int32)
@@ -232,19 +235,19 @@ class DeviceSearcher:
             n_pad *= 2
         n_pad = min(n_pad, r_total)
         raw = np.asarray(reports[:n_pad])[:count]
-        overflow = np.asarray(overflow).reshape(-1)
+        overflow = np.asarray(overflow)  # [B] per-block scalar flags
 
         rows = np.empty((count, 5), dtype=np.int64)
         rows[:, 0] = raw[:, 4]  # gid (written on device)
         rows[:, 1:] = raw[:, :4]
-        ovf_gids = gid_blocks[
-            np.flatnonzero(overflow[: B * S])
-        ]
-        # padding seeds never report and never overflow (dead class), but
-        # gid 0 padding rows must not drag seed 0 into the redo set
-        ovf_gids = ovf_gids[
-            np.flatnonzero(overflow[: B * S]) < eligible.size
-        ]
+        # a flagged block redoes ALL its (real) seeds on the host DFS —
+        # the conservative counterpart of the old per-seed eviction flags
+        ovf_blocks = np.flatnonzero(overflow)
+        positions = (
+            ovf_blocks[:, None] * S + np.arange(S, dtype=np.int64)[None, :]
+        ).reshape(-1)
+        positions = positions[positions < eligible.size]
+        ovf_gids = gid_blocks[positions]
         return rows, np.unique(ovf_gids).astype(np.int64)
 
     def _legacy_block_loop(self, arrays, inflight, drain_one):
@@ -843,7 +846,30 @@ def _frontier_block(
         "present": jnp.zeros((C,), dtype=bool).at[:init_count].set(True),
     }
 
-    overflow0 = jnp.zeros((num_seeds,), dtype=bool)
+    overflow0 = jnp.asarray(False)  # scalar: any eviction in any iteration
+
+    # fused scheme-row table: ONE [T, 8] row per (class, search, part)
+    # carrying every scalar the expand step needs — direction, start, end,
+    # lower, upper, and the NEXT part's direction/start/end — so the eight
+    # 3D table gathers per iteration collapse into one row gather. Built
+    # from the input tables at trace time; loop-invariant, hoisted out of
+    # the scan by XLA.
+    def roll_next(table):
+        return jnp.concatenate([table[:, :, 1:], table[:, :, -1:]], axis=2)
+
+    scheme_fused = jnp.stack(
+        [
+            scheme_direction,
+            scheme_start,
+            scheme_end,
+            scheme_lower,
+            scheme_upper,
+            roll_next(scheme_direction),
+            roll_next(scheme_start),
+            roll_next(scheme_end),
+        ],
+        axis=3,
+    ).reshape(-1, 8)
 
     def expand(carry, _):
         state, overflow = carry
@@ -853,11 +879,13 @@ def _frontier_block(
         search = state["search"]
         cls = seed_class[state["seed"]]
         part = jnp.clip(state["part"], 0, num_parts - 1)
-        direction = scheme_direction[cls, search, part]
-        p_start = scheme_start[cls, search, part]
-        p_end = scheme_end[cls, search, part]
-        upper = scheme_upper[cls, search, part]
-        lower = scheme_lower[cls, search, part]
+        fused_idx = (cls * num_searches + search) * num_parts + part
+        row = scheme_fused[fused_idx]  # [C, 8]
+        direction = row[:, 0]
+        p_start = row[:, 1]
+        p_end = row[:, 2]
+        lower = row[:, 3]
+        upper = row[:, 4]
 
         pos = state["pos"]
         at_boundary = jnp.where(
@@ -870,12 +898,10 @@ def _frontier_block(
         advancing = at_boundary & meets_lower & ~finished
         # killed_lower states simply contribute no entries below
 
-        next_part = jnp.clip(state["part"] + 1, 0, num_parts - 1)
-        next_dir = scheme_direction[cls, search, next_part]
         next_first = jnp.where(
-            next_dir > 0,
-            scheme_start[cls, search, next_part],
-            scheme_end[cls, search, next_part] - 1,
+            row[:, 5] > 0,
+            row[:, 6],
+            row[:, 7] - 1,
         )
 
         # self-keeping slots: already-done rows hold their DFS position;
@@ -898,22 +924,53 @@ def _frontier_block(
         base_fwd = jnp.where(expanding, lb, 0)
         base_rev = jnp.where(expanding, lb_rev, 0)
         base = jnp.where(left, base_fwd, base_rev)
-        lo = jnp.where(
-            left[:, None],
-            rank_all(index.fwd, base_fwd),
-            rank_all(index.rev, base_rev),
-        )
-        hi = jnp.where(
-            left[:, None],
-            rank_all(index.fwd, base_fwd + jnp.where(expanding, length, 0)),
-            rank_all(index.rev, base_rev + jnp.where(expanding, length, 0)),
-        )
-        counts = hi - lo  # [C, SIGMA]
-        prefix = jnp.cumsum(counts, axis=1) - counts
-        child_primary = index.C[None, :SIGMA] + lo  # new lb (left) / lb_rev
-        child_secondary = jnp.where(left[:, None], lb_rev[:, None], lb[:, None]) + prefix
-        child_lb = jnp.where(left[:, None], child_primary, child_secondary)
-        child_lb_rev = jnp.where(left[:, None], child_secondary, child_primary)
+        if getattr(index, "rank_rows", None) is not None:
+            # combined (checkpoint | planes) table, fwd ++ rev: the whole
+            # rank pair is TWO gathers instead of eight (device_index
+            # rank_rows docstring) — the dominant per-iteration cost here
+            # is kernel-launch count, not bytes
+            from .index.device_index import rank_rows_lookup
+            from .index.fmindex import OCC_BLOCK
+
+            pos_lo = base + jnp.where(
+                left, 0, index.rev_block_offset * OCC_BLOCK
+            )
+            length_m = jnp.where(expanding, length, 0)
+            lo = rank_rows_lookup(index.rank_rows, pos_lo)
+            hi = rank_rows_lookup(index.rank_rows, pos_lo + length_m)
+        else:
+            lo = jnp.where(
+                left[:, None],
+                rank_all(index.fwd, base_fwd),
+                rank_all(index.rev, base_rev),
+            )
+            hi = jnp.where(
+                left[:, None],
+                rank_all(
+                    index.fwd, base_fwd + jnp.where(expanding, length, 0)
+                ),
+                rank_all(
+                    index.rev, base_rev + jnp.where(expanding, length, 0)
+                ),
+            )
+        if isinstance(lo, (list, tuple)):
+            lo_s, hi_s = list(lo), list(hi)
+        else:  # dense fallback returns [C, SIGMA]
+            lo_s = [lo[:, s] for s in range(SIGMA)]
+            hi_s = [hi[:, s] for s in range(SIGMA)]
+        # per-symbol [C] vectors throughout: [C, SIGMA]-shaped arithmetic
+        # tiles as (8, 128) with 6 lanes used — ~5% VPU efficiency; the
+        # same math as SIGMA separate [C] vectors is full-width
+        counts_s = [hi_s[s] - lo_s[s] for s in range(SIGMA)]
+        child_lb_s, child_lb_rev_s = [], []
+        secondary_base = jnp.where(left, lb_rev, lb)
+        running = jnp.zeros_like(lb)
+        for s in range(SIGMA):
+            primary = index.C[s] + lo_s[s]
+            secondary = secondary_base + running
+            running = running + counts_s[s]
+            child_lb_s.append(jnp.where(left, primary, secondary))
+            child_lb_rev_s.append(jnp.where(left, secondary, primary))
 
         pattern_symbol = patterns[state["seed"], jnp.clip(state["pos"], 0, patterns.shape[1] - 1)]
         budget_left = state["errors"] < upper
@@ -927,10 +984,15 @@ def _frontier_block(
         #   2..6    substitutions, symbols 1..5 (pattern symbol skipped)
         #   7..11   insertions, symbols 1..5
         #   12      deletion
-        sym_col = pattern_symbol[:, None]  # [C, 1]
-        match_lb = jnp.take_along_axis(child_lb, sym_col, axis=1)[:, 0]
-        match_lb_rev = jnp.take_along_axis(child_lb_rev, sym_col, axis=1)[:, 0]
-        match_count = jnp.take_along_axis(counts, sym_col, axis=1)[:, 0]
+        def select_by_symbol(per_symbol):
+            out = per_symbol[0]
+            for s in range(1, SIGMA):
+                out = jnp.where(pattern_symbol == s, per_symbol[s], out)
+            return out
+
+        match_lb = select_by_symbol(child_lb_s)
+        match_lb_rev = select_by_symbol(child_lb_rev_s)
+        match_count = select_by_symbol(counts_s)
 
         child_defs = [
             # self: carries done/advancing bookkeeping, fields otherwise kept
@@ -964,14 +1026,14 @@ def _frontier_block(
                 expanding
                 & budget_left
                 & (pattern_symbol != symbol)
-                & (counts[:, symbol] > 0)
+                & (counts_s[symbol] > 0)
             )
             child_defs.append(
                 dict(
                     valid=valid,
-                    lb=child_lb[:, symbol],
-                    lb_rev=child_lb_rev[:, symbol],
-                    length=counts[:, symbol],
+                    lb=child_lb_s[symbol],
+                    lb_rev=child_lb_rev_s[symbol],
+                    length=counts_s[symbol],
                     pos=state["pos"] + direction,
                     errors=state["errors"] + 1,
                     last_op=jnp.full((C,), _OP_M, dtype=jnp.int32),
@@ -984,15 +1046,15 @@ def _frontier_block(
             valid = (
                 expanding
                 & budget_left
-                & (counts[:, symbol] > 0)
+                & (counts_s[symbol] > 0)
                 & (state["last_op"] != _OP_D)
             )
             child_defs.append(
                 dict(
                     valid=valid,
-                    lb=child_lb[:, symbol],
-                    lb_rev=child_lb_rev[:, symbol],
-                    length=counts[:, symbol],
+                    lb=child_lb_s[symbol],
+                    lb_rev=child_lb_rev_s[symbol],
+                    length=counts_s[symbol],
                     pos=state["pos"],
                     errors=state["errors"] + 1,
                     last_op=jnp.full((C,), _OP_I, dtype=jnp.int32),
@@ -1021,36 +1083,79 @@ def _frontier_block(
         def stack(field_name):
             return jnp.stack([c[field_name] for c in child_defs], axis=1)
 
-        child_valid = jnp.stack([c["valid"] for c in child_defs], axis=1)
-        flat_valid = child_valid.reshape(-1)
-        target = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
-        child_overflow = flat_valid & (target >= C)
-        parent_seed = jnp.repeat(state["seed"], num_kinds)
-        overflow = overflow.at[parent_seed].max(child_overflow)
-        write = flat_valid & (target < C)
+        # ---- two-level stream compaction, scatter+cummax form ----
+        # Per-iteration cost is dominated by row-count-proportional
+        # gather/scatter launches (~30 ns/row on this chip), so the
+        # compaction uses O(1) of them: per-row child counts and local
+        # prefixes are elementwise over 13 [C] vectors; the output-slot ->
+        # source-row map is ONE [C]-row scatter of row ids at the rows'
+        # output offsets followed by a cummax (the classic repeat-by-
+        # counts construction); the fields move in ONE 10-wide row gather.
+        # The earlier jnp.searchsorted form paid 19 binary-search gathers
+        # per iteration (profiled at 4.4 ms/iter of the 12.6 total).
+        valid_k = [c["valid"] for c in child_defs]
+        local_excl = []  # exclusive prefix of valid over kinds, [C] each
+        row_count = jnp.zeros((C,), dtype=jnp.int32)
+        for k in range(num_kinds):
+            local_excl.append(row_count)
+            row_count = row_count + valid_k[k].astype(jnp.int32)
+        row_offset_incl = jnp.cumsum(row_count)
+        row_offset_excl = row_offset_incl - row_count
+        total = row_offset_incl[-1]
+        overflow = overflow | (total > C)
+        present_new = jnp.arange(C, dtype=jnp.int32) < jnp.minimum(total, C)
 
-        def scatter_ok(field_values, fill):
-            flat = field_values.reshape(-1)
-            out = jnp.full((C,), fill, dtype=jnp.int32)
-            return out.at[jnp.where(write, target, C + 1)].set(flat, mode="drop")
+        ind = jnp.zeros((C,), dtype=jnp.int32).at[
+            jnp.where(row_count > 0, row_offset_excl, C + 1)
+        ].set(jnp.arange(1, C + 1, dtype=jnp.int32), mode="drop")
+        row_for_j = jnp.maximum(jax.lax.cummax(ind) - 1, 0)  # [C]
+        slot_for_j = (
+            jnp.arange(C, dtype=jnp.int32) - row_offset_excl[row_for_j]
+        )
+        # local kind index whose exclusive prefix equals the slot
+        local_rows = jnp.stack(local_excl, axis=1)[row_for_j]  # [C, 13]
+        valid_rows = jnp.stack(valid_k, axis=1)[row_for_j]  # [C, 13]
+        k_match = (local_rows == slot_for_j[:, None]) & valid_rows
+        k_for_j = jnp.argmax(k_match, axis=1).astype(jnp.int32)
+        src = jnp.minimum(
+            row_for_j * num_kinds + k_for_j, C * num_kinds - 1
+        )
 
-        total = jnp.sum(flat_valid.astype(jnp.int32))
+        # ONE [C * 13, F] tensor for all fields, ONE gather: the field
+        # stacking is elementwise (fuses into one kernel); ten separate
+        # per-field gathers were ten kernel launches per iteration
+        broadcast_kinds = jnp.ones((C, num_kinds), dtype=jnp.int32)
+        fields = jnp.stack(
+            [
+                stack("lb"),
+                stack("lb_rev"),
+                stack("length"),
+                stack("pos"),
+                stack("errors"),
+                stack("last_op"),
+                stack("part"),
+                state["search"][:, None] * broadcast_kinds,
+                state["seed"][:, None] * broadcast_kinds,
+                stack("done").astype(jnp.int32),
+            ],
+            axis=2,
+        ).reshape(C * num_kinds, 10)
+        packed = jnp.where(
+            present_new[:, None], fields[src], 0
+        )  # [C, 10]
+
         new_state = {
-            "lb": scatter_ok(stack("lb"), 0),
-            "lb_rev": scatter_ok(stack("lb_rev"), 0),
-            "length": scatter_ok(stack("length"), 0),
-            "pos": scatter_ok(stack("pos"), 0),
-            "errors": scatter_ok(stack("errors"), 0),
-            "last_op": scatter_ok(stack("last_op"), _OP_M),
-            "part": scatter_ok(stack("part"), 0),
-            "search": scatter_ok(
-                jnp.repeat(state["search"], num_kinds).reshape(C, num_kinds), 0
-            ),
-            "seed": scatter_ok(
-                jnp.repeat(state["seed"], num_kinds).reshape(C, num_kinds), 0
-            ),
-            "done": scatter_ok(stack("done").astype(jnp.int32), 0) > 0,
-            "present": jnp.arange(C, dtype=jnp.int32) < jnp.minimum(total, C),
+            "lb": packed[:, 0],
+            "lb_rev": packed[:, 1],
+            "length": packed[:, 2],
+            "pos": packed[:, 3],
+            "errors": packed[:, 4],
+            "last_op": jnp.where(present_new, packed[:, 5], _OP_M),
+            "part": packed[:, 6],
+            "search": packed[:, 7],
+            "seed": packed[:, 8],
+            "done": packed[:, 9] > 0,
+            "present": present_new,
         }
 
         return (new_state, overflow), None
@@ -1111,27 +1216,46 @@ def _frontier_search(
         max_iterations,
     )
 
-    # final frontier's done rows in slot order = exact DFS leaf order
+    # final frontier's done rows in slot order = exact DFS leaf order;
+    # gather-compacted (searchsorted over the done prefix sum) — TPU
+    # scatters serialize
+    C = frontier_capacity
     done = final_state["done"] & final_state["present"]
-    report_idx = jnp.cumsum(done.astype(jnp.int32)) - 1
-    can_write = done & (report_idx < R)
-    report_rows = jnp.stack(
+    compacted, num_done = _compact_done_rows(final_state, done, C)
+    if R >= C:
+        reports = jnp.zeros((R, 5), dtype=jnp.int32).at[:C].set(compacted)
+    else:
+        reports = compacted[:R]
+    # any dropped report (or frontier eviction) => the whole block redoes
+    # on the host DFS (conservative scalar, see _frontier_block)
+    overflow_flags = jnp.full(
+        (patterns.shape[0],), overflow | (num_done > R), dtype=bool
+    )
+    num_reports = jnp.minimum(num_done, R)
+    return reports, num_reports, overflow_flags
+
+
+def _compact_done_rows(final_state, done, C):
+    """Dense-prefix [C, 5] rows (lb, lb_rev, length, errors, seed) of the
+    done frontier slots, in slot order, via gather compaction."""
+    csum = jnp.cumsum(done.astype(jnp.int32))
+    num_done = csum[-1]
+    src = jnp.searchsorted(
+        csum, jnp.arange(1, C + 1, dtype=jnp.int32), side="left"
+    )
+    src = jnp.minimum(src, C - 1)
+    present = jnp.arange(C, dtype=jnp.int32) < num_done
+    rows = jnp.stack(
         [
-            final_state["lb"],
-            final_state["lb_rev"],
-            final_state["length"],
-            final_state["errors"],
-            final_state["seed"],
+            jnp.where(present, final_state["lb"][src], 0),
+            jnp.where(present, final_state["lb_rev"][src], 0),
+            jnp.where(present, final_state["length"][src], 0),
+            jnp.where(present, final_state["errors"][src], 0),
+            jnp.where(present, final_state["seed"][src], 0),
         ],
         axis=1,
     )
-    reports = jnp.zeros((R, 5), dtype=jnp.int32).at[
-        jnp.where(can_write, report_idx, R + 1)
-    ].set(report_rows, mode="drop")
-    report_overflow = done & (report_idx >= R)
-    overflow = overflow.at[final_state["seed"]].max(report_overflow)
-    num_reports = jnp.minimum(jnp.sum(done.astype(jnp.int32)), R)
-    return reports, num_reports, overflow
+    return rows, num_done
 
 
 @partial(
@@ -1191,37 +1315,31 @@ def _frontier_search_chunk(
             frontier_capacity,
             max_iterations,
         )
+        C = frontier_capacity
         done = final_state["done"] & final_state["present"]
-        local_idx = jnp.cumsum(done.astype(jnp.int32)) - 1
-        global_idx = count + local_idx
-        can_write = done & (global_idx < R)
-        rows = jnp.stack(
-            [
-                final_state["lb"],
-                final_state["lb_rev"],
-                final_state["length"],
-                final_state["errors"],
-                gids_blk[final_state["seed"]],
-            ],
-            axis=1,
+        compacted, num_done = _compact_done_rows(final_state, done, C)
+        # translate block-local seed ids to gids in place (column 4)
+        compacted = compacted.at[:, 4].set(gids_blk[compacted[:, 4]])
+        # append at the running offset: dynamic_update_slice with a static
+        # [C]-row window into a [R + C]-row buffer (the C-row tail is
+        # scratch, never read back) — no scatter anywhere in the program
+        buffer = jax.lax.dynamic_update_slice(
+            buffer, compacted, (jnp.minimum(count, R), jnp.int32(0))
         )
-        buffer = buffer.at[
-            jnp.where(can_write, global_idx, R + 1)
-        ].set(rows, mode="drop")
-        # a seed with ANY dropped report must be redone on the host; its
-        # already-written rows are discarded there by the redo mask
-        report_ovf = done & (global_idx >= R)
-        ovf = ovf.at[final_state["seed"]].max(report_ovf)
-        count = jnp.minimum(count + jnp.sum(done.astype(jnp.int32)), R)
+        # any dropped report (global budget exhausted) => this block's
+        # seeds redo on the host; conservative scalar like the frontier
+        # eviction flag
+        ovf = ovf | (count + num_done > R)
+        count = jnp.minimum(count + num_done, R)
         return (buffer, count), ovf
 
-    buffer0 = jnp.zeros((R, 5), dtype=jnp.int32)
+    buffer0 = jnp.zeros((R + frontier_capacity, 5), dtype=jnp.int32)
     (buffer, count), overflow = jax.lax.scan(
         one_block,
         (buffer0, jnp.int32(0)),
         (patterns, seed_class, gids),
     )
-    return buffer, count, overflow
+    return buffer[:R], count, overflow
 
 
 def search_seeds_device(
