@@ -168,10 +168,10 @@ class DeviceSearcher:
             expand_scheme(int(e), int(length)) for e, length in uniq_pairs
         ]
         tables = SchemeTables.from_length_classes(class_searches)
-        pad_len = (
-            -(-int(arrays.length_g[eligible].max()) // _LEN_QUANTUM)
-            * _LEN_QUANTUM
-        )
+        # tight pad: every pad iteration runs the full per-iteration cost
+        # for the whole frontier, so quantize at 8 (a ~40-char seed padded
+        # to 64 wasted 40% of the scan)
+        pad_len = -(-int(arrays.length_g[eligible].max()) // 8) * 8
         max_iterations = (
             pad_len + int(uniq_pairs[:, 0].max()) + 2 * tables.num_parts + 2
         )
@@ -189,44 +189,115 @@ class DeviceSearcher:
             0,
         ).astype(np.int32)
 
-        S = _BLOCK_SEEDS
-        num_blocks = -(-eligible.size // S)
-        # round the block count up to 3 significant bits: bounded
-        # compile-key set (~3 shapes per octave) at <= 14% padding waste —
-        # a full power-of-two round-up would double the scan length for a
-        # 1043-block chr21 chunk
-        granule = 1 << max(0, num_blocks.bit_length() - 3)
-        B = -(-num_blocks // granule) * granule
-        pat_blocks = np.zeros((B * S, pad_len), dtype=np.int32)
-        pat_blocks[: eligible.size] = patterns
-        cls_blocks = np.full(B * S, tables.dead_class, dtype=np.int32)
-        cls_blocks[: eligible.size] = class_of
-        gid_blocks = np.zeros(B * S, dtype=np.int32)
-        gid_blocks[: eligible.size] = eligible
+        # GLOBAL-frontier geometry (round 4): per-iteration cost is
+        # row-count bound (~30 ns/row/launch), so one shared frontier
+        # covering as many seeds as fits beats any small-block split
+        # (measured 27x at chr21 scale). The capacity must cover the
+        # BRANCHING SPIKE: the frontier holds the full init width for the
+        # ~13 context chars it takes intervals to become specific, then
+        # every seed reaches its first part boundary simultaneously and
+        # the error-budget branching multiplies width ~5x for a few
+        # iterations (measured peak 821k states from a 160k init on the
+        # chr21 chunk) before collapsing. Undersizing silently sends the
+        # whole slice to the host redo path.
+        def quantize(value, floor):
+            value = max(int(value), floor)
+            granule = 1 << max(0, value.bit_length() - 2)
+            return -(-value // granule) * granule
 
-        # shared global report budget: the legacy loop's 32 rows/seed,
-        # rounded to a power of two for a bounded compile-key set
-        r_total = 1 << 13
-        while r_total < 32 * eligible.size:
-            r_total *= 2
-
-        reports, count, overflow = _frontier_search_chunk(
-            self._device_index,
-            jnp.asarray(pat_blocks.reshape(B, S, pad_len)),
-            jnp.asarray(cls_blocks.reshape(B, S)),
-            jnp.asarray(gid_blocks.reshape(B, S)),
-            tables.start,
-            tables.end,
-            tables.direction,
-            tables.lower,
-            tables.upper,
-            tables.num_searches,
-            tables.num_parts,
-            _BLOCK_FRONTIER,
-            r_total,
-            max_iterations,
+        spike_factor = float(
+            _os.environ.get("FLOXER_TPU_SEARCH_SPIKE_FACTOR", "6")
         )
-        type(self)._chunk_dispatches += 1
+        cap_frontier = int(
+            _os.environ.get("FLOXER_TPU_SEARCH_MAX_FRONTIER", 1 << 21)
+        )
+        per_seed = max(int(tables.num_searches * spike_factor), 1)
+        # slice the chunk so each slice's spiked frontier fits the cap
+        seeds_per_slice = max(cap_frontier // per_seed, 1 << 10)
+        num_slices = -(-eligible.size // seeds_per_slice)
+        slice_size = -(-eligible.size // num_slices)
+
+        all_rows = []
+        ovf_parts = []
+        for s0 in range(0, eligible.size, slice_size):
+            s1 = min(s0 + slice_size, eligible.size)
+            rows, ovf = self._dispatch_slice(
+                patterns[s0:s1],
+                class_of[s0:s1],
+                eligible[s0:s1],
+                tables,
+                pad_len,
+                max_iterations,
+                quantize,
+                per_seed,
+                cap_frontier,
+            )
+            all_rows.append(rows)
+            ovf_parts.append(ovf)
+        rows = (
+            np.concatenate(all_rows)
+            if all_rows
+            else np.zeros((0, 5), dtype=np.int64)
+        )
+        ovf_gids = (
+            np.concatenate(ovf_parts)
+            if ovf_parts
+            else np.zeros(0, dtype=np.int64)
+        )
+        return rows, np.unique(ovf_gids).astype(np.int64)
+
+    def _dispatch_slice(
+        self,
+        patterns,
+        class_of,
+        gids,
+        tables,
+        pad_len,
+        max_iterations,
+        quantize,
+        per_seed,
+        cap_frontier,
+    ):
+        """One global-frontier dispatch for a slice of the chunk's seeds;
+        on (rare) frontier eviction, ONE retry at doubled capacity before
+        conceding the slice to the host redo path."""
+        n = patterns.shape[0]
+        S = quantize(n, 1 << 10)
+        pat = np.zeros((S, pad_len), dtype=np.int32)
+        pat[:n] = patterns
+        cls = np.full(S, tables.dead_class, dtype=np.int32)
+        cls[:n] = class_of
+        gid_arr = np.zeros(S, dtype=np.int32)
+        gid_arr[:n] = gids
+        r_total = quantize(32 * n, 1 << 13)
+        frontier = min(
+            quantize(n * per_seed, max(_BLOCK_FRONTIER, 1 << 15)),
+            cap_frontier,
+        )
+
+        for attempt in range(2):
+            reports, count, overflow = _frontier_search_chunk(
+                self._device_index,
+                jnp.asarray(pat.reshape(1, S, pad_len)),
+                jnp.asarray(cls.reshape(1, S)),
+                jnp.asarray(gid_arr.reshape(1, S)),
+                tables.start,
+                tables.end,
+                tables.direction,
+                tables.lower,
+                tables.upper,
+                tables.num_searches,
+                tables.num_parts,
+                frontier,
+                r_total,
+                max_iterations,
+            )
+            type(self)._chunk_dispatches += 1
+            overflowed = bool(np.asarray(overflow).any())
+            if not overflowed or frontier >= cap_frontier:
+                break
+            frontier = min(frontier * 2, cap_frontier)
+
         count = int(np.asarray(count))
         # download only the used prefix (padded to a power of two so the
         # slice program set stays bounded)
@@ -235,20 +306,14 @@ class DeviceSearcher:
             n_pad *= 2
         n_pad = min(n_pad, r_total)
         raw = np.asarray(reports[:n_pad])[:count]
-        overflow = np.asarray(overflow)  # [B] per-block scalar flags
-
         rows = np.empty((count, 5), dtype=np.int64)
         rows[:, 0] = raw[:, 4]  # gid (written on device)
         rows[:, 1:] = raw[:, :4]
-        # a flagged block redoes ALL its (real) seeds on the host DFS —
-        # the conservative counterpart of the old per-seed eviction flags
-        ovf_blocks = np.flatnonzero(overflow)
-        positions = (
-            ovf_blocks[:, None] * S + np.arange(S, dtype=np.int64)[None, :]
-        ).reshape(-1)
-        positions = positions[positions < eligible.size]
-        ovf_gids = gid_blocks[positions]
-        return rows, np.unique(ovf_gids).astype(np.int64)
+        if overflowed:
+            # evicted slice: every seed redoes on the host DFS (its
+            # partial rows are discarded by the caller's redo mask)
+            return rows, gids.astype(np.int64)
+        return rows, np.zeros(0, dtype=np.int64)
 
     def _legacy_block_loop(self, arrays, inflight, drain_one):
         """One _run_block dispatch per [_BLOCK_SEEDS]-seed block per error
@@ -1158,15 +1223,15 @@ def _frontier_block(
             "present": present_new,
         }
 
-        return (new_state, overflow), None
+        return (new_state, overflow), total
 
-    (final_state, overflow), _ = jax.lax.scan(
+    (final_state, overflow), widths = jax.lax.scan(
         expand,
         (state, overflow0),
         None,
         length=max_iterations,
     )
-    return final_state, overflow
+    return final_state, overflow, widths
 
 
 @partial(
@@ -1201,7 +1266,7 @@ def _frontier_search(
     states persist in place as done rows, and the final frontier's done
     rows in slot order are the DFS leaf order."""
     R = report_capacity
-    final_state, overflow = _frontier_block(
+    final_state, overflow, _widths = _frontier_block(
         index,
         patterns,
         seed_class,
@@ -1301,7 +1366,7 @@ def _frontier_search_chunk(
     def one_block(carry, xs):
         buffer, count = carry
         patterns_blk, class_blk, gids_blk = xs
-        final_state, ovf = _frontier_block(
+        final_state, ovf, widths = _frontier_block(
             index,
             patterns_blk,
             class_blk,
