@@ -11,13 +11,17 @@ cursor states:
 
 One jitted iteration expands every active state by one pattern position —
 match, 4 substitutions, 5 insertions and a deletion, up to 11 children per
-state — where every child interval comes from the same two batched rank_all
-gathers (index/device_index). Children are compacted into the fixed-capacity
-frontier with a cumsum scatter; states that complete their search's last
-part emit (lb, lb_rev, length, errors, seed_id) into the report buffer.
-Part-boundary bookkeeping (cumulative lower/upper bound checks, jumping to
-the next part's first character) is data-parallel scalar work over small
-scheme tables in SMEM-scale arrays.
+state — where every child interval comes from ONE pair of combined
+rank-row gathers (checkpoint + bit planes per row, device_index
+rank_rows_lookup). Children are compacted into the fixed-capacity frontier
+with a scatter+cummax repeat-by-counts construction and a single row
+gather (TPU scatters/gathers are per-row latency-bound, so the per
+-iteration launch count is the cost model); states that complete their
+search's last part persist as done rows and are extracted at the end.
+Part-boundary bookkeeping reads one fused [T, 8] scheme row per state.
+The production chunk path (_run_chunk_fused) runs a whole chunk's seeds
+as ONE global-frontier dispatch per capacity slice, with early exit on
+eviction and a doubled-capacity retry.
 
 Semantics vs the host DFS (search_host.search_seed_groups): EXACT,
 including report order and cap behavior. The frontier is maintained in
@@ -206,7 +210,10 @@ class DeviceSearcher:
             return -(-value // granule) * granule
 
         spike_factor = float(
-            _os.environ.get("FLOXER_TPU_SEARCH_SPIKE_FACTOR", "6")
+            # measured on the chr21 chunk: untruncated burst peak lands in
+            # (27, 35] states/seed ~ 13x num_searches; starting at the
+            # measured factor skips a guaranteed-to-overflow first attempt
+            _os.environ.get("FLOXER_TPU_SEARCH_SPIKE_FACTOR", "13")
         )
         cap_frontier = int(
             _os.environ.get("FLOXER_TPU_SEARCH_MAX_FRONTIER", 1 << 21)
@@ -1223,15 +1230,30 @@ def _frontier_block(
             "present": present_new,
         }
 
-        return (new_state, overflow), total
+        return new_state, overflow, total
 
-    (final_state, overflow), widths = jax.lax.scan(
-        expand,
-        (state, overflow0),
-        None,
-        length=max_iterations,
+    # while_loop with EARLY EXIT instead of a fixed-length scan: an
+    # overflowing frontier aborts within ~1 iteration of the eviction
+    # (the slice is host-redone regardless, so finishing the scan is
+    # pure waste — the branching spike made failed attempts cost a full
+    # 50-iteration pass), and a frontier whose last live chain finished
+    # stops early instead of idling to the pattern-length bound.
+    def cond(carry):
+        state_c, overflow_c, it, _peak = carry
+        alive_any = jnp.any(state_c["present"] & ~state_c["done"])
+        return (it < max_iterations) & ~overflow_c & alive_any
+
+    def body(carry):
+        state_c, overflow_c, it, peak = carry
+        new_state, new_overflow, total = expand((state_c, overflow_c), None)
+        return new_state, new_overflow, it + 1, jnp.maximum(peak, total)
+
+    final_state, overflow, _its, peak = jax.lax.while_loop(
+        cond,
+        body,
+        (state, overflow0, jnp.int32(0), jnp.int32(0)),
     )
-    return final_state, overflow, widths
+    return final_state, overflow, peak
 
 
 @partial(

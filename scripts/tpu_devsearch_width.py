@@ -94,11 +94,10 @@ pat = np.zeros((S, pad_len), dtype=np.int32)
 pat[: eligible.size] = patterns
 cls = np.full(S, tables.dead_class, dtype=np.int32)
 cls[: eligible.size] = class_of
-final, ovf_s, widths = sd._frontier_block(
+final, ovf_s, peak = sd._frontier_block(
     device_index, jnp.asarray(pat), jnp.asarray(cls),
     tables.start, tables.end, tables.direction, tables.lower, tables.upper,
     tables.num_searches, tables.num_parts, C, max_iter,
 )
-w = np.asarray(widths)
-print(f"C={C} iters={max_iter} peak={w.max()} final={w[-1]}")
-print("widths:", " ".join(str(int(x)) for x in w))
+print(f"C={C} iters={max_iter} peak={int(np.asarray(peak))} "
+      f"overflow={bool(np.asarray(ovf_s))}")
