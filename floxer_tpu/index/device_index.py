@@ -94,14 +94,14 @@ class DeviceIndex:
     def from_host(cls, index: FmIndex) -> "DeviceIndex":
         import numpy as np
 
-        def single(host):
+        def single(host, planes):
             return DeviceSingleIndex(
                 jnp.asarray(host.bwt, dtype=jnp.uint8),
                 jnp.asarray(host.occ_checkpoints, dtype=jnp.int32),
-                jnp.asarray(pack_bit_planes(host.bwt)),
+                jnp.asarray(planes),
             )
 
-        def rank_row_table(host):
+        def rank_row_table(host, planes):
             # FLAT 2-D rows [nb, 32]: column 5*s is symbol s's checkpoint,
             # columns 5*s+1 .. 5*s+4 its plane words, 30..31 zero pad.
             # 2-D keeps the row gather wide and lets the rank computation
@@ -109,7 +109,6 @@ class DeviceIndex:
             # of reducing over a [B, 6, 5] minor shape whose (8, 128)
             # tiling wastes ~97% of each VPU tile (profiled: 673k cycles
             # per rank reduce at [32768, 6, 5]).
-            planes = pack_bit_planes(host.bwt)  # [nb, SIGMA, W]
             nb = planes.shape[0]
             words = planes.shape[2]
             rows = np.zeros((nb, 32), dtype=np.uint32)
@@ -120,8 +119,12 @@ class DeviceIndex:
                 rows[:, 5 * s + 1 : 5 * s + 1 + words] = planes[:, s, :]
             return rows
 
-        fwd_rows = rank_row_table(index.fwd)
-        rev_rows = rank_row_table(index.rev)
+        # pack each direction's bit planes ONCE (an O(genome) numpy pass)
+        # and share between the planes child and the rank-row table
+        fwd_planes = pack_bit_planes(index.fwd.bwt)
+        rev_planes = pack_bit_planes(index.rev.bwt)
+        fwd_rows = rank_row_table(index.fwd, fwd_planes)
+        rev_rows = rank_row_table(index.rev, rev_planes)
         # one zero pad row between the directions so the rev offset is a
         # whole block count and fwd's final checkpoint row (block nb-1
         # covers positions up to n) never collides with rev block 0
@@ -134,8 +137,8 @@ class DeviceIndex:
         rank_rows = np.concatenate([fwd_rows, pad, rev_rows], axis=0)
 
         return cls(
-            fwd=single(index.fwd),
-            rev=single(index.rev),
+            fwd=single(index.fwd, fwd_planes),
+            rev=single(index.rev, rev_planes),
             C=jnp.asarray(index.C, dtype=jnp.int32),
             sampled_rows=jnp.asarray(index.sampled_rows, dtype=jnp.int32),
             sampled_values=jnp.asarray(index.sampled_values, dtype=jnp.int32),
@@ -305,15 +308,24 @@ def rank_all(index, positions: jax.Array) -> jax.Array:
     checkpoint+prefix-sum scheme. For a ShardedSingleIndex the count is a
     local partial plus a psum over the index mesh axis.
     """
-    positions = positions.astype(jnp.int32)
     if isinstance(index, ShardedSingleIndex):
+        # subtract the shard start BEFORE narrowing to int32: global
+        # positions of a >2 Gbp sharded text exceed int32 while shard-LOCAL
+        # positions fit (hg38 / 2 shards = 1.55 G < 2^31). NOTE: the
+        # subtraction itself is exact only when the incoming positions
+        # dtype is wide enough — at >2 Gbp scale callers must run with
+        # jax_enable_x64 (or pre-localized positions); under the default
+        # 32-bit config this path is exact to 2^31-1 like everything else.
         local_pos = jnp.clip(
-            positions - index.shard_start, 0, index.shard_length
+            positions - index.shard_start.astype(positions.dtype),
+            0,
+            index.shard_length,
         ).astype(jnp.int32)
         local = _rank_all_dense(
             index.bwt, index.occ.astype(jnp.int32), local_pos
         )
         return jax.lax.psum(local, index.axis_name)
+    positions = positions.astype(jnp.int32)
     if getattr(index, "planes", None) is not None:
         return _rank_all_planes(index.occ, index.planes, positions)
     return _rank_all_dense(index.bwt, index.occ, positions)
@@ -426,14 +438,19 @@ def lf_step(index, rows: jax.Array) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("sampling_rate",))
 def locate_batch(
-    index: DeviceIndex, rows: jax.Array, sampling_rate: int = 4
+    index: DeviceIndex, rows: jax.Array, sampling_rate: int | None = None
 ) -> tuple[jax.Array, jax.Array]:
     """Batched locate: SA rows -> (reference_id, position_in_reference).
 
     Bounded LF walk of at most sampling_rate - 1 steps (text-position
     sampling), then a searchsorted over sequence starts — the device
-    analogue of index.locate (search.cpp:253).
+    analogue of index.locate (search.cpp:253). The walk bound defaults to
+    the INDEX's own sampling rate (pytree aux, static under jit): an
+    explicit smaller value would silently yield garbage coordinates for
+    rows that need more steps than the loop runs.
     """
+    if sampling_rate is None:
+        sampling_rate = index.sampling_rate
     rows = rows.astype(jnp.int32)
 
     def body(_, carry):

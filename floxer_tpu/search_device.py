@@ -95,6 +95,24 @@ _MAX_DEVICE_PATTERN = int(
 _LEN_QUANTUM = 32  # pattern pad quantum: bounds the jit key count
 
 
+def _gather_padded_patterns(arrays, sel, pad_len):
+    """[len(sel), pad_len] int32 pattern block from the chunk's flat seed
+    buffer: offsets broadcast + in-range mask + clamped gather (shared by
+    the fused chunk path and the legacy block loop)."""
+    gather = arrays.offsets_g[sel][:, None] + np.arange(
+        pad_len, dtype=np.int64
+    )
+    in_range = (
+        np.arange(pad_len, dtype=np.int64)[None, :]
+        < arrays.length_g[sel][:, None]
+    )
+    return np.where(
+        in_range,
+        arrays.buffer[np.minimum(gather, arrays.buffer.shape[0] - 1)],
+        0,
+    ).astype(np.int32)
+
+
 class DeviceSearcher:
     """Drop-in Searcher that discovers anchor groups with the device
     frontier search, then reuses the host post-processing (caps, ordering,
@@ -161,13 +179,15 @@ class DeviceSearcher:
                 np.zeros((0, 5), dtype=np.int64),
                 np.zeros(0, dtype=np.int64),
             )
-        buffer = arrays.buffer
         err_len = np.stack(
             [arrays.errors_g[eligible], arrays.length_g[eligible]], axis=1
         )
         uniq_pairs, class_of = np.unique(
             err_len, axis=0, return_inverse=True
         )
+        # numpy 2.0.0 returns a 2-D inverse for axis-unique (fixed in
+        # 2.0.1); flatten defensively since the dependency is unpinned
+        class_of = np.asarray(class_of).reshape(-1)
         class_searches = [
             expand_scheme(int(e), int(length)) for e, length in uniq_pairs
         ]
@@ -180,18 +200,7 @@ class DeviceSearcher:
             pad_len + int(uniq_pairs[:, 0].max()) + 2 * tables.num_parts + 2
         )
 
-        gather = arrays.offsets_g[eligible][:, None] + np.arange(
-            pad_len, dtype=np.int64
-        )
-        in_range = (
-            np.arange(pad_len, dtype=np.int64)[None, :]
-            < arrays.length_g[eligible][:, None]
-        )
-        patterns = np.where(
-            in_range,
-            buffer[np.minimum(gather, buffer.shape[0] - 1)],
-            0,
-        ).astype(np.int32)
+        patterns = _gather_padded_patterns(arrays, eligible, pad_len)
 
         # GLOBAL-frontier geometry (round 4): per-iteration cost is
         # row-count bound (~30 ns/row/launch), so one shared frontier
@@ -303,7 +312,11 @@ class DeviceSearcher:
             overflowed = bool(np.asarray(overflow).any())
             if not overflowed or frontier >= cap_frontier:
                 break
+            # the overflow flag covers BOTH frontier eviction and report
+            # exhaustion; grow both budgets or a report-bound slice burns
+            # a guaranteed-to-fail second dispatch
             frontier = min(frontier * 2, cap_frontier)
+            r_total *= 2
 
         count = int(np.asarray(count))
         # download only the used prefix (padded to a power of two so the
@@ -326,7 +339,6 @@ class DeviceSearcher:
         """One _run_block dispatch per [_BLOCK_SEEDS]-seed block per error
         class (the pre-round-4 execution shape; the sharded searcher's
         shard_map program still runs this way)."""
-        buffer = arrays.buffer
         for errors in np.unique(arrays.errors_g).tolist():
             sel = np.flatnonzero(
                 (arrays.errors_g == errors)
@@ -345,18 +357,7 @@ class DeviceSearcher:
                 pad_len + int(errors) + 2 * tables.num_parts + 2
             )
             # gather all patterns of this class: [n_sel, pad_len]
-            gather = arrays.offsets_g[sel][:, None] + np.arange(
-                pad_len, dtype=np.int64
-            )
-            in_range = (
-                np.arange(pad_len, dtype=np.int64)[None, :]
-                < lengths[:, None]
-            )
-            patterns = np.where(
-                in_range,
-                buffer[np.minimum(gather, buffer.shape[0] - 1)],
-                0,
-            ).astype(np.int32)
+            patterns = _gather_padded_patterns(arrays, sel, pad_len)
 
             for base in range(0, sel.shape[0], _BLOCK_SEEDS):
                 stop = min(base + _BLOCK_SEEDS, sel.shape[0])
@@ -891,8 +892,18 @@ def _frontier_block(
     # initial frontier: one state per (seed, search) — search-minor order
     # matches the host's `for search in expanded` loop per seed
     init_count = num_seeds * num_searches
-    seed0 = jnp.repeat(jnp.arange(num_seeds, dtype=jnp.int32), num_searches)
-    search0 = jnp.tile(jnp.arange(num_searches, dtype=jnp.int32), num_seeds)
+    # a frontier smaller than the initial state set is an immediate
+    # eviction, not a trace-time crash: fill what fits and let the
+    # overflow flag route the block to the host redo like every other
+    # capacity shortfall
+    init_overflow = init_count > C
+    init_count = min(init_count, C)
+    seed0 = jnp.repeat(
+        jnp.arange(num_seeds, dtype=jnp.int32), num_searches
+    )[:init_count]
+    search0 = jnp.tile(
+        jnp.arange(num_searches, dtype=jnp.int32), num_seeds
+    )[:init_count]
     cls0 = seed_class[seed0]
 
     def blank(value, dtype=jnp.int32):
@@ -918,7 +929,7 @@ def _frontier_block(
         "present": jnp.zeros((C,), dtype=bool).at[:init_count].set(True),
     }
 
-    overflow0 = jnp.asarray(False)  # scalar: any eviction in any iteration
+    overflow0 = jnp.asarray(init_overflow)  # scalar: any eviction
 
     # fused scheme-row table: ONE [T, 8] row per (class, search, part)
     # carrying every scalar the expand step needs — direction, start, end,
@@ -1379,7 +1390,8 @@ def _frontier_search_chunk(
     mirroring what ops/fused_verify.py does for verification waves.
 
     Returns (reports [R, 5] = (lb, lb_rev, length, errors, gid),
-    num_reports, overflow [num_blocks, block_seeds]). Reports preserve
+    num_reports, overflow [num_blocks] per-block scalar eviction flags —
+    unlike _frontier_search's per-seed flags). Reports preserve
     per-seed DFS order: within a block by the frontier-slot invariant,
     across blocks because each seed lives in exactly one block and blocks
     append in order."""
