@@ -273,15 +273,37 @@ class FusedBatch:
             num_walks = max(num_walks, _pow2_at_least(max(walks_used, 1), 32))
         template["walks"] = num_walks
         # merge this batch into the template (monotone maxes)
+        grew = False
         for stage_index, stage in enumerate(self.stages):
             for kind, seg in stage.items():
                 shape_words, n_chars, cap = self._segment_shape(seg)
                 slot = template.setdefault((stage_index, kind), {
                     "shape_words": 0, "n_chars": 0, "cap": _GROUP[kind],
                 })
+                if (
+                    shape_words > slot["shape_words"]
+                    or n_chars > slot["n_chars"]
+                    or cap > slot["cap"]
+                ):
+                    grew = slot["shape_words"] > 0  # growth, not first fill
                 slot["shape_words"] = max(slot["shape_words"], shape_words)
                 slot["n_chars"] = max(slot["n_chars"], n_chars)
                 slot["cap"] = max(slot["cap"], cap)
+        if grew and template.get("compiled_once"):
+            # GROWTH recompile: every template growth step is a fresh
+            # multi-second (through a tunnel: multi-minute) Mosaic
+            # compile. Task counts are the volatile axis — absorb the next
+            # growth up front by doubling every task capacity and the walk
+            # capacity, so large-workload runs converge to one recompile
+            # instead of one per new task-count high-water mark (hg38
+            # measured 90-126 s per recompile, recurring across 5 jobs).
+            # All-pad task rows are skipped by the kernels' dynamic
+            # bounds, so the inflation costs table upload bytes only.
+            for key, slot in template.items():
+                if isinstance(key, tuple):
+                    slot["cap"] *= 2
+            num_walks *= 2
+            template["walks"] = num_walks
         plan = []
         seg_args = []
         segments = []
@@ -311,6 +333,7 @@ class FusedBatch:
             int(self.query_bank.flat.shape[0]),
         ))
         _DISPATCHED_PLANS.add((tuple(plan), num_walks))
+        template["compiled_once"] = True
         table = jnp.asarray(np.concatenate(seg_args, axis=0))
         packed = _fused_call(
             self.ref_bank.flat,
