@@ -123,18 +123,33 @@ class DeviceIndex:
         # and share between the planes child and the rank-row table
         fwd_planes = pack_bit_planes(index.fwd.bwt)
         rev_planes = pack_bit_planes(index.rev.bwt)
-        fwd_rows = rank_row_table(index.fwd, fwd_planes)
-        rev_rows = rank_row_table(index.rev, rev_planes)
-        # one zero pad row between the directions so the rev offset is a
-        # whole block count and fwd's final checkpoint row (block nb-1
-        # covers positions up to n) never collides with rev block 0
-        pad = np.zeros_like(fwd_rows[:1])
-        # fwd position n reads block n // OCC_BLOCK = nb_fwd - 1 (planes)
-        # but the checkpoint of the NEXT boundary lives at occ row nb_fwd;
-        # rank_rows stores the checkpoint at the row's own boundary, so a
-        # position in block b always uses row b for both checkpoint and
-        # planes — no +1 row needed
-        rank_rows = np.concatenate([fwd_rows, pad, rev_rows], axis=0)
+        # rank_rows addresses a combined fwd ++ rev position space of
+        # ~2n + OCC_BLOCK in int32 (rank_rows_lookup computes
+        # base + rev_block_offset * OCC_BLOCK before the block divide);
+        # past int32 that arithmetic wraps negative and gathers garbage
+        # rows, so fall back to the per-direction planes/dense rank path
+        # which stays within the single-direction int32-exact limit.
+        combined_positions = (
+            fwd_planes.shape[0] + 1 + rev_planes.shape[0]
+        ) * OCC_BLOCK
+        if combined_positions >= 2**31:
+            rank_rows = None
+            rev_block_offset = jnp.int32(0)
+        else:
+            fwd_rows = rank_row_table(index.fwd, fwd_planes)
+            rev_rows = rank_row_table(index.rev, rev_planes)
+            # one zero pad row between the directions so the rev offset is
+            # a whole block count and fwd's final checkpoint row (block
+            # nb-1 covers positions up to n) never collides with rev
+            # block 0
+            pad = np.zeros_like(fwd_rows[:1])
+            # fwd position n reads block n // OCC_BLOCK = nb_fwd - 1
+            # (planes) but the checkpoint of the NEXT boundary lives at
+            # occ row nb_fwd; rank_rows stores the checkpoint at the row's
+            # own boundary, so a position in block b always uses row b for
+            # both checkpoint and planes — no +1 row needed
+            rank_rows = np.concatenate([fwd_rows, pad, rev_rows], axis=0)
+            rev_block_offset = jnp.int32(fwd_rows.shape[0] + 1)
 
         return cls(
             fwd=single(index.fwd, fwd_planes),
@@ -143,8 +158,8 @@ class DeviceIndex:
             sampled_rows=jnp.asarray(index.sampled_rows, dtype=jnp.int32),
             sampled_values=jnp.asarray(index.sampled_values, dtype=jnp.int32),
             seq_starts=jnp.asarray(index.seq_starts, dtype=jnp.int32),
-            rank_rows=jnp.asarray(rank_rows),
-            rev_block_offset=jnp.int32(fwd_rows.shape[0] + 1),
+            rank_rows=None if rank_rows is None else jnp.asarray(rank_rows),
+            rev_block_offset=rev_block_offset,
             sampling_rate=index.sampling_rate,
         )
 

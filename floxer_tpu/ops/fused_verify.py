@@ -285,7 +285,9 @@ class FusedBatch:
                     or n_chars > slot["n_chars"]
                     or cap > slot["cap"]
                 ):
-                    grew = slot["shape_words"] > 0  # growth, not first fill
+                    # growth, not first fill; accumulate across segments so
+                    # a later first-fill segment can't mask a real growth
+                    grew = grew or slot["shape_words"] > 0
                 slot["shape_words"] = max(slot["shape_words"], shape_words)
                 slot["n_chars"] = max(slot["n_chars"], n_chars)
                 slot["cap"] = max(slot["cap"], cap)

@@ -136,39 +136,70 @@ def merge_sam_shards(shard_paths: list[str], output_path: str) -> int:
     return total
 
 
-def _read_bam_query_groups(path):
-    """(header_blob, groups) from a BGZF BAM shard, where header_blob is the
-    raw uncompressed bytes from the BAM magic through the reference list and
-    groups are per-query runs of raw record blobs (block_size prefix
-    included) in file order. Byte-level so the merge is lossless."""
-    import gzip
-    import struct
+class _BamShardCursor:
+    """Streaming per-query-group cursor over a BGZF BAM shard. Decompresses
+    incrementally through gzip.GzipFile so at most one group's record blobs
+    (block_size prefix included, byte-for-byte) are resident — the merge of
+    large-run shards must not hold every shard fully decompressed at once.
+    `header_blob` is the raw uncompressed bytes from the BAM magic through
+    the reference list."""
 
-    raw = gzip.decompress(open(path, "rb").read())
-    if raw[:4] != b"BAM\x01":
-        raise ValueError(f"{path} is not a BAM file")
-    l_text = struct.unpack("<i", raw[4:8])[0]
-    offset = 8 + l_text
-    n_ref = struct.unpack("<i", raw[offset : offset + 4])[0]
-    offset += 4
-    for _ in range(n_ref):
-        l_name = struct.unpack("<i", raw[offset : offset + 4])[0]
-        offset += 4 + l_name + 4
-    header_blob = raw[:offset]
+    def __init__(self, path):
+        import gzip
+        import struct
 
-    groups = []
-    current_qname = None
-    while offset < len(raw):
-        block_size = struct.unpack("<i", raw[offset : offset + 4])[0]
-        blob = raw[offset : offset + 4 + block_size]
-        offset += 4 + block_size
+        self._struct = struct
+        self._fh = gzip.open(path, "rb")
+        magic = self._exact(4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"{path} is not a BAM file")
+        l_text = struct.unpack("<i", self._exact(4))[0]
+        text = self._exact(l_text)
+        n_ref_raw = self._exact(4)
+        n_ref = struct.unpack("<i", n_ref_raw)[0]
+        refs = bytearray()
+        for _ in range(n_ref):
+            l_name_raw = self._exact(4)
+            l_name = struct.unpack("<i", l_name_raw)[0]
+            refs += l_name_raw + self._exact(l_name + 4)
+        self.header_blob = (
+            magic + struct.pack("<i", l_text) + text + n_ref_raw + bytes(refs)
+        )
+        self._pending = self._next_blob()
+
+    def _exact(self, n):
+        data = self._fh.read(n)
+        if len(data) != n:
+            raise ValueError("truncated BAM stream")
+        return data
+
+    def _next_blob(self):
+        size_raw = self._fh.read(4)
+        if not size_raw:
+            return None
+        block_size = self._struct.unpack("<i", size_raw)[0]
+        return size_raw + self._exact(block_size)
+
+    @staticmethod
+    def _qname(blob):
         l_read_name = blob[4 + 8]
-        qname = blob[4 + 32 : 4 + 32 + l_read_name - 1]
-        if qname != current_qname:
-            groups.append((qname, []))
-            current_qname = qname
-        groups[-1][1].append(blob)
-    return header_blob, groups
+        return blob[4 + 32 : 4 + 32 + l_read_name - 1]
+
+    def next_group(self):
+        """Next per-query run of record blobs, or None at end of shard."""
+        if self._pending is None:
+            return None
+        qname = self._qname(self._pending)
+        blobs = [self._pending]
+        while True:
+            blob = self._next_blob()
+            if blob is None or self._qname(blob) != qname:
+                self._pending = blob
+                return blobs
+            blobs.append(blob)
+
+    def close(self):
+        self._fh.close()
 
 
 def merge_bam_shards(shard_paths: list[str], output_path: str) -> int:
@@ -176,34 +207,38 @@ def merge_bam_shards(shard_paths: list[str], output_path: str) -> int:
     ordered by query internal id (the BAM counterpart of merge_sam_shards;
     reference writes BAM directly in all modes, output.cpp:25-108).
     Record blobs are copied byte-for-byte; only the BGZF framing is new.
+    Shards are streamed group-by-group (never fully resident).
     Returns the number of merged queries."""
     from ..io.sam import _BgzfWriter
 
-    shards = [_read_bam_query_groups(path) for path in shard_paths]
-    header = shards[0][0]
-    for other_header, _ in shards[1:]:
-        if other_header != header:
-            raise ValueError("shard headers disagree; not outputs of one run")
-
-    groups = [groups for _, groups in shards]
-    positions = [0] * len(shards)
-    total = 0
-    writer = _BgzfWriter(open(output_path, "wb"))
+    shards = [_BamShardCursor(path) for path in shard_paths]
     try:
-        writer.write(header)
-        exhausted = 0
-        shard = 0
-        while exhausted < len(shards):
-            if positions[shard] < len(groups[shard]):
-                _, blobs = groups[shard][positions[shard]]
-                for blob in blobs:
-                    writer.write(blob)
-                positions[shard] += 1
-                total += 1
-                exhausted = 0
-            else:
-                exhausted += 1
-            shard = (shard + 1) % len(shards)
+        header = shards[0].header_blob
+        for other in shards[1:]:
+            if other.header_blob != header:
+                raise ValueError(
+                    "shard headers disagree; not outputs of one run"
+                )
+
+        total = 0
+        writer = _BgzfWriter(open(output_path, "wb"))
+        try:
+            writer.write(header)
+            exhausted = 0
+            shard = 0
+            while exhausted < len(shards):
+                blobs = shards[shard].next_group()
+                if blobs is not None:
+                    for blob in blobs:
+                        writer.write(blob)
+                    total += 1
+                    exhausted = 0
+                else:
+                    exhausted += 1
+                shard = (shard + 1) % len(shards)
+        finally:
+            writer.close()
     finally:
-        writer.close()
+        for cursor in shards:
+            cursor.close()
     return total

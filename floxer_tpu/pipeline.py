@@ -67,6 +67,11 @@ _PERSISTENT_PROCESS = False
 # device work (a daemon thread killed mid-RPC aborts the whole process in
 # the tunnel plugin's teardown — observed exit 134)
 _WARMUP_ABORT = __import__("threading").Event()
+# (programs_ok, fused_plans_ok) from the warmup's warm-shape replay; None
+# until the replay has run. The server reports this as its readiness line
+# so deployments can block until >=1 compiled fused plan is live on the
+# device (VERDICT r4 item 2).
+_WARM_REPLAY_RESULT = None
 
 
 def _start_device_warmup() -> None:
@@ -101,7 +106,10 @@ def _start_device_warmup() -> None:
             if jax.default_backend() == "tpu":
                 from .warm_shapes import replay
 
-                replay(should_abort=_WARMUP_ABORT.is_set)
+                global _WARM_REPLAY_RESULT
+                _WARM_REPLAY_RESULT = replay(
+                    should_abort=_WARMUP_ABORT.is_set
+                )
             # prime the routing cost model's round-trip probe OFF the align
             # loop: a first execution measured while the chunk loop's
             # Python threads churn the GIL has been observed at 40-400 s
@@ -721,6 +729,8 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
         )
 
     failed = False
+    stage_wall = None  # set by the batched engine; None => no stage split
+    vb_timers_start = None
     if cli.engine == "reference":
         try:
             for query in queries:
@@ -754,6 +764,15 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
         resident_ref = ResidentBank(
             [record.rank_sequence for record in references.records]
         )
+
+        # per-stage wall attribution for the end-of-run "stage split" line
+        # (VERDICT r4 item 6): stages OVERLAP (search of chunk N+1 runs
+        # while chunk N verifies), so the sums can exceed the align wall —
+        # they attribute where the time went, not how long the run took
+        stage_wall = {"search": 0.0, "verify": 0.0, "finalize": 0.0}
+        from .verify_batch import _BATCH_TIMERS as _vb_timers
+
+        vb_timers_start = dict(_vb_timers)
 
         def next_chunk():
             chunk = []
@@ -798,6 +817,7 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
                     )
                     for i, (pex_tree, seeds) in enumerate(prepared)
                 ]
+            stage_wall["search"] += time.monotonic() - started
             logger.debug(
                 "search chunk: %d queries in %.2fs",
                 len(chunk),
@@ -831,6 +851,7 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
                         from .verify_batch import VerificationTimeout
 
                         prev_chunk, prev_future = pending
+                        t0_verify = time.monotonic()
                         try:
                             complete = verify_and_write_chunk(
                                 prev_chunk,
@@ -842,6 +863,9 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
                                 resident_ref=resident_ref,
                                 defer_finalize=True,
                                 deadline_check=hit_timeout,
+                            )
+                            stage_wall["verify"] += (
+                                time.monotonic() - t0_verify
                             )
                         except VerificationTimeout:
                             # per-wave timeout check (parallelization.cpp:66,
@@ -856,9 +880,18 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
                             done_future.result()
                             num_processed += done_len
                             record_progress()
+                        def timed_complete(fn=complete):
+                            t0 = time.monotonic()
+                            try:
+                                return fn()
+                            finally:
+                                stage_wall["finalize"] += (
+                                    time.monotonic() - t0
+                                )
+
                         finalizing = (
                             len(prev_chunk),
-                            finalize_pool.submit(complete),
+                            finalize_pool.submit(timed_complete),
                         )
                     if not chunk:
                         break
@@ -912,6 +945,28 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
         align_elapsed,
         _pretty_elapsed_suffix(align_elapsed),
     )
+    if stage_wall is not None:
+        # machine-parsable per-stage attribution (VERDICT r4 item 6;
+        # bench.py forwards these into its JSON line). Stages overlap, so
+        # the sums can exceed the align wall; device_kernel_s is the
+        # unhidden device time observed by the wave batcher this run.
+        from .verify_batch import _BATCH_TIMERS as _vb_now
+
+        device_kernel_s = _vb_now["kernel"] - (
+            vb_timers_start.get("kernel", 0.0) if vb_timers_start else 0.0
+        )
+        fused = _vb_now.get("fused", 0) - (
+            vb_timers_start.get("fused", 0) if vb_timers_start else 0
+        )
+        logger.info(
+            "stage split: search=%.2fs verify=%.2fs finalize=%.2fs "
+            "device_kernel=%.2fs fused_dispatches=%d",
+            stage_wall["search"],
+            stage_wall["verify"],
+            stage_wall["finalize"],
+            device_kernel_s,
+            fused,
+        )
 
     # stop the device warmup OUTSIDE the align timer: a daemon thread
     # killed mid-RPC makes the tunnel plugin's teardown abort the process

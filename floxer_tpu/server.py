@@ -111,6 +111,24 @@ def serve(socket_path: str) -> int:
     _pipeline._PERSISTENT_PROCESS = True
     _pipeline._start_device_warmup()
 
+    def report_warmup() -> None:
+        # readiness line for deployments (bench.py blocks on it): printed
+        # once the warmup thread — including the warm-shape replay of
+        # previously recorded fused plans — has finished, with the number
+        # of fused plans now live on the device
+        thread = _pipeline._WARMUP_THREAD
+        if thread is not None:
+            thread.join()
+        result = _pipeline._WARM_REPLAY_RESULT
+        fused = result[1] if result else 0
+        print(
+            f"floxer-tpu server: warm replay done fused={fused}",
+            file=sys.stderr,
+        )
+        sys.stderr.flush()
+
+    threading.Thread(target=report_warmup, daemon=True).start()
+
     job_lock = threading.Lock()
 
     class Handler(socketserver.StreamRequestHandler):

@@ -119,8 +119,21 @@ _FORCE_FUSED = bool(
 # vs direct chip) and host, not this VM's constants. An env override PINS
 # the rate (calibration off) for reproducible tests.
 _BAND_RATES = {
-    # band cells/s per host thread (engine scales ~linearly to 4)
+    # PHYSICAL band cells/s per host thread (engine scales ~linearly to 4):
+    # updated only from banded-bucket calls whose cell count is the cells
+    # the engine actually computed. Used to route banded buckets.
     "host": float(
+        __import__("os").environ.get("FLOXER_TPU_HOST_BAND_GCELLS", "26")
+    ) * 1e9,
+    # EFFECTIVE chain cells/s per host thread: the fused-wave split router
+    # estimates FULL-chain band cells while the host engine early-exits
+    # broken chains, so this rate is workload-dependent and can run
+    # hundreds of times past physical on early-exit-heavy waves. Kept
+    # SEPARATE from the physical rate (advisor r4) so it can never misroute
+    # banded buckets, and decayed toward the physical rate per routing
+    # decision (VERDICT r4 item 8) so a stretch of early-exit waves cannot
+    # permanently price the device out once composition shifts back.
+    "host_effective": float(
         __import__("os").environ.get("FLOXER_TPU_HOST_BAND_GCELLS", "26")
     ) * 1e9,
     # padded band cells/s of the Pallas banded kernel
@@ -138,27 +151,57 @@ def _host_band_rate() -> float:
     return _BAND_RATES["host"]
 
 
+def _host_chain_rate() -> float:
+    """Effective per-thread chain rate for the fused-wave split router,
+    with per-call decay toward the physical band rate: the inflation over
+    physical reflects the CURRENT waves' early-exit fraction, so it must
+    be re-earned by fresh samples rather than persist indefinitely (an
+    exponent decay of 0.93 per routing decision relaxes a 1000x inflation
+    to ~10x within ~30 waves with no supporting samples)."""
+    phys = _BAND_RATES["host"]
+    if _BAND_RATES["host_pinned"]:
+        return phys  # env pin disables all calibration dynamics
+    eff = _BAND_RATES["host_effective"]
+    if eff > phys:
+        _BAND_RATES["host_effective"] = eff = phys * (eff / phys) ** 0.93
+    return eff
+
+
 def _device_band_rate() -> float:
     return _BAND_RATES["device"]
 
 
-def _observe_host_band_rate(cells: float, seconds: float, threads: int):
-    """EWMA-update the per-thread host band rate from a timed native banded
-    call. The `cells` input is the ROUTER'S ESTIMATE (full-chain band
-    cells), so this is an EFFECTIVE rate, not a physical one: the host
-    engine exits chains at the first failing level, and on workloads where
-    most chains break early (measured on hg38-scale roots: 210 walks
-    estimated at 57 Gcells computed in 0.41 s) the effective rate runs
-    hundreds of times past any physical band rate — which is exactly the
-    signal the router needs to stop shipping those walks to the chip,
-    whose fused wave really does execute everything dispatched. Only
-    clearly-broken samples (timer glitches) are dropped."""
+def _observe_host_band_rate(
+    cells: float, seconds: float, threads: int, effective: bool = False
+):
+    """EWMA-update a host band rate from a timed native banded call.
+
+    effective=False (banded bucket path): `cells` are the cells the engine
+    actually computed — updates the PHYSICAL rate, clamped to a physical
+    range. effective=True (fused-wave host share): `cells` is the router's
+    FULL-chain estimate while the engine early-exits broken chains — an
+    EFFECTIVE rate that legitimately runs far past physical (measured on
+    hg38-scale roots: 210 walks estimated at 57 Gcells computed in
+    0.41 s), which is exactly the signal the split router needs. The
+    effective EWMA blends in log space so multi-order-of-magnitude
+    composition swings track symmetrically. Only clearly-broken samples
+    (timer glitches) are dropped."""
     if _BAND_RATES["host_pinned"] or seconds <= 1e-4 or cells < 1e7:
         return
     sample = cells / seconds / max(threads, 1)
-    if not (1e9 <= sample <= 1e15):
-        return
-    _BAND_RATES["host"] = 0.7 * _BAND_RATES["host"] + 0.3 * sample
+    if effective:
+        if not (1e9 <= sample <= 1e15):
+            return
+        import math
+
+        old = _BAND_RATES["host_effective"]
+        _BAND_RATES["host_effective"] = math.exp(
+            0.7 * math.log(old) + 0.3 * math.log(sample)
+        )
+    else:
+        if not (1e9 <= sample <= 1e12):
+            return
+        _BAND_RATES["host"] = 0.7 * _BAND_RATES["host"] + 0.3 * sample
 
 
 def _observe_device_band_rate(padded_cells: float, kernel_seconds: float):
@@ -359,7 +402,9 @@ class _WalkTable:
         return walk
 
 
-_BATCH_TIMERS = {"pack": 0.0, "kernel": 0.0, "numpy": 0.0, "calls": 0}
+_BATCH_TIMERS = {
+    "pack": 0.0, "kernel": 0.0, "numpy": 0.0, "calls": 0, "fused": 0,
+}
 
 
 class _TaskBatcher:
@@ -1861,7 +1906,7 @@ class BatchVerifier:
             estimates = [walk_cells_estimate(w) for w in subset]
             total_cells = float(sum(estimates))
             host_threads = max(1, min(4, max(len(subset), 1)) // 2)
-            host_rate = _host_band_rate() * host_threads
+            host_rate = _host_chain_rate() * host_threads
             if (
                 total_cells / host_rate <= _PROBE_MIN_HOST_S
                 or not self._device_resolved_lazy()
@@ -1951,6 +1996,7 @@ class BatchVerifier:
                 sum(cells_by_walk.get(w, 0) for w in host_set),
                 _time.monotonic() - t_hs,
                 max(1, min(4, max(len(subset), 1)) // 2),
+                effective=True,
             )
         if spec and not spec_device:
             self._compute_walks_flat(
@@ -1983,6 +2029,7 @@ class BatchVerifier:
                     (t1 - t_host_done) - _fused_call_overhead(),
                 )
             self._fused_dispatches += 1
+            _BATCH_TIMERS["fused"] += 1
             _BATCH_TIMERS["calls"] += 1
             _BATCH_TIMERS["kernel"] += t1 - t_host_done
 

@@ -148,8 +148,11 @@ def _replay_one(desc: list):
     return None
 
 
-def replay(should_abort=None) -> None:
+def replay(should_abort=None) -> tuple[int, int]:
     """Execute every recorded shape once with trivial dummy inputs.
+    Returns (programs_ok, fused_plans_ok) — the caller reports readiness
+    from the fused count (VERDICT r4 item 2: engagement must be provable
+    before the align phase starts).
 
     Dispatches everything asynchronously first, then syncs, so the remote
     program loads pipeline instead of paying one round trip each. Called
@@ -164,7 +167,7 @@ def replay(should_abort=None) -> None:
 
     shapes = list(_load())
     if not shapes:
-        return
+        return (0, 0)
     # fused plans first, newest first: they are the production dispatch
     # path, the most recently recorded plan is the converged template
     # (earlier ones are its growth steps), and the align loop's device
@@ -189,16 +192,19 @@ def replay(should_abort=None) -> None:
                 pending.append((desc, out))
         except Exception as error:  # noqa: BLE001 - stale/corrupt entries
             logger.debug("warm-shape replay dispatch %s: %s", desc, error)
-    ok = 0
+    ok = fused_ok = 0
     for desc, out in pending:
         if should_abort is not None and should_abort():
             break
         try:
             np.asarray(out[0])
             ok += 1
+            if desc[0] == "fused":
+                fused_ok += 1
         except Exception as error:  # noqa: BLE001
             logger.debug("warm-shape replay sync %s: %s", desc, error)
     logger.debug(
-        "warm-shape replay: %d/%d programs in %.1fs",
-        ok, len(shapes), _time.monotonic() - t0,
+        "warm-shape replay: %d/%d programs (%d fused plans) in %.1fs",
+        ok, len(shapes), fused_ok, _time.monotonic() - t0,
     )
+    return (ok, fused_ok)

@@ -382,6 +382,53 @@ def test_band_rate_calibration(monkeypatch):
     assert vb._BAND_RATES["host"] == pinned
 
 
+def test_effective_host_rate_split_and_decay(monkeypatch):
+    """Separated EWMAs + de-hysteresis (advisor r4 / VERDICT r4 item 8):
+    effective fused-wave samples must not touch the physical banded-bucket
+    rate, and an inflated effective rate decays toward the physical seed
+    across routing decisions so a stretch of early-exit waves cannot
+    permanently price the device out."""
+    import floxer_tpu.verify_batch as vb
+
+    monkeypatch.setitem(vb._BAND_RATES, "host", 26e9)
+    monkeypatch.setitem(vb._BAND_RATES, "host_effective", 26e9)
+    monkeypatch.setitem(vb._BAND_RATES, "host_pinned", False)
+
+    # early-exit-heavy fused waves: effective rate hundreds of times
+    # physical (the hg38-observed failure mode, exaggerated)
+    for _ in range(30):
+        vb._observe_host_band_rate(
+            cells=5e13, seconds=0.1, threads=2, effective=True
+        )
+    assert vb._BAND_RATES["host_effective"] > 1e12
+    # ... but the PHYSICAL banded-bucket rate is untouched
+    assert vb._BAND_RATES["host"] == 26e9
+    # and a physical-range update does not touch the effective rate
+    eff_before = vb._BAND_RATES["host_effective"]
+    vb._observe_host_band_rate(cells=4e9, seconds=0.04, threads=1)
+    assert vb._BAND_RATES["host_effective"] == eff_before
+    assert vb._BAND_RATES["host"] > 26e9
+
+    # with no fresh effective samples, routing decisions decay the
+    # effective rate back toward physical: within ~60 decisions a
+    # >40x inflation collapses under 2x
+    phys = vb._BAND_RATES["host"]
+    assert vb._BAND_RATES["host_effective"] / phys > 40
+    for _ in range(60):
+        vb._host_chain_rate()
+    assert vb._BAND_RATES["host_effective"] / phys < 2
+    # never decays BELOW physical
+    for _ in range(100):
+        vb._host_chain_rate()
+    assert vb._BAND_RATES["host_effective"] >= phys * 0.99
+
+    # env pin disables the dynamics entirely
+    monkeypatch.setitem(vb._BAND_RATES, "host_pinned", True)
+    monkeypatch.setitem(vb._BAND_RATES, "host", 1e9)
+    monkeypatch.setitem(vb._BAND_RATES, "host_effective", 5e9)
+    assert vb._host_chain_rate() == 1e9
+
+
 def test_direct_attached_routes_all_device(monkeypatch):
     """Direct-attached-TPU simulation: with per-call overhead pinned to
     ~1 ms and a calibrated device rate far above the host rate, the router
