@@ -93,6 +93,10 @@ _MAX_DEVICE_PATTERN = int(
     _os.environ.get("FLOXER_TPU_SEARCH_MAX_PATTERN", 112)
 )
 _LEN_QUANTUM = 32  # pattern pad quantum: bounds the jit key count
+# device search engine: "workqueue" = the round-5 stack-ordered work
+# queue (search_queue.py, total-work-bounded), "frontier" = the round-4
+# synchronous global frontier (peak-width-bounded; kept for ablation)
+_SEARCH_ENGINE = _os.environ.get("FLOXER_TPU_SEARCH_ENGINE", "workqueue")
 
 
 def _gather_padded_patterns(arrays, sel, pad_len):
@@ -202,6 +206,18 @@ class DeviceSearcher:
 
         patterns = _gather_padded_patterns(arrays, eligible, pad_len)
 
+        if _SEARCH_ENGINE == "workqueue":
+            # round-5 stack-ordered work queue: total-work-bounded, so no
+            # spike sizing and no slice split — the whole chunk is one
+            # stack (search_queue module docstring)
+            return self._dispatch_workqueue(
+                patterns,
+                class_of,
+                eligible,
+                tables,
+                int(uniq_pairs[:, 0].max()),
+            )
+
         # GLOBAL-frontier geometry (round 4): per-iteration cost is
         # row-count bound (~30 ns/row/launch), so one shared frontier
         # covering as many seeds as fits beats any small-block split
@@ -261,6 +277,43 @@ class DeviceSearcher:
             else np.zeros(0, dtype=np.int64)
         )
         return rows, np.unique(ovf_gids).astype(np.int64)
+
+    def _dispatch_workqueue(self, patterns, class_of, gids, tables,
+                            max_errors):
+        """One work-queue dispatch for the chunk's eligible seeds
+        (search_queue): returns (rows [k, 5] = gid, lb, lb_rev, len, err
+        in per-seed host-DFS order; overflow gids). Capacity shortfalls
+        retry once inside workqueue_runner; a persisting overflow routes
+        every seed to the host redo, like the frontier path."""
+        from .search_queue import workqueue_runner
+
+        n = patterns.shape[0]
+        pad_len = patterns.shape[1]
+        S = max(int(n), 1 << 10)
+        granule = 1 << max(0, S.bit_length() - 2)
+        S = -(-S // granule) * granule
+        pat = np.zeros((S, pad_len), dtype=np.int32)
+        pat[:n] = patterns
+        cls = np.full(S, tables.dead_class, dtype=np.int32)
+        cls[:n] = class_of
+        report_cap = max(32 * n, 1 << 13)
+
+        rows6, overflow = workqueue_runner(
+            self._device_index, pat, cls, tables, report_cap,
+            pad_len, max_errors,
+        )
+        type(self)._chunk_dispatches += 1
+        local = rows6[:, 4]
+        keep = local < n
+        rows = np.empty((int(keep.sum()), 5), dtype=np.int64)
+        rows[:, 0] = gids[local[keep]]
+        rows[:, 1] = rows6[keep, 0]  # lb
+        rows[:, 2] = rows6[keep, 1]  # lb_rev
+        rows[:, 3] = rows6[keep, 2]  # length
+        rows[:, 4] = rows6[keep, 3]  # errors
+        if overflow:
+            return rows, gids.astype(np.int64)
+        return rows, np.zeros(0, dtype=np.int64)
 
     def _dispatch_slice(
         self,

@@ -19,6 +19,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# small work-queue quantum for CPU tests: the production default (32k) is
+# sized for the chip; on the CPU backend every masked window row executes
+# for real, so tests would crawl (and the big while_loop body compiles for
+# minutes). 256 stresses the ordering logic harder anyway.
+os.environ.setdefault("FLOXER_TPU_WQ_QUANTUM", "256")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -431,17 +431,24 @@ def test_chunk_device_search_long_seeds_use_host_redo(indexes):
 
     dispatched_lengths = []
     orig_chunk = sd._frontier_search_chunk
+    orig_wq = sd.DeviceSearcher._dispatch_workqueue
 
     def traced_chunk(index, patterns, *args, **kwargs):
         dispatched_lengths.append(patterns.shape[2])
         return orig_chunk(index, patterns, *args, **kwargs)
 
+    def traced_wq(self, patterns, *args, **kwargs):
+        dispatched_lengths.append(patterns.shape[1])
+        return orig_wq(self, patterns, *args, **kwargs)
+
     sd._frontier_search_chunk = traced_chunk
+    sd.DeviceSearcher._dispatch_workqueue = traced_wq
     try:
         want = searcher.search_seeds_many(jobs)
         got = device_searcher.search_seeds_many(jobs)
     finally:
         sd._frontier_search_chunk = orig_chunk
+        sd.DeviceSearcher._dispatch_workqueue = orig_wq
     assert dispatched_lengths, "short seeds should still use the device"
     assert max(dispatched_lengths) <= sd._MAX_DEVICE_PATTERN + 31
     assert len(got) == len(want)
@@ -478,16 +485,23 @@ def test_chunk_search_is_one_dispatch(indexes):
 
     calls = []
     orig = sd._frontier_search_chunk
+    orig_wq = sd.DeviceSearcher._dispatch_workqueue
 
     def traced(*args, **kwargs):
         calls.append(1)
         return orig(*args, **kwargs)
 
+    def traced_wq(self, *args, **kwargs):
+        calls.append(1)
+        return orig_wq(self, *args, **kwargs)
+
     sd._frontier_search_chunk = traced
+    sd.DeviceSearcher._dispatch_workqueue = traced_wq
     try:
         got = device_searcher.search_seeds_many(jobs)
     finally:
         sd._frontier_search_chunk = orig
+        sd.DeviceSearcher._dispatch_workqueue = orig_wq
     assert len(calls) == 1, f"{len(calls)} dispatches for one chunk"
 
     want = searcher.search_seeds_many(jobs)
