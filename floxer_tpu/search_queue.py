@@ -102,7 +102,8 @@ def _workqueue_search(
     key_words: int,
     max_iterations: int,
 ):
-    """Returns (reports [R, 6 + KW], num_reports, overflow scalar).
+    """Returns (reports [R, 6 + KW], num_reports, overflow scalar,
+    iterations).
 
     Report row: (lb, lb_rev, length, errors, seed, search, key0..kKW-1).
     Reports are in COMPLETION order — the caller must sort by
@@ -166,7 +167,12 @@ def _workqueue_search(
 
     reports0 = jnp.zeros((R + K, 6 + KW), dtype=jnp.int32)
 
-    def body(carry):
+    def body(carry, *, K, P):
+        # K/P are bound per phase (functools.partial): the main loop runs
+        # the full quantum; once the stack drains below the tail
+        # threshold a second while_loop continues with a small quantum so
+        # the final subtree drains don't pay full-window gather costs
+        # (~40-80 trickle iterations at the end of a chunk)
         stack, top, reports, num_reports, overflow, it = carry
 
         # ---- peek the top-K window (contiguous slice) ----
@@ -380,11 +386,20 @@ def _workqueue_search(
             jnp.where(row_count > 0, row_offset_excl, P + 1)
         ].set(j_iota + 1, mode="drop")
         row_for_j = jnp.maximum(jax.lax.cummax(ind) - 1, 0)  # [P]
-        slot_for_j = (
-            jnp.arange(P, dtype=jnp.int32) - row_offset_excl[row_for_j]
-        )
-        local_rows = jnp.stack(local_excl, axis=1)[row_for_j]  # [P, 13]
-        valid_rows = jnp.stack(valid_k, axis=1)[row_for_j]  # [P, 13]
+        # parent-side lookup fused into ONE [P]-row gather: per-row
+        # gathers are latency-bound (~30 ns/row) and row width is nearly
+        # free, so (offset | local prefixes | valid flags) ride one wide
+        # row instead of three separate gathers
+        parent_table = jnp.stack(
+            [row_offset_excl]
+            + local_excl
+            + [v.astype(jnp.int32) for v in valid_k],
+            axis=1,
+        )  # [K, 1 + 13 + 13]
+        parent_rows = parent_table[row_for_j]  # [P, 27]
+        slot_for_j = jnp.arange(P, dtype=jnp.int32) - parent_rows[:, 0]
+        local_rows = parent_rows[:, 1 : 1 + num_kinds]
+        valid_rows = parent_rows[:, 1 + num_kinds :] > 0
         k_match = (local_rows == slot_for_j[:, None]) & valid_rows
         k_for_j = jnp.argmax(k_match, axis=1).astype(jnp.int32)
         src = jnp.minimum(
@@ -452,7 +467,17 @@ def _workqueue_search(
 
         return stack, new_top, reports, num_reports, overflow, it + 1
 
-    def cond(carry):
+    import functools
+
+    K_TAIL = min(K, 1 << 13)
+    P_TAIL = min(P, (P // K) * K_TAIL)
+
+    def cond_main(carry):
+        _stack, top, _reports, _nr, overflow, it = carry
+        # hand off to the tail loop once a tail window covers the stack
+        return (top > K_TAIL) & ~overflow & (it < max_iterations)
+
+    def cond_tail(carry):
         _stack, top, _reports, _nr, overflow, it = carry
         return (top > 0) & ~overflow & (it < max_iterations)
 
@@ -464,10 +489,16 @@ def _workqueue_search(
         jnp.asarray(init_overflow),
         jnp.int32(0),
     )
-    _stack, _top, reports, num_reports, overflow, _its = jax.lax.while_loop(
-        cond, body, carry
+    carry = jax.lax.while_loop(
+        cond_main, functools.partial(body, K=K, P=P), carry
     )
-    return reports[:R], num_reports, overflow
+    # tail drain: small quantum; a tail burst can push the stack back
+    # above the threshold, in which case the tail loop simply keeps
+    # draining in small windows (suffix-fit keeps it correct at any size)
+    _stack, _top, reports, num_reports, overflow, its = jax.lax.while_loop(
+        cond_tail, functools.partial(body, K=K_TAIL, P=P_TAIL), carry
+    )
+    return reports[:R], num_reports, overflow, its
 
 
 def sort_reports(raw: np.ndarray) -> np.ndarray:
@@ -541,7 +572,7 @@ def workqueue_runner(
     cap = quantize(2 * init + P + K)
     r_cap = quantize(report_capacity, 1 << 12)
     for _attempt in range(2):
-        reports, num_reports, overflow = _workqueue_search(
+        reports, num_reports, overflow, iterations = _workqueue_search(
             index,
             jnp.asarray(padded),
             jnp.asarray(seed_class),
@@ -564,6 +595,12 @@ def workqueue_runner(
         cap *= 4
         r_cap *= 4
     count = int(np.asarray(num_reports))
+    import logging
+
+    logging.getLogger("floxer-tpu").debug(
+        "workqueue search: %d seeds, %d reports, %d iterations (K=%d)",
+        num_seeds, count, int(np.asarray(iterations)), K,
+    )
     n_pad = 1
     while n_pad < max(count, 1):
         n_pad *= 2
