@@ -73,6 +73,36 @@ _WARMUP_ABORT = __import__("threading").Event()
 # device (VERDICT r4 item 2).
 _WARM_REPLAY_RESULT = None
 
+# server-process cache of the device-resident reference bank, keyed by
+# reference file identity (path, size, mtime): jobs against the same
+# genome reuse the uploaded bank instead of re-paying the packed upload
+# (~85 s at hg38 scale through the tunnel). One entry: HBM holds one
+# genome at a time.
+_RESIDENT_BANK_CACHE: dict = {}
+
+
+def _get_resident_bank(cli, references):
+    import os
+
+    from .ops.resident import ResidentBank
+
+    key = None
+    try:
+        stat = os.stat(cli.reference_path)
+        key = (str(cli.reference_path), stat.st_size, stat.st_mtime_ns)
+    except OSError:
+        pass
+    if key is not None and key in _RESIDENT_BANK_CACHE:
+        logger.debug("resident reference bank: cache hit (%s)", key[0])
+        return _RESIDENT_BANK_CACHE[key]
+    bank = ResidentBank(
+        [record.rank_sequence for record in references.records]
+    )
+    if key is not None and _PERSISTENT_PROCESS:
+        _RESIDENT_BANK_CACHE.clear()
+        _RESIDENT_BANK_CACHE[key] = bank
+    return bank
+
 
 def _start_device_warmup() -> None:
     """Fire a tiny kernel on a daemon thread so the backend's one-time
@@ -756,14 +786,15 @@ def run(cli: CommandLineInput, extra_log_handler=None) -> int:
         # property (parallelization.cpp:139-148), TPU-shaped
         from concurrent.futures import ThreadPoolExecutor
 
-        from .ops.resident import ResidentBank
-
-        # per-run device-resident reference bank: the packed upload happens
+        # device-resident reference bank: the packed upload happens
         # lazily on the first resident bucket dispatch (ops/resident.py),
-        # so CPU-only or tiny runs never touch an accelerator here
-        resident_ref = ResidentBank(
-            [record.rank_sequence for record in references.records]
-        )
+        # so CPU-only or tiny runs never touch an accelerator here. In a
+        # server process the bank is CACHED across jobs keyed by the
+        # reference file identity — re-uploading it per job costs ~85 s
+        # for an hg38-scale genome through the tunnel (1.5 GB packed at
+        # ~18 MB/s), measured round 5 as the reason warm hg38 jobs ran
+        # 3-4x slower with the device engaged than without
+        resident_ref = _get_resident_bank(cli, references)
 
         # per-stage wall attribution for the end-of-run "stage split" line
         # (VERDICT r4 item 6): stages OVERLAP (search of chunk N+1 runs

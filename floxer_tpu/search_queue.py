@@ -58,12 +58,15 @@ from .search_device import _EDIT_SYMBOLS, _OP_D, _OP_I, _OP_M
 
 import os as _os
 
-# pop quantum per iteration
-QUANTUM = int(_os.environ.get("FLOXER_TPU_WQ_QUANTUM", 1 << 15))
+# pop quantum per iteration (sweep on the 57k-seed chr21 chunk,
+# 2026-08-21: 64k/3 = 2.28 s vs 32k/2 = 2.91 s, 128k/3 = 3.2 s — large
+# quanta amortize per-iteration fixed cost until the window exceeds the
+# live backlog)
+QUANTUM = int(_os.environ.get("FLOXER_TPU_WQ_QUANTUM", 1 << 16))
 # push block rows = PUSH_FACTOR * quantum (the compaction gather length —
-# the dominant per-iteration gather — so small factors matter; 2 keeps
-# normal iterations unconstrained since net branching is < 1)
-PUSH_FACTOR = int(_os.environ.get("FLOXER_TPU_WQ_PUSH_FACTOR", 2))
+# the dominant per-iteration gather; 3 lets burst windows expand ~3x
+# before the suffix-fit truncates them)
+PUSH_FACTOR = int(_os.environ.get("FLOXER_TPU_WQ_PUSH_FACTOR", 3))
 
 # state row layout in the stack [CAP, F]: 10 scalar fields + KW key words
 _F_LB, _F_LBREV, _F_LEN, _F_POS, _F_ERR, _F_OP, _F_PART, _F_SEARCH, \
