@@ -152,19 +152,19 @@ def _host_band_rate() -> float:
 
 
 def _host_chain_rate() -> float:
-    """Effective per-thread chain rate for the fused-wave split router,
-    with per-call decay toward the physical band rate: the inflation over
-    physical reflects the CURRENT waves' early-exit fraction, so it must
-    be re-earned by fresh samples rather than persist indefinitely (an
-    exponent decay of 0.93 per routing decision relaxes a 1000x inflation
-    to ~10x within ~30 waves with no supporting samples)."""
-    phys = _BAND_RATES["host"]
+    """Effective per-thread chain rate for the fused-wave split router.
+
+    De-hysteresis is by CONTINUOUS OBSERVATION, not decay: fully-host
+    waves feed effective samples too (the callers of _try_fused_wave
+    observe their fallback computes), so the EWMA tracks the live wave
+    composition in both directions. An unconditional decay toward the
+    physical rate was tried first (round 5) and backfired on hg38: the
+    inflation IS the correct signal on early-exit-heavy workloads, and
+    decaying it re-engaged the device every few waves at a measured 2x
+    end-to-end loss (93-101 s vs 50 s CPU on the hg38 2k-read job)."""
     if _BAND_RATES["host_pinned"]:
-        return phys  # env pin disables all calibration dynamics
-    eff = _BAND_RATES["host_effective"]
-    if eff > phys:
-        _BAND_RATES["host_effective"] = eff = phys * (eff / phys) ** 0.93
-    return eff
+        return _BAND_RATES["host"]  # env pin disables calibration dynamics
+    return _BAND_RATES["host_effective"]
 
 
 def _device_band_rate() -> float:
@@ -1229,10 +1229,16 @@ class BatchVerifier:
                     if not any_failed:
                         break
                     continue
+                t0_host = _time.monotonic()
                 self._compute_walks_flat(
                     table, items, need_list,
                     max_depth=None if full else CHECK_DEPTH,
                 )
+                if full:
+                    # full-depth fallback: comparable to the split path's
+                    # host share, so its timing is an effective-rate
+                    # sample (depth-limited prescreens are not)
+                    self._observe_host_wave(_time.monotonic() - t0_host)
                 if spec:
                     # speculation runs at prescreen depth only: a breaking
                     # walk (the chr21 repetitive-locus cascade) is detected
@@ -1297,7 +1303,9 @@ class BatchVerifier:
                 break
             t0_flat = _time.monotonic()
             if not self._try_fused_wave(table, items, batch_list):
+                t0_host = _time.monotonic()
                 self._compute_walks_flat(table, items, batch_list)
+                self._observe_host_wave(_time.monotonic() - t0_host)
             t_flat += _time.monotonic() - t0_flat
             for wid in batch_list:
                 if self._walk_is_broken(table[wid]):
@@ -1775,6 +1783,20 @@ class BatchVerifier:
             level.span.length,
         )
 
+    def _observe_host_wave(self, seconds: float) -> None:
+        """Feed a fully-host wave's timing to the effective host chain
+        rate using the estimate stashed by _try_fused_wave's routing
+        pass. This is the de-hysteresis mechanism (VERDICT r4 item 8):
+        every full host wave re-normalizes the EWMA, so a composition
+        shift moves the rate within a few waves in EITHER direction —
+        no artificial decay needed (see _host_chain_rate)."""
+        est = getattr(self, "_host_wave_estimate", 0.0)
+        if est and seconds > 0:
+            self._host_wave_estimate = 0.0
+            # normalized at the router's half-pool pricing so its host_s
+            # prediction for an identical wave equals the observed wall
+            _observe_host_band_rate(est, seconds, 2, effective=True)
+
     def _try_fused_wave(
         self,
         walks,
@@ -1803,6 +1825,9 @@ class BatchVerifier:
         import logging
         import time as _time
 
+        # cleared on entry; set at host-routing returns so the caller's
+        # fallback compute can feed an effective-rate sample
+        self._host_wave_estimate = 0.0
         if self._resident is None or _NO_FUSED or not subset:
             return False
         if not (_FORCE_FUSED or self._device_resolved_lazy()):
@@ -1934,6 +1959,11 @@ class BatchVerifier:
                 # of staying priced out forever
                 if _FUSED_OVERHEAD["ewma"] is not None:
                     _FUSED_OVERHEAD["ewma"] *= 0.98
+                # the caller computes this wave on the host — hand it the
+                # chain estimate so its timing becomes an effective-rate
+                # sample (continuous composition tracking, see
+                # _host_chain_rate)
+                self._host_wave_estimate = total_cells
                 log.debug(
                     "fused route: %d walks %.0fM cells -> host "
                     "(device share %.2f)",
@@ -1976,6 +2006,7 @@ class BatchVerifier:
                 # multi-second program (observed 13 s mid-job); only
                 # wave-1-scale waves can amortize that — smaller waves
                 # fall back to the host and leave the template unchanged
+                self._host_wave_estimate = total_cells
                 log.debug(
                     "fused route: %d walks -> host (new plan, wave too "
                     "small to amortize its compile)", len(subset),

@@ -382,12 +382,16 @@ def test_band_rate_calibration(monkeypatch):
     assert vb._BAND_RATES["host"] == pinned
 
 
-def test_effective_host_rate_split_and_decay(monkeypatch):
+def test_effective_host_rate_split_and_renormalization(monkeypatch):
     """Separated EWMAs + de-hysteresis (advisor r4 / VERDICT r4 item 8):
     effective fused-wave samples must not touch the physical banded-bucket
-    rate, and an inflated effective rate decays toward the physical seed
-    across routing decisions so a stretch of early-exit waves cannot
-    permanently price the device out."""
+    rate, and fully-host waves keep feeding effective samples (via
+    _observe_host_wave) so a composition shift re-normalizes the rate in
+    either direction within a few waves — the continuous-observation form
+    of de-hysteresis. (An unconditional decay toward physical was tried
+    and reverted: on genuinely early-exit-heavy workloads the inflation
+    is the correct signal, and decaying it re-engaged the device at a
+    measured 2x end-to-end loss on hg38.)"""
     import floxer_tpu.verify_batch as vb
 
     monkeypatch.setitem(vb._BAND_RATES, "host", 26e9)
@@ -395,7 +399,7 @@ def test_effective_host_rate_split_and_decay(monkeypatch):
     monkeypatch.setitem(vb._BAND_RATES, "host_pinned", False)
 
     # early-exit-heavy fused waves: effective rate hundreds of times
-    # physical (the hg38-observed failure mode, exaggerated)
+    # physical (the hg38-observed regime, exaggerated)
     for _ in range(30):
         vb._observe_host_band_rate(
             cells=5e13, seconds=0.1, threads=2, effective=True
@@ -409,18 +413,19 @@ def test_effective_host_rate_split_and_decay(monkeypatch):
     assert vb._BAND_RATES["host_effective"] == eff_before
     assert vb._BAND_RATES["host"] > 26e9
 
-    # with no fresh effective samples, routing decisions decay the
-    # effective rate back toward physical: within ~60 decisions a
-    # >40x inflation collapses under 2x
-    phys = vb._BAND_RATES["host"]
-    assert vb._BAND_RATES["host_effective"] / phys > 40
-    for _ in range(60):
-        vb._host_chain_rate()
-    assert vb._BAND_RATES["host_effective"] / phys < 2
-    # never decays BELOW physical
-    for _ in range(100):
-        vb._host_chain_rate()
-    assert vb._BAND_RATES["host_effective"] >= phys * 0.99
+    # composition shifts back (few early exits): fully-host-wave samples
+    # near physical pull the inflated rate down within ~8 waves — the
+    # log-space EWMA makes multi-order swings symmetric
+    verifier = object.__new__(vb.BatchVerifier)
+    for _ in range(8):
+        verifier._host_wave_estimate = 8e9  # full-chain estimate
+        verifier._observe_host_wave(0.08)  # ~5e10/thread observed
+    assert vb._BAND_RATES["host_effective"] < 4e11
+    # ... and consuming the estimate resets it (no double observation)
+    assert verifier._host_wave_estimate == 0.0
+    before = vb._BAND_RATES["host_effective"]
+    verifier._observe_host_wave(0.08)
+    assert vb._BAND_RATES["host_effective"] == before
 
     # env pin disables the dynamics entirely
     monkeypatch.setitem(vb._BAND_RATES, "host_pinned", True)
