@@ -73,6 +73,8 @@ class ResidentBank:
     resident bucket never touch the device)."""
 
     def __init__(self, sequences: list[np.ndarray]):
+        import threading
+
         self._sequences = sequences
         self.base_chars: list[int] = []
         cursor_words = 0
@@ -81,26 +83,34 @@ class ResidentBank:
             cursor_words += -(-len(seq) // CHARS_PER_WORD)
         self._num_words = cursor_words
         self._flat = None
+        # a background preload (pipeline._get_resident_bank) may race the
+        # align loop's first dispatch; the lock prevents a double build +
+        # double upload of a multi-GB bank
+        self._flat_lock = threading.Lock()
 
     def base(self, index: int) -> int:
         return self.base_chars[index]
 
     @property
     def flat(self) -> jax.Array:
-        if self._flat is None:
-            # the flat length is part of every downstream jit cache key:
-            # quantize it (next power of two) so banks of similar size —
-            # e.g. successive read chunks — reuse compiled programs
-            # instead of recompiling every bucket shape per chunk
-            total = self._num_words + TAIL_PAD_WORDS
-            size = 1 << (total - 1).bit_length()
-            words = np.zeros(size, dtype=np.uint32)
-            for base, seq in zip(self.base_chars, self._sequences):
-                packed = pack_nibbles_flat(np.asarray(seq, dtype=np.uint8))
-                start = base // CHARS_PER_WORD
-                words[start : start + len(packed)] = packed
-            self._flat = jnp.asarray(words)
-        return self._flat
+        with self._flat_lock:
+            if self._flat is None:
+                # the flat length is part of every downstream jit cache
+                # key: quantize it (next power of two) so banks of
+                # similar size — e.g. successive read chunks — reuse
+                # compiled programs instead of recompiling every bucket
+                # shape per chunk
+                total = self._num_words + TAIL_PAD_WORDS
+                size = 1 << (total - 1).bit_length()
+                words = np.zeros(size, dtype=np.uint32)
+                for base, seq in zip(self.base_chars, self._sequences):
+                    packed = pack_nibbles_flat(
+                        np.asarray(seq, dtype=np.uint8)
+                    )
+                    start = base // CHARS_PER_WORD
+                    words[start : start + len(packed)] = packed
+                self._flat = jnp.asarray(words)
+            return self._flat
 
 
 def addr_arrays(char_starts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
