@@ -86,3 +86,54 @@ def test_h2_scheme_min_errors_bound():
         assert any(
             _search_admits(search, errors) for search in scheme.searches
         ), errors
+
+
+def test_h2_scheme_completeness_theorem_preconditions():
+    """Machine-check of the structural preconditions the h2 completeness
+    proof relies on (schemes.h2_scheme docstring, VERDICT r4 item 9):
+    for every k up to 64, every search s has (a) pi = right-first then
+    wrapped-left order, (b) upper[0] == 0 and uppers == k elsewhere,
+    (c) lower == t at the t-th consumed left part and 0 on the right.
+    With these, the first-zero-part argument proves completeness for ALL
+    k — the exhaustive check (k <= 6 here) is a belt-and-braces sample,
+    not the load-bearing guarantee."""
+    from floxer_tpu.schemes import h2_scheme
+
+    for k in range(1, 65):
+        scheme = h2_scheme(k + 2, 0, k)
+        p = k + 2
+        assert scheme.num_parts == p
+        assert len(scheme.searches) == k + 1
+        for s, search in enumerate(scheme.searches):
+            assert list(search.pi) == list(range(s, p)) + list(
+                range(s - 1, -1, -1)
+            )
+            assert search.upper[0] == 0
+            assert all(u == k for u in search.upper[1:])
+            num_right = p - s
+            for j in range(num_right):
+                assert search.lower[j] == 0
+            for t in range(1, s + 1):
+                assert search.lower[num_right - 1 + t] == t
+
+
+def test_h2_scheme_first_zero_part_admission_randomized():
+    """Randomized instance check of the proof's constructive step: for
+    arbitrary error vectors e with sum(e) <= k, the search indexed by
+    e's first zero part admits e (k up to 16, far past any reachable
+    CLI configuration — --seed-errors caps at 3)."""
+    import numpy as np
+
+    from floxer_tpu.schemes import _search_admits, h2_scheme
+
+    rng = np.random.default_rng(0)
+    for k in (4, 8, 12, 16):
+        scheme = h2_scheme(k + 2, 0, k)
+        for _ in range(500):
+            total = int(rng.integers(0, k + 1))
+            e = np.zeros(k + 2, dtype=int)
+            for _ in range(total):
+                e[int(rng.integers(0, k + 2))] += 1
+            s = int(np.flatnonzero(e == 0)[0])
+            assert s <= k
+            assert _search_admits(scheme.searches[s], tuple(e)), (k, e)
