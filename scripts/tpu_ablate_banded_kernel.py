@@ -138,7 +138,37 @@ def make_kernel(variant):
             xv = eq | vn
             a = eq & vp
             t = a + vp
-            if "noks" not in off:
+            if "r4" in off:
+                # round-5 production scan: radix-4 prefix (see
+                # pallas_myers_banded CARRY_SCAN) — half the serial rounds
+                gp = jnp.where(t < a, one, jnp.uint32(0)) | (
+                    jnp.where(t == ones, one, jnp.uint32(0)) << 1
+                )
+                d = 1
+                while d < BW:
+                    s1 = roll_up(gp, d)
+                    cg = gp & one
+                    cp = gp >> one
+                    cg1 = s1 & one
+                    cp1 = s1 >> one
+                    if 2 * d < BW:
+                        s2 = roll_up(gp, 2 * d)
+                        s3 = roll_up(gp, min(3 * d, BW - 1))
+                        cg2 = s2 & one
+                        cp2 = s2 >> one
+                        cg3 = s3 & one
+                        cp3 = s3 >> one
+                        q1 = cp & cp1
+                        q2 = q1 & cp2
+                        cg = cg | (cp & cg1) | (q1 & cg2) | (q2 & cg3)
+                        cp = q2 & cp3
+                    else:
+                        cg = cg | (cp & cg1)
+                        cp = cp & cp1
+                    gp = cg | (cp << 1)
+                    d *= 4
+                carry_in = roll_up(gp & one, 1)
+            elif "noks" not in off:
                 gp = jnp.where(t < a, one, jnp.uint32(0)) | (
                     jnp.where(t == ones, one, jnp.uint32(0)) << 1
                 )
@@ -294,9 +324,10 @@ scalars = tuple(
 
 VARIANTS = [
     "full",
+    "r4",
+    "noks",
     "noslide",
     "noeq",
-    "noks",
     "noscore",
     "nohshift",
     "nostream2",
