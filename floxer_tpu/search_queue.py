@@ -347,7 +347,14 @@ def _workqueue_search(
         # suffix cumsum: children of rows j..K-1 (row K-1 = stack top)
         suffix = jnp.cumsum(child_count[::-1])[::-1]
         fits = suffix <= P
-        # rows j with fits[j] True form a suffix (suffix cumsum is
+        # the report compaction gather is sized P_REP << K (finishers are
+        # a small fraction of any window); the same suffix-fit trick
+        # bounds them — rows whose finisher prefix would overflow simply
+        # stay on the stack for the next iteration
+        P_REP = max(K // 4, 256)
+        suffix_rep = jnp.cumsum(finished[::-1].astype(jnp.int32))[::-1]
+        fits = fits & (suffix_rep <= P_REP)
+        # rows j with fits[j] True form a suffix (both suffix cumsums are
         # monotone decreasing in j); n_exp = number of expanded rows
         n_exp = jnp.sum(fits & present)
         take = fits & present
@@ -358,15 +365,15 @@ def _workqueue_search(
         rep_csum = jnp.cumsum(rep_valid.astype(jnp.int32))
         n_rep = rep_csum[-1]
         # scatter row ids at output offsets + cummax (repeat-by-counts)
-        rep_ind = jnp.zeros((K,), dtype=jnp.int32).at[
-            jnp.where(rep_valid, rep_csum - 1, K + 1)
+        rep_ind = jnp.zeros((P_REP,), dtype=jnp.int32).at[
+            jnp.where(rep_valid, rep_csum - 1, P_REP + 1)
         ].set(j_iota + 1, mode="drop")
         rep_src = jnp.maximum(jax.lax.cummax(rep_ind) - 1, 0)
         rep_fields = jnp.stack(
             [lb, lb_rev, length, errors, seed, search] + keys, axis=1
         )  # [K, 6 + KW]
         rep_rows = jnp.where(
-            (jnp.arange(K)[:, None] < n_rep), rep_fields[rep_src], 0
+            (jnp.arange(P_REP)[:, None] < n_rep), rep_fields[rep_src], 0
         )
         reports = jax.lax.dynamic_update_slice(
             reports, rep_rows, (jnp.minimum(num_reports, R), jnp.int32(0))
